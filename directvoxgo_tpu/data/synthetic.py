@@ -1,0 +1,112 @@
+"""Procedural synthetic scene fixture (no external dataset needed).
+
+The reference repo carries no test data; its regression oracle is PSNR on the
+real nerf_synthetic scenes (IMPROVING_LOG.md). For hermetic tests and
+benchmarks we generate a ground-truth dataset from an analytic voxel "teacher"
+scene rendered with the same volume-rendering math the framework implements
+(sample -> raw2alpha -> cumprod compositing), so a trained model can be
+validated end-to-end: training on these images must drive PSNR up.
+
+Scene: a soft-edged colored blob cluster inside [-1, 1]^3, cameras on a
+blender-style orbit (radius 4, near 2, far 6, white or black background).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import rays as ray_lib
+from .load_blender import pose_spherical
+
+
+def teacher_grids(resolution=64):
+    """Analytic density/rgb voxel grids for the fixture scene."""
+    lin = np.linspace(-1.0, 1.0, resolution, dtype=np.float32)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    density = np.full_like(x, -6.0)
+    # Three gaussian blobs with distinct colors.
+    blobs = [
+        ((0.35, 0.0, 0.0), 0.35, 9.0, (0.9, 0.2, 0.2)),
+        ((-0.3, 0.25, 0.1), 0.28, 9.0, (0.2, 0.8, 0.3)),
+        ((0.0, -0.3, -0.25), 0.30, 9.0, (0.25, 0.35, 0.95)),
+    ]
+    rgb_num = np.zeros((*x.shape, 3), np.float32)
+    w_sum = np.zeros_like(x)
+    for (cx, cy, cz), r, peak, color in blobs:
+        d2 = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
+        w = np.exp(-d2 / (2 * (r / 2) ** 2)).astype(np.float32)
+        density = np.maximum(density, peak * w - 6.0)
+        rgb_num += w[..., None] * np.asarray(color, np.float32)
+        w_sum += w
+    rgb = rgb_num / np.maximum(w_sum[..., None], 1e-6)
+    return density, rgb
+
+
+def _render_view(density, rgb, H, W, K, c2w, near, far, bg, n_samples=192):
+    """Reference-math volume render of the teacher grids (numpy)."""
+    rays_o, rays_d, viewdirs = ray_lib.get_rays_of_a_view(
+        H, W, K, c2w, ndc=False, inverse_y=False, flip_x=False, flip_y=False)
+    ro = rays_o.reshape(-1, 3)
+    vd = viewdirs.reshape(-1, 3)
+    t = np.linspace(near, far, n_samples, dtype=np.float32)
+    pts = ro[:, None, :] + vd[:, None, :] * t[None, :, None]
+
+    res = density.shape[0]
+    idx = (pts + 1.0) / 2.0 * (res - 1)
+    inb = np.all((pts >= -1.0) & (pts <= 1.0), -1)
+    ijk = np.clip(np.round(idx).astype(np.int64), 0, res - 1)
+    d = density[ijk[..., 0], ijk[..., 1], ijk[..., 2]]
+    c = rgb[ijk[..., 0], ijk[..., 1], ijk[..., 2]]
+
+    interval = (far - near) / n_samples / (2.0 / res)  # in voxel units
+    alpha = 1.0 - np.exp(-np.log1p(np.exp(d)) * interval)
+    alpha = np.where(inb, alpha, 0.0)
+    one_minus = 1.0 - alpha + 1e-10
+    t_excl = np.cumprod(one_minus, -1) / one_minus
+    weights = t_excl * alpha
+    alphainv_last = np.prod(one_minus, -1)
+    img = (weights[..., None] * c).sum(1) + alphainv_last[..., None] * bg
+    return img.reshape(H, W, 3).astype(np.float32)
+
+
+def make_synthetic_dataset(n_train=16, n_val=2, n_test=4, H=64, W=64,
+                           teacher_res=64, white_bkgd=True, seed=0):
+    """Build a data_dict with the same keys as load_everything
+    (lib/load_data.py:188-218)."""
+    rng = np.random.default_rng(seed)
+    density, rgb = teacher_grids(teacher_res)
+    near, far = 2.0, 6.0
+    bg = 1.0 if white_bkgd else 0.0
+    focal = 0.8 * W
+    K = np.array([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]],
+                 np.float32)
+
+    n_total = n_train + n_val + n_test
+    thetas = np.linspace(-180, 180, n_total, endpoint=False) \
+        + rng.uniform(-2, 2, n_total)
+    phis = -30.0 + 12.0 * np.sin(np.linspace(0, 3 * np.pi, n_total)) \
+        + rng.uniform(-2, 2, n_total)
+    poses = np.stack([pose_spherical(t, p, 4.0)
+                      for t, p in zip(thetas, phis)], 0)
+
+    images = np.stack([
+        _render_view(density, rgb, H, W, K, c2w[:3, :4], near, far, bg)
+        for c2w in poses], 0)
+
+    idx = np.arange(n_total)
+    render_poses = np.stack([pose_spherical(t, -30.0, 4.0)
+                             for t in np.linspace(-180, 180, 10,
+                                                  endpoint=False)], 0)
+    return {
+        "hwf": [H, W, focal],
+        "HW": np.array([[H, W]] * n_total),
+        "Ks": np.repeat(K[None], n_total, 0),
+        "near": near, "far": far,
+        "i_train": idx[:n_train],
+        "i_val": idx[n_train:n_train + n_val],
+        "i_test": idx[n_train + n_val:],
+        "poses": poses[:, :3, :4].astype(np.float32),
+        "render_poses": render_poses[:, :3, :4].astype(np.float32),
+        "images": images,
+        "irregular_shape": False,
+    }

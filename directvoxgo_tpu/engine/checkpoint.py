@@ -1,0 +1,69 @@
+"""Checkpoint I/O.
+
+Keeps the reference's self-describing layout (run.py:420-437): a dict
+``{global_step, model_kwargs, model_state_dict, optimizer_state_dict}``, where
+``model_kwargs`` lets :func:`load_model` reconstruct the model class without
+the original config (lib/utils.py:63-79). Files keep the reference's ``.tar``
+names (``{stage}_last.tar``) but contain a pickled dict of numpy arrays. The
+coarse checkpoint doubles as an input artifact for the fine stage (mask cache
++ bbox shrink), so the cross-stage contract is preserved.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, (jnp.ndarray, np.ndarray))
+        else x, tree)
+
+
+def save_checkpoint_file(path, payload):
+    with open(path, "wb") as f:
+        pickle.dump(_to_numpy(payload), f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_checkpoint_file(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def model_state_dict(model):
+    """Flatten model params + mask into a state dict."""
+    state = {"mask": np.asarray(model.mask)}
+    for name, sub in model.params.items():
+        state[name] = _to_numpy(sub)
+    return state
+
+
+def load_model_state(model, state):
+    model.mask = jnp.asarray(state["mask"])
+    for name in model.params:
+        model.params[name] = jax.tree_util.tree_map(
+            jnp.asarray, state[name])
+    return model
+
+
+def save_model_checkpoint(path, model, global_step, optimizer_state=None):
+    save_checkpoint_file(path, {
+        "global_step": global_step,
+        "model_kwargs": model.get_kwargs(),
+        "model_state_dict": model_state_dict(model),
+        "optimizer_state_dict": _to_numpy(optimizer_state),
+    })
+    print("checkpoint: saved", path)
+
+
+def load_model(model_class, path):
+    """Reconstruct a model from its checkpoint manifest
+    (lib/utils.py:63-79)."""
+    st = load_checkpoint_file(path)
+    model = model_class(**st["model_kwargs"])
+    load_model_state(model, st["model_state_dict"])
+    return model

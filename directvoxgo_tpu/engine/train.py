@@ -1,0 +1,429 @@
+"""Training driver: coarse->fine per-scene optimization.
+
+Behavioral port of run.py:155-492 (``compute_bbox_by_cam_frustrm``,
+``compute_bbox_by_coarse_geo``, ``scene_rep_reconstruction``, ``train``) in a
+jit-first structure: the whole hot step — forward, loss, backward, TV
+gradient injection, MaskedAdam update — is one compiled function over
+(params, opt_state, batch indices); the training-ray pool lives on device and
+batches are gathered there. Progressive scaling and the coarse->fine
+transition change array shapes, so each phase re-jits (a handful of
+compilations per run, amortized over thousands of steps).
+"""
+
+from __future__ import annotations
+
+import copy
+import functools
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import rays as ray_lib
+from ..models.dvgo import DirectVoxGO
+from ..optim import MaskedAdam
+from . import checkpoint as ckpt_lib
+from . import metrics as metrics_lib
+
+
+def compute_bbox_by_cam_frustrm(cfg, HW, Ks, poses, i_train, near, far,
+                                **kwargs):
+    """Union of train-view frustum corners at near/far (run.py:155-173)."""
+    print("compute_bbox_by_cam_frustrm: start")
+    xyz_min = np.full(3, np.inf, np.float32)
+    xyz_max = -xyz_min
+    for (H, W), K, c2w in zip(HW[i_train], Ks[i_train], poses[i_train]):
+        rays_o, rays_d, viewdirs = ray_lib.get_rays_of_a_view(
+            H=H, W=W, K=K, c2w=c2w, ndc=cfg.data.ndc,
+            inverse_y=cfg.data.inverse_y,
+            flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y)
+        if cfg.data.ndc:
+            pts_nf = np.stack([rays_o + rays_d * near, rays_o + rays_d * far])
+        else:
+            pts_nf = np.stack([rays_o + viewdirs * near,
+                               rays_o + viewdirs * far])
+        xyz_min = np.minimum(xyz_min, pts_nf.min(axis=(0, 1, 2)))
+        xyz_max = np.maximum(xyz_max, pts_nf.max(axis=(0, 1, 2)))
+    print("compute_bbox_by_cam_frustrm: xyz_min", xyz_min)
+    print("compute_bbox_by_cam_frustrm: xyz_max", xyz_max)
+    print("compute_bbox_by_cam_frustrm: finish")
+    return xyz_min, xyz_max
+
+
+def compute_bbox_by_coarse_geo(model_class, model_path, thres):
+    """Shrink the fine bbox to the coarse alpha>thres region
+    (run.py:175-196)."""
+    print("compute_bbox_by_coarse_geo: start")
+    t0 = time.time()
+    model = ckpt_lib.load_model(model_class, model_path)
+    alpha = np.asarray(model.activate_density(model.params["density"]))
+    mask = alpha > thres
+    pts = np.asarray(model.grid_points())
+    if not mask.any():
+        xyz_min, xyz_max = np.asarray(model.xyz_min), np.asarray(model.xyz_max)
+    else:
+        active = pts[mask]
+        xyz_min = active.min(0)
+        xyz_max = active.max(0)
+        # Guard against a degenerate (near-zero-extent) bbox when very few
+        # voxels crossed the threshold — pad to at least one voxel per axis.
+        pad = np.maximum(model.voxel_size - (xyz_max - xyz_min), 0.0) / 2
+        xyz_min = xyz_min - pad
+        xyz_max = xyz_max + pad
+    print("compute_bbox_by_coarse_geo: xyz_min", xyz_min)
+    print("compute_bbox_by_coarse_geo: xyz_max", xyz_max)
+    print(f"compute_bbox_by_coarse_geo: finish (eps time: {time.time()-t0} s)")
+    return xyz_min, xyz_max
+
+
+def create_optimizer_or_freeze_model(model, cfg_train):
+    """The ``lrate_<name>`` convention (lib/utils.py:20-48): keys with lr>0
+    become param groups; lr==0 means frozen (excluded from grads)."""
+    group_cfg = {}
+    for k in list(cfg_train.keys()):
+        if not k.startswith("lrate_"):
+            continue
+        name = k[len("lrate_"):]
+        if name not in model.params:
+            continue
+        lr = float(cfg_train[k])
+        if lr > 0:
+            print(f"create_optimizer_or_freeze_model: param {name} lr {lr}")
+            group_cfg[name] = {
+                "lr": lr,
+                "skip_zero_grad": name in cfg_train.get(
+                    "skip_zero_grad_fields", []),
+            }
+        else:
+            print(f"create_optimizer_or_freeze_model: param {name} freeze")
+    decay_steps = cfg_train.lrate_decay * 1000
+    optimizer = MaskedAdam(group_cfg,
+                           lr_decay_factor=0.1 ** (1.0 / decay_steps))
+    return optimizer
+
+
+def make_train_step(model, optimizer, cfg_train, render_kwargs,
+                    apply_tv, tv_dense):
+    """Build the jitted full train step for the current phase.
+
+    ``apply_tv``/``tv_dense`` are baked in statically; the host flips them at
+    the tv_before/tv_after/tv_dense_before boundaries (run.py:389-395), which
+    costs at most a few retraces per stage.
+    """
+    kwargs = {k: render_kwargs[k] for k in ("near", "far", "bg", "stepsize")}
+    w_main = float(cfg_train.weight_main)
+    w_entropy = float(cfg_train.weight_entropy_last)
+    w_rgbper = float(cfg_train.weight_rgbper)
+    w_tv_density = float(cfg_train.weight_tv_density)
+    w_tv_k0 = float(cfg_train.weight_tv_k0)
+    trainable_names = [n for n in optimizer.group_cfg if n in model.params]
+    frozen_names = [n for n in model.params if n not in trainable_names]
+    n_rand = int(cfg_train.N_rand)
+
+    @jax.jit
+    def train_step(params, mask, opt_state, pool, sel):
+        target = jnp.take(pool["rgb"], sel, axis=0)
+        rays_o = jnp.take(pool["rays_o"], sel, axis=0)
+        rays_d = jnp.take(pool["rays_d"], sel, axis=0)
+        viewdirs = jnp.take(pool["viewdirs"], sel, axis=0)
+
+        trainable = {n: params[n] for n in trainable_names}
+        frozen = {n: params[n] for n in frozen_names}
+
+        def loss_fn(trainable):
+            ret = model.forward({**trainable, **frozen}, mask,
+                                rays_o, rays_d, viewdirs, **kwargs)
+            mse = jnp.mean((ret["rgb_marched"] - target) ** 2)
+            loss = w_main * mse
+            if w_entropy > 0:
+                pout = jnp.clip(ret["alphainv_last"], 1e-6, 1 - 1e-6)
+                entropy = -jnp.mean(pout * jnp.log(pout)
+                                    + (1 - pout) * jnp.log(1 - pout))
+                loss = loss + w_entropy * entropy
+            if w_rgbper > 0:
+                rgbper = jnp.sum(
+                    (ret["raw_rgb"] - target[:, None, :]) ** 2, -1)
+                rgbper_loss = jnp.sum(
+                    rgbper * jax.lax.stop_gradient(ret["weights"])) / n_rand
+                loss = loss + w_rgbper * rgbper_loss
+            return loss, mse
+
+        (loss, mse), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+
+        if apply_tv:
+            if w_tv_density > 0 and "density" in grads:
+                grads["density"] = model.density_total_variation_grad(
+                    trainable["density"], grads["density"],
+                    w_tv_density / n_rand, tv_dense)
+            if w_tv_k0 > 0 and "k0" in grads:
+                grads["k0"] = model.k0_total_variation_grad(
+                    trainable["k0"], grads["k0"],
+                    w_tv_k0 / n_rand, tv_dense)
+
+        new_trainable, new_opt_state = optimizer.update(
+            trainable, grads, opt_state)
+        new_params = {**params, **new_trainable}
+        psnr = -10.0 * jnp.log10(mse)
+        return new_params, new_opt_state, loss, psnr
+
+    return train_step
+
+
+def gather_training_rays(model, cfg, cfg_train, data_dict, render_kwargs):
+    """Assemble the training ray pool per the configured sampler
+    (run.py:278-308)."""
+    images = data_dict["images"]
+    HW, Ks, poses = data_dict["HW"], data_dict["Ks"], data_dict["poses"]
+    i_train = data_dict["i_train"]
+    if data_dict["irregular_shape"]:
+        rgb_tr_ori = [np.asarray(images[i], np.float32) for i in i_train]
+    else:
+        rgb_tr_ori = np.asarray(images, np.float32)[i_train]
+
+    sampler = cfg_train.ray_sampler
+    if sampler == "in_maskcache":
+        rgb_tr, rays_o_tr, rays_d_tr, viewdirs_tr, imsz = \
+            ray_lib.get_training_rays_in_maskcache_sampling(
+                rgb_tr_ori=rgb_tr_ori, train_poses=poses[i_train],
+                HW=HW[i_train], Ks=Ks[i_train], ndc=cfg.data.ndc,
+                inverse_y=cfg.data.inverse_y,
+                flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
+                model=model, render_kwargs=render_kwargs)
+        if len(rgb_tr) == 0:
+            # Coarse geometry below mask_cache_thres everywhere (e.g. a very
+            # short coarse stage) would starve training; fall back to the
+            # full-ray pool rather than crashing.
+            print("gather_training_rays: in_maskcache pool empty, "
+                  "falling back to 'flatten'")
+            sampler = "flatten"
+    if sampler == "flatten":
+        rgb_tr, rays_o_tr, rays_d_tr, viewdirs_tr, imsz = \
+            ray_lib.get_training_rays_flatten(
+                rgb_tr_ori=rgb_tr_ori, train_poses=poses[i_train],
+                HW=HW[i_train], Ks=Ks[i_train], ndc=cfg.data.ndc,
+                inverse_y=cfg.data.inverse_y,
+                flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y)
+    elif sampler == "random":
+        rgb_tr, rays_o_tr, rays_d_tr, viewdirs_tr, imsz = \
+            ray_lib.get_training_rays(
+                rgb_tr=rgb_tr_ori, train_poses=poses[i_train],
+                HW=HW[i_train], Ks=Ks[i_train], ndc=cfg.data.ndc,
+                inverse_y=cfg.data.inverse_y,
+                flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y)
+    return rgb_tr, rays_o_tr, rays_d_tr, viewdirs_tr, imsz
+
+
+def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
+                             xyz_max, data_dict, stage,
+                             coarse_ckpt_path=None):
+    """One optimization stage (run.py:199-437)."""
+    if stage == "fine" and not cfg.fine_model_and_render.get(
+            "use_coarse_geo", True):
+        coarse_ckpt_path = None
+    if abs(cfg_model.world_bound_scale - 1) > 1e-9:
+        xyz_shift = (xyz_max - xyz_min) * (cfg_model.world_bound_scale - 1) / 2
+        xyz_min = xyz_min - xyz_shift
+        xyz_max = xyz_max + xyz_shift
+    near, far = data_dict["near"], data_dict["far"]
+    poses, i_train = data_dict["poses"], data_dict["i_train"]
+
+    last_ckpt_path = os.path.join(cfg.basedir, cfg.expname,
+                                  f"{stage}_last.tar")
+    if args.no_reload:
+        reload_ckpt_path = None
+    elif getattr(args, "ft_path", ""):
+        reload_ckpt_path = args.ft_path
+    elif os.path.isfile(last_ckpt_path):
+        reload_ckpt_path = last_ckpt_path
+    else:
+        reload_ckpt_path = None
+
+    model_class = _model_class_for(cfg)
+    if reload_ckpt_path is None:
+        print(f"scene_rep_reconstruction ({stage}): train from scratch")
+        start = 0
+        model_kwargs = copy.deepcopy(dict(cfg_model))
+        num_voxels = model_kwargs.pop("num_voxels")
+        if len(cfg_train.pg_scale):
+            num_voxels = int(num_voxels / (2 ** len(cfg_train.pg_scale)))
+        model = model_class(
+            xyz_min=xyz_min, xyz_max=xyz_max, num_voxels=num_voxels,
+            mask_cache_path=coarse_ckpt_path, **model_kwargs)
+        if not cfg.data.ndc and cfg_model.maskout_near_cam_vox:
+            model.maskout_near_cam_vox(poses[i_train, :3, 3], near)
+        optimizer = create_optimizer_or_freeze_model(model, cfg_train)
+        opt_state = optimizer.init(model.params)
+    else:
+        print(f"scene_rep_reconstruction ({stage}): reload from "
+              f"{reload_ckpt_path}")
+        st = ckpt_lib.load_checkpoint_file(reload_ckpt_path)
+        model = model_class(**st["model_kwargs"])
+        ckpt_lib.load_model_state(model, st["model_state_dict"])
+        optimizer = create_optimizer_or_freeze_model(model, cfg_train)
+        opt_state = optimizer.init(model.params)
+        start = int(st["global_step"])
+        if not args.no_reload_optimizer and st.get("optimizer_state_dict"):
+            opt_state = jax.tree_util.tree_map(
+                lambda x: None if x is None else jnp.asarray(x),
+                st["optimizer_state_dict"], is_leaf=lambda x: x is None)
+
+    render_kwargs = {
+        "near": float(near), "far": float(far),
+        "bg": 1 if cfg.data.white_bkgd else 0,
+        "stepsize": cfg_model.stepsize,
+        "inverse_y": cfg.data.inverse_y,
+        "flip_x": cfg.data.flip_x, "flip_y": cfg.data.flip_y,
+    }
+
+    rgb_tr, rays_o_tr, rays_d_tr, viewdirs_tr, imsz = gather_training_rays(
+        model, cfg, cfg_train, data_dict, render_kwargs)
+
+    # Device-resident ray pool (flat [N, 3] each); batches are gathered on
+    # device by index, so the per-step host->device transfer is just the
+    # int32 index vector. (This is the TPU counterpart of the reference's
+    # load2gpu_on_the_fly choice, configs/default.py:19.)
+    pool = {
+        "rgb": jnp.asarray(np.asarray(rgb_tr, np.float32).reshape(-1, 3)),
+        "rays_o": jnp.asarray(np.asarray(rays_o_tr).reshape(-1, 3)),
+        "rays_d": jnp.asarray(np.asarray(rays_d_tr).reshape(-1, 3)),
+        "viewdirs": jnp.asarray(np.asarray(viewdirs_tr).reshape(-1, 3)),
+    }
+    n_pool = pool["rgb"].shape[0]
+    rng = np.random.default_rng(getattr(args, "seed", 777))
+    if cfg_train.ray_sampler in ("flatten", "in_maskcache") \
+            and n_pool >= cfg_train.N_rand:
+        index_gen = ray_lib.batch_indices_generator(
+            n_pool, cfg_train.N_rand, rng=rng)
+        next_batch = lambda: np.asarray(next(index_gen))  # noqa: E731
+    else:
+        next_batch = lambda: rng.integers(  # noqa: E731
+            0, n_pool, cfg_train.N_rand)
+
+    # View-count-based per-voxel lr (run.py:311-320).
+    if cfg_train.pervoxel_lr:
+        cnt = model.voxel_count_views(
+            rays_o_tr=rays_o_tr, rays_d_tr=rays_d_tr, imsz=imsz,
+            near=near, far=far, stepsize=cfg_model.stepsize,
+            downrate=cfg_train.pervoxel_lr_downrate,
+            irregular_shape=data_dict["irregular_shape"])
+        opt_state = MaskedAdam.set_pervoxel_lr(opt_state, cnt)
+        model.params["density"] = jnp.where(
+            cnt <= 2, -100.0, model.params["density"])
+
+    psnr_lst = []
+    time0 = time.time()
+    global_step = -1
+    train_step = None
+    tv_state = None
+
+    for global_step in range(1 + start, 1 + cfg_train.N_iters):
+        # Occupancy cache renewal (run.py:330-332).
+        if (global_step + 500) % 1000 == 0:
+            model.update_occupancy_cache()
+
+        # Progressive scaling (run.py:335-345).
+        if global_step in list(cfg_train.pg_scale):
+            n_rest_scales = len(cfg_train.pg_scale) \
+                - list(cfg_train.pg_scale).index(global_step) - 1
+            cur_voxels = int(cfg_model.num_voxels / (2 ** n_rest_scales))
+            model.scale_volume_grid(cur_voxels)
+            optimizer = create_optimizer_or_freeze_model(model, cfg_train)
+            opt_state = optimizer.init(model.params)
+            model.params["density"] = model.params["density"] - 1
+            train_step = None  # shapes changed -> re-jit
+
+        apply_tv = (global_step < cfg_train.tv_before
+                    and global_step > cfg_train.tv_after
+                    and global_step % cfg_train.tv_every == 0
+                    and (cfg_train.weight_tv_density > 0
+                         or cfg_train.weight_tv_k0 > 0))
+        tv_dense = global_step < cfg_train.tv_dense_before
+        if train_step is None or tv_state != (apply_tv, tv_dense):
+            train_step = make_train_step(model, optimizer, cfg_train,
+                                         render_kwargs, apply_tv, tv_dense)
+            tv_state = (apply_tv, tv_dense)
+
+        sel = jnp.asarray(next_batch(), jnp.int32)
+        model.params, opt_state, loss, psnr = train_step(
+            model.params, model.mask, opt_state, pool, sel)
+        psnr_lst.append(psnr)
+
+        if global_step % args.i_print == 0:
+            eps_time = time.time() - time0
+            eps_str = (f"{eps_time//3600:02.0f}:{eps_time//60%60:02.0f}:"
+                       f"{eps_time%60:02.0f}")
+            psnr_avg = float(np.mean([float(p) for p in psnr_lst]))
+            print(f"scene_rep_reconstruction ({stage}): iter "
+                  f"{global_step:6d} / Loss: {float(loss):.9f} / "
+                  f"PSNR: {psnr_avg:5.2f} / Eps: {eps_str}")
+            psnr_lst = []
+
+        if global_step % args.i_weights == 0:
+            path = os.path.join(cfg.basedir, cfg.expname,
+                                f"{stage}_{global_step:06d}.tar")
+            ckpt_lib.save_model_checkpoint(path, model, global_step,
+                                           opt_state)
+
+    if global_step != -1:
+        ckpt_lib.save_model_checkpoint(last_ckpt_path, model, global_step,
+                                       opt_state)
+    return model
+
+
+def _model_class_for(cfg):
+    if cfg.data.ndc:
+        from ..models.dmpigo import DirectMPIGO
+        return DirectMPIGO
+    return DirectVoxGO
+
+
+def train(args, cfg, data_dict):
+    """Full coarse->fine pipeline (run.py:440-492)."""
+    print("train: start")
+    eps_time = time.time()
+    os.makedirs(os.path.join(cfg.basedir, cfg.expname), exist_ok=True)
+    with open(os.path.join(cfg.basedir, cfg.expname, "args.txt"), "w") as f:
+        for arg in sorted(vars(args)):
+            f.write(f"{arg} = {getattr(args, arg)}\n")
+    cfg.dump(os.path.join(cfg.basedir, cfg.expname, "config.py"))
+
+    # Coarse geometry searching.
+    eps_coarse = time.time()
+    xyz_min_coarse, xyz_max_coarse = compute_bbox_by_cam_frustrm(
+        cfg=cfg, **data_dict)
+    if cfg.coarse_train.N_iters > 0:
+        scene_rep_reconstruction(
+            args=args, cfg=cfg, cfg_model=cfg.coarse_model_and_render,
+            cfg_train=cfg.coarse_train, xyz_min=xyz_min_coarse,
+            xyz_max=xyz_max_coarse, data_dict=data_dict, stage="coarse")
+        eps_coarse = time.time() - eps_coarse
+        print(f"train: coarse geometry searching in {eps_coarse:.1f} s")
+        coarse_ckpt_path = os.path.join(cfg.basedir, cfg.expname,
+                                        "coarse_last.tar")
+    else:
+        print("train: skip coarse geometry searching")
+        coarse_ckpt_path = None
+
+    # Fine detail reconstruction.
+    eps_fine = time.time()
+    if cfg.data.ndc:
+        xyz_min_fine, xyz_max_fine = xyz_min_coarse, xyz_max_coarse
+    elif cfg.fine_model_and_render.get("use_coarse_geo", True) \
+            and coarse_ckpt_path:
+        xyz_min_fine, xyz_max_fine = compute_bbox_by_coarse_geo(
+            model_class=DirectVoxGO, model_path=coarse_ckpt_path,
+            thres=cfg.fine_model_and_render.bbox_thres)
+    else:
+        xyz_min_fine, xyz_max_fine = xyz_min_coarse, xyz_max_coarse
+    model = scene_rep_reconstruction(
+        args=args, cfg=cfg, cfg_model=cfg.fine_model_and_render,
+        cfg_train=cfg.fine_train, xyz_min=xyz_min_fine,
+        xyz_max=xyz_max_fine, data_dict=data_dict, stage="fine",
+        coarse_ckpt_path=coarse_ckpt_path)
+    eps_fine = time.time() - eps_fine
+    print(f"train: fine detail reconstruction in {eps_fine:.1f} s")
+    print(f"train: finish (eps time {time.time()-eps_time:.1f} s)")
+    return model

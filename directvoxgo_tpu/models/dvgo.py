@@ -1,0 +1,452 @@
+"""DirectVoxGO: dense density + color voxel grids with a shallow view MLP.
+
+TPU-native re-design of the reference model (lib/dvgo.py:30-577). The model
+object holds *static* configuration; learnable state lives in a ``params``
+pytree and the occupancy mask in a separate array, so every compute path is a
+pure jittable function. The ragged CUDA hot path becomes:
+
+  1. dense ``[n_rays, n_samples]`` sampling with validity masks
+     (:func:`...ops.raymarch.sample_points_dense`),
+  2. an optional fixed-capacity compaction of occupied samples (replacing the
+     ``mask_cache`` boolean compression, lib/dvgo.py:469-473),
+  3. masked cumprod compositing with early termination
+     (:func:`...ops.raymarch.alpha2weight_dense`),
+  4. a top-k-by-weight compaction before the color query (replacing the two
+     ``fast_color_thres`` compressions, lib/dvgo.py:478-494) so the MLP only
+     runs on samples that matter.
+
+Grid layouts are channels-last ``[X, Y, Z(, C)]``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import grid as grid_ops
+from ..ops import raymarch as rm
+from ..ops.tv import total_variation_add_grad
+from . import mlp as mlp_lib
+
+
+def _round_up(x, m):
+    return ((int(x) + m - 1) // m) * m
+
+
+class DirectVoxGO:
+    """Per-scene voxel-grid radiance field (reference lib/dvgo.py:30-577)."""
+
+    def __init__(self, xyz_min, xyz_max,
+                 num_voxels=0, num_voxels_base=0,
+                 alpha_init=None,
+                 mask_cache_path=None, mask_cache_thres=1e-3,
+                 fast_color_thres=0,
+                 rgbnet_dim=0, rgbnet_direct=False, rgbnet_full_implicit=False,
+                 rgbnet_depth=3, rgbnet_width=128,
+                 viewbase_pe=4, posbase_pe=0,
+                 k_density=None, k_color=64,
+                 seed=0,
+                 **kwargs):
+        self.xyz_min = np.asarray(xyz_min, np.float32)
+        self.xyz_max = np.asarray(xyz_max, np.float32)
+        self.fast_color_thres = float(fast_color_thres)
+        self.posbase_pe = int(posbase_pe)
+
+        # Base grid resolution -> act_shift (lib/dvgo.py:55-62).
+        self.num_voxels_base = num_voxels_base
+        self.voxel_size_base = float(
+            ((self.xyz_max - self.xyz_min).prod() / num_voxels_base) ** (1 / 3))
+        self.alpha_init = alpha_init
+        self.act_shift = float(np.log(1.0 / (1.0 - alpha_init) - 1.0))
+        print("dvgo: set density bias shift to", self.act_shift)
+
+        self._set_grid_resolution(num_voxels)
+
+        # Capacity knobs for the static compactions (new, TPU-specific).
+        self.k_density = k_density
+        self.k_color = int(k_color) if k_color else 0
+
+        key = jax.random.PRNGKey(seed)
+        self.params = {"density": jnp.zeros(self.world_size, jnp.float32)}
+
+        self.rgbnet_kwargs = {
+            "rgbnet_dim": rgbnet_dim, "rgbnet_direct": rgbnet_direct,
+            "rgbnet_full_implicit": rgbnet_full_implicit,
+            "rgbnet_depth": rgbnet_depth, "rgbnet_width": rgbnet_width,
+            "viewbase_pe": viewbase_pe, "posbase_pe": posbase_pe,
+        }
+        self.rgbnet_full_implicit = rgbnet_full_implicit
+        self.rgbnet_direct = rgbnet_direct
+        self.rgbnet_depth = rgbnet_depth
+        self.rgbnet_width = rgbnet_width
+        self.viewbase_pe = viewbase_pe
+        self.rgbnet_dim = rgbnet_dim
+        if rgbnet_dim <= 0:
+            # Coarse stage: k0 is a direct RGB grid, no MLP (lib/dvgo.py:83-87).
+            self.k0_dim = 3
+            self.params["k0"] = jnp.zeros((*self.world_size, self.k0_dim),
+                                          jnp.float32)
+            self.has_rgbnet = False
+        else:
+            # Fine stage: feature grid + shallow MLP (lib/dvgo.py:88-133).
+            self.k0_dim = 0 if rgbnet_full_implicit else rgbnet_dim
+            self.params["k0"] = jnp.zeros((*self.world_size, self.k0_dim),
+                                          jnp.float32)
+            dim0 = 3 + 3 * viewbase_pe * 2
+            if rgbnet_full_implicit:
+                pass
+            elif posbase_pe > 0:
+                dim0 += 3 + 3 * posbase_pe * 2
+            elif rgbnet_direct:
+                dim0 += self.k0_dim
+            else:
+                dim0 += self.k0_dim - 3
+            self.rgbnet_dim0 = dim0
+            self.params["rgbnet"] = mlp_lib.init_mlp(
+                key, dim0, rgbnet_width, rgbnet_depth, 3)
+            self.has_rgbnet = True
+            print("dvgo: feature voxel grid", self.params["k0"].shape)
+
+        # Occupancy mask from a coarse checkpoint, evaluated at this model's
+        # grid points (lib/dvgo.py:135-153). The mask always has the density
+        # grid's shape and this model's bounds.
+        self.mask_cache_path = mask_cache_path
+        self.mask_cache_thres = mask_cache_thres
+        if mask_cache_path:
+            self.mask = self._mask_from_coarse_ckpt(mask_cache_path,
+                                                    mask_cache_thres)
+        else:
+            self.mask = jnp.ones(self.world_size, bool)
+
+    # ------------------------------------------------------------------ setup
+
+    def _set_grid_resolution(self, num_voxels):
+        """Grid resolution from a voxel-count budget (lib/dvgo.py:155-165)."""
+        self.num_voxels = num_voxels
+        self.voxel_size = float(
+            ((self.xyz_max - self.xyz_min).prod() / num_voxels) ** (1 / 3))
+        self.world_size = tuple(
+            int(v) for v in (self.xyz_max - self.xyz_min) / self.voxel_size)
+        self.voxel_size_ratio = self.voxel_size / self.voxel_size_base
+        print("dvgo: world_size      ", self.world_size)
+        print("dvgo: voxel_size_ratio", self.voxel_size_ratio)
+
+    def _mask_from_coarse_ckpt(self, path, thres):
+        """Occupancy from a coarse ckpt: maxpool density -> alpha >= thres,
+        evaluated at this grid's points (lib/dvgo.py:583-593, 139-148)."""
+        from ..engine import checkpoint as ckpt_lib
+        st = ckpt_lib.load_checkpoint_file(path)
+        c_kwargs = st["model_kwargs"]
+        c_density = jnp.asarray(st["model_state_dict"]["density"])
+        pooled = grid_ops.max_pool3d_same(c_density)
+        alpha = rm.raw2alpha(pooled, c_kwargs["act_shift"],
+                             c_kwargs["voxel_size_ratio"])
+        c_mask = alpha >= thres
+        c_min = np.asarray(c_kwargs["xyz_min"], np.float32)
+        c_max = np.asarray(c_kwargs["xyz_max"], np.float32)
+        pts = self.grid_points()
+        return grid_ops.occupancy_lookup(c_mask, pts, c_min, c_max)
+
+    def grid_points(self):
+        """[X, Y, Z, 3] world coords of every voxel center (align-corners)."""
+        xs = np.linspace(self.xyz_min[0], self.xyz_max[0], self.world_size[0])
+        ys = np.linspace(self.xyz_min[1], self.xyz_max[1], self.world_size[1])
+        zs = np.linspace(self.xyz_min[2], self.xyz_max[2], self.world_size[2])
+        return jnp.asarray(np.stack(
+            np.meshgrid(xs, ys, zs, indexing="ij"), -1), jnp.float32)
+
+    def get_kwargs(self):
+        """Self-describing ckpt manifest (lib/dvgo.py:167-184)."""
+        return {
+            "xyz_min": np.asarray(self.xyz_min),
+            "xyz_max": np.asarray(self.xyz_max),
+            "num_voxels": self.num_voxels,
+            "num_voxels_base": self.num_voxels_base,
+            "alpha_init": self.alpha_init,
+            "act_shift": self.act_shift,
+            "voxel_size_ratio": self.voxel_size_ratio,
+            "mask_cache_path": self.mask_cache_path,
+            "mask_cache_thres": self.mask_cache_thres,
+            "fast_color_thres": self.fast_color_thres,
+            "k_density": self.k_density,
+            "k_color": self.k_color,
+            **self.rgbnet_kwargs,
+        }
+
+    # ------------------------------------------------------- state surgery
+
+    def maskout_near_cam_vox(self, cam_o, near):
+        """Set density=-100 for voxels within ``near`` of any camera
+        (lib/dvgo.py:215-226)."""
+        pts = self.grid_points()
+        cam_o = jnp.asarray(cam_o, jnp.float32)
+        d2 = jnp.min(jnp.sum(
+            (pts[..., None, :] - cam_o) ** 2, -1), -1)
+        nearest = jnp.sqrt(d2)
+        self.params["density"] = jnp.where(
+            nearest <= near, -100.0, self.params["density"])
+
+    def scale_volume_grid(self, num_voxels):
+        """Progressive scaling: trilinear-upsample grids, refresh the mask
+        (lib/dvgo.py:228-263)."""
+        print("dvgo: scale_volume_grid start")
+        ori = self.world_size
+        self._set_grid_resolution(num_voxels)
+        print("dvgo: scale_volume_grid from", ori, "to", self.world_size)
+        self.params["density"] = grid_ops.resize_trilinear(
+            self.params["density"], self.world_size)
+        if self.k0_dim > 0:
+            self.params["k0"] = grid_ops.resize_trilinear(
+                self.params["k0"], self.world_size)
+        else:
+            self.params["k0"] = jnp.zeros((*self.world_size, self.k0_dim),
+                                          jnp.float32)
+        self_alpha = grid_ops.max_pool3d_same(self.activate_density(
+            self.params["density"]))
+        mask = self_alpha > self.fast_color_thres
+        if self.mask_cache_path:
+            coarse_mask = self._mask_from_coarse_ckpt(
+                self.mask_cache_path, self.mask_cache_thres)
+            mask = coarse_mask & mask
+        self.mask = mask
+        print("dvgo: scale_volume_grid finish")
+
+    def update_occupancy_cache(self):
+        """Periodic mask renewal: ``mask &= maxpool(alpha) > thres``
+        (run.py:330-332)."""
+        self_alpha = grid_ops.max_pool3d_same(
+            self.activate_density(self.params["density"]))
+        self.mask = self.mask & (self_alpha > self.fast_color_thres)
+
+    def density_total_variation_grad(self, param, grad, weight, dense_mode):
+        """TV gradient with the reference's resolution scaling
+        (lib/dvgo.py:297-300)."""
+        w = weight * max(self.world_size) / 128.0
+        return total_variation_add_grad(param, grad, w, w, w, dense_mode)
+
+    def k0_total_variation_grad(self, param, grad, weight, dense_mode):
+        w = weight * max(self.world_size) / 128.0
+        return total_variation_add_grad(param, grad, w, w, w, dense_mode)
+
+    # ----------------------------------------------------------- sampling
+
+    @property
+    def n_samples_cap(self):
+        """Static per-ray sample capacity (bbox diagonal / stepdist at the
+        default stepsize is set lazily by callers via ``set_sample_cap``)."""
+        return self._n_samples_cap
+
+    def set_sample_cap(self, stepsize):
+        stepdist = stepsize * self.voxel_size
+        self._n_samples_cap = rm.max_samples_for_bbox(
+            self.xyz_min, self.xyz_max, stepdist)
+
+    def activate_density(self, density, interval=None):
+        interval = interval if interval is not None else self.voxel_size_ratio
+        return rm.raw2alpha(density, self.act_shift, interval)
+
+    def grid_sampler(self, xyz, grid):
+        """Trilinear query at world coords (lib/dvgo.py:312-328)."""
+        idx = grid_ops.world_to_grid(xyz, jnp.asarray(self.xyz_min),
+                                     jnp.asarray(self.xyz_max), grid.shape[:3])
+        return grid_ops.trilinear_sample(grid, idx)
+
+    def hit_coarse_geo(self, rays_o, rays_d, near, far, stepsize, **_):
+        """True for rays whose samples hit the cached occupancy
+        (lib/dvgo.py:412-423). Chunked host wrapper around a jitted core."""
+        rays_o = np.asarray(rays_o, np.float32).reshape(-1, 3)
+        rays_d = np.asarray(rays_d, np.float32).reshape(-1, 3)
+        n = rays_o.shape[0]
+        chunk = 8192
+        n_pad = _round_up(max(n, 1), chunk)
+        ro = np.concatenate([rays_o, np.zeros((n_pad - n, 3), np.float32)])
+        rd = np.concatenate([rays_d, np.ones((n_pad - n, 3), np.float32)])
+        outs = []
+        for i in range(0, n_pad, chunk):
+            outs.append(self._hit_coarse_geo_jit(
+                self.mask, ro[i:i + chunk], rd[i:i + chunk],
+                float(near), float(far), float(stepsize)))
+        return np.concatenate([np.asarray(o) for o in outs])[:n]
+
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+    def _hit_coarse_geo_jit(self, mask, rays_o, rays_d, near, far, stepsize):
+        stepdist = stepsize * self.voxel_size
+        n_samples = rm.max_samples_for_bbox(self.xyz_min, self.xyz_max,
+                                            stepdist)
+        pts, valid, _ = rm.sample_points_dense(
+            rays_o, rays_d, jnp.asarray(self.xyz_min),
+            jnp.asarray(self.xyz_max), near, far, stepdist, n_samples)
+        occ = grid_ops.occupancy_lookup(mask, pts, jnp.asarray(self.xyz_min),
+                                        jnp.asarray(self.xyz_max))
+        return jnp.any(occ & valid, axis=-1)
+
+    # ------------------------------------------------------------ forward
+
+    def forward(self, params, mask, rays_o, rays_d, viewdirs,
+                global_step=None, *, near, far, bg, stepsize,
+                render_depth=False, **_):
+        """Volume rendering over a ray batch (lib/dvgo.py:450-577).
+
+        Pure function of (params, mask, rays); returns a dict with
+        ``rgb_marched [N,3]``, ``alphainv_last [N]``, dense per-sample fields
+        ``weights/raw_alpha/raw_rgb`` shaped ``[N, K]``(+channel), and
+        optionally ``depth [N]``.
+        """
+        xyz_min = jnp.asarray(self.xyz_min)
+        xyz_max = jnp.asarray(self.xyz_max)
+        stepdist = stepsize * self.voxel_size
+        interval = stepsize * self.voxel_size_ratio
+        n_cap = rm.max_samples_for_bbox(self.xyz_min, self.xyz_max, stepdist)
+
+        # 1. dense sampling + occupancy (sample_pts_on_rays + mask_cache).
+        pts, valid, step_sl = rm.sample_points_dense(
+            rays_o, rays_d, xyz_min, xyz_max, near, far, stepdist, n_cap)
+        occ = grid_ops.occupancy_lookup(mask, pts, xyz_min, xyz_max) & valid
+        step_f = step_sl.astype(jnp.float32)[None, :] * jnp.ones(
+            (rays_o.shape[0], 1), jnp.float32)
+
+        # 2. fixed-capacity compaction of occupied samples in step order.
+        k_d = self.k_density or n_cap
+        if k_d < n_cap:
+            big = jnp.float32(2 * n_cap)
+            key = jnp.where(occ, step_f, big + step_f)
+            _, pts, occ, step_f = rm.compact_by_key(key, k_d, pts, occ, step_f)
+
+        # 3. density -> alpha -> weights (Raw2Alpha + Alphas2Weights).
+        density = self.grid_sampler(pts, params["density"])
+        alpha = rm.raw2alpha(density, self.act_shift, interval)
+        if self.fast_color_thres > 0:
+            occ = occ & (alpha > self.fast_color_thres)
+        weights, alphainv_last, live = rm.alpha2weight_dense(alpha, occ)
+        if self.fast_color_thres > 0:
+            wmask = weights > self.fast_color_thres
+        else:
+            wmask = live
+        w_eff = jnp.where(wmask, weights, 0.0)
+
+        # 4. top-k-by-weight compaction before the color query.
+        k_c = self.k_color if (self.has_rgbnet and self.k_color) else 0
+        if k_c and k_c < w_eff.shape[-1]:
+            _, w_eff, pts, step_f, alpha, wmask = rm.compact_by_key(
+                -w_eff, k_c, w_eff, pts, step_f, alpha, wmask)
+
+        # 5. color.
+        if not self.rgbnet_full_implicit:
+            k0 = self.grid_sampler(pts, params["k0"])
+        if not self.has_rgbnet:
+            rgb = jax.nn.sigmoid(k0)
+        else:
+            vd_emb = mlp_lib.positional_encoding(viewdirs, self.viewbase_pe)
+            vd_emb = jnp.broadcast_to(vd_emb[:, None, :],
+                                      (*pts.shape[:2], vd_emb.shape[-1]))
+            if self.rgbnet_full_implicit:
+                feat = vd_emb
+            elif self.posbase_pe > 0:
+                pos_emb = mlp_lib.positional_encoding(pts, self.posbase_pe)
+                feat = jnp.concatenate([pos_emb, vd_emb], -1)
+            elif self.rgbnet_direct:
+                feat = jnp.concatenate([k0, vd_emb], -1)
+            else:
+                feat = jnp.concatenate([k0[..., 3:], vd_emb], -1)
+            logit = mlp_lib.mlp_apply(params["rgbnet"], feat)
+            if self.rgbnet_direct or self.rgbnet_full_implicit \
+                    or self.posbase_pe > 0:
+                rgb = jax.nn.sigmoid(logit)
+            else:
+                rgb = jax.nn.sigmoid(logit + k0[..., :3])
+
+        # 6. ray marching (segment_coo -> masked sum over the sample axis).
+        rgb_marched = jnp.sum(w_eff[..., None] * rgb, axis=1) \
+            + alphainv_last[..., None] * bg
+        ret = {
+            "alphainv_last": alphainv_last,
+            "weights": w_eff,
+            "rgb_marched": rgb_marched,
+            "raw_alpha": jnp.where(wmask, alpha, 0.0),
+            "raw_rgb": rgb,
+            "wmask": wmask,
+        }
+        if render_depth:
+            ret["depth"] = jax.lax.stop_gradient(
+                jnp.sum(w_eff * step_f, axis=1))
+        return ret
+
+    def __call__(self, rays_o, rays_d, viewdirs, global_step=None, **kw):
+        """Eager convenience wrapper over :meth:`forward`."""
+        return self.forward(self.params, self.mask,
+                            jnp.asarray(rays_o), jnp.asarray(rays_d),
+                            jnp.asarray(viewdirs), global_step, **kw)
+
+    # ---------------------------------------------------- pervoxel-lr init
+
+    def voxel_count_views(self, rays_o_tr, rays_d_tr, imsz, near, far,
+                          stepsize, downrate=1, irregular_shape=False):
+        """Count, per voxel, how many training views touch it.
+
+        The reference backprops through grid_sample of a ones-grid
+        (lib/dvgo.py:265-295); here we take the VJP of the trilinear sampler,
+        which scatters exactly the same interpolation weights.
+        """
+        print("dvgo: voxel_count_views start")
+        import time as _t
+        t0 = _t.time()
+        count = jnp.zeros(self.world_size, jnp.float32)
+        n_samples = int(np.linalg.norm(np.array(self.world_size) + 1)
+                        / stepsize) + 1
+        rng = np.arange(n_samples, dtype=np.float32)[None]
+
+        @jax.jit
+        def chunk_grad(rays_o, rays_d, ray_w):
+            vec = jnp.where(rays_d == 0, 1e-6, rays_d)
+            rate_a = (jnp.asarray(self.xyz_max) - rays_o) / vec
+            rate_b = (jnp.asarray(self.xyz_min) - rays_o) / vec
+            t_min = jnp.clip(jnp.max(jnp.minimum(rate_a, rate_b), -1),
+                             near, far)
+            step = stepsize * self.voxel_size * jnp.asarray(rng)
+            interpx = t_min[..., None] + step / jnp.linalg.norm(
+                rays_d, axis=-1, keepdims=True)
+            pts = rays_o[..., None, :] + rays_d[..., None, :] \
+                * interpx[..., None]
+
+            def total(ones_grid):
+                # ray_w zeroes padded rays so they don't pollute the count.
+                return jnp.sum(
+                    self.grid_sampler(pts, ones_grid) * ray_w[:, None])
+
+            return jax.grad(total)(jnp.ones(self.world_size, jnp.float32))
+
+        views_o = np.split(np.asarray(rays_o_tr), np.cumsum(imsz)[:-1]) \
+            if not isinstance(rays_o_tr, list) else rays_o_tr
+        views_d = np.split(np.asarray(rays_d_tr), np.cumsum(imsz)[:-1]) \
+            if not isinstance(rays_d_tr, list) else rays_d_tr
+        CHUNK = 10000
+        for ro, rd in zip(views_o, views_d):
+            ro = np.asarray(ro)
+            rd = np.asarray(rd)
+            while ro.ndim > 3:  # split() leaves a leading length-1 dim
+                ro, rd = ro[0], rd[0]
+            if ro.ndim == 3:  # [H, W, 3] image layout
+                ro = ro[::downrate, ::downrate].reshape(-1, 3)
+                rd = rd[::downrate, ::downrate].reshape(-1, 3)
+            else:
+                ro = ro.reshape(-1, 3)
+                rd = rd.reshape(-1, 3)
+            # Per-view grad accumulation over ray chunks, then threshold —
+            # matching ones.grad accumulation in the reference (dvgo.py:281-292).
+            n = ro.shape[0]
+            n_pad = _round_up(max(n, 1), CHUNK)
+            ro = np.concatenate([ro, np.zeros((n_pad - n, 3), np.float32)])
+            rd = np.concatenate([rd, np.ones((n_pad - n, 3), np.float32)])
+            ray_w = np.zeros((n_pad,), np.float32)
+            ray_w[:n] = 1.0
+            g_view = jnp.zeros(self.world_size, jnp.float32)
+            for i in range(0, n_pad, CHUNK):
+                g_view = g_view + chunk_grad(jnp.asarray(ro[i:i + CHUNK]),
+                                             jnp.asarray(rd[i:i + CHUNK]),
+                                             jnp.asarray(ray_w[i:i + CHUNK]))
+            count = count + (g_view > 1).astype(jnp.float32)
+        print(f"dvgo: voxel_count_views finish (eps time: {_t.time()-t0} sec)")
+        return count

@@ -1,0 +1,157 @@
+"""Voxel-grid sampling ops (jnp reference implementations).
+
+These replace the reference's uses of ``F.grid_sample`` (lib/dvgo.py:312-328),
+``maskcache_lookup`` (lib/cuda/render_utils_kernel.cu:290-351),
+``F.max_pool3d`` (lib/dvgo.py:589) and ``F.interpolate(..., trilinear,
+align_corners=True)`` (lib/dvgo.py:228-263).
+
+Grid layout is TPU-idiomatic channels-last ``[X, Y, Z, C]`` (the reference uses
+torch's ``[1, C, X, Y, Z]``); the torch ``grid_sample`` zyx coordinate flip
+(lib/dvgo.py:316) is unnecessary here because we index grids directly in xyz
+order. ``align_corners=True`` semantics: world position ``xyz_min`` maps to
+voxel index 0 and ``xyz_max`` to index ``dim-1``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def world_to_grid(xyz, xyz_min, xyz_max, world_size):
+    """Map world coords [..., 3] to continuous voxel indices (align_corners)."""
+    sizes = jnp.asarray(world_size, dtype=xyz.dtype)
+    unit = (xyz - xyz_min) / (xyz_max - xyz_min)
+    return unit * (sizes - 1.0)
+
+
+def _flat_gather(grid_flat, ix, iy, iz, ny, nz):
+    lin = (ix * ny + iy) * nz + iz
+    return jnp.take(grid_flat, lin, axis=0)
+
+
+def trilinear_sample(grid, idx):
+    """Trilinearly interpolate ``grid`` at continuous voxel indices ``idx``.
+
+    Args:
+      grid: ``[X, Y, Z]`` or ``[X, Y, Z, C]`` array.
+      idx:  ``[..., 3]`` float voxel-space coordinates (0..dim-1 spans the
+            grid; out-of-range coordinates are clamped to the border, which
+            matches torch ``grid_sample(align_corners=True)`` for in-bbox
+            points — callers mask out-of-bbox points separately, mirroring the
+            reference where out-of-bbox samples are filtered before the
+            query, lib/dvgo.py:444-447).
+
+    Returns: ``[...]`` or ``[..., C]`` interpolated values.
+    """
+    squeeze = grid.ndim == 3
+    if squeeze:
+        grid = grid[..., None]
+    nx, ny, nz, nc = grid.shape
+    grid_flat = grid.reshape(nx * ny * nz, nc)
+
+    idx = jnp.clip(idx, 0.0, jnp.asarray([nx - 1, ny - 1, nz - 1], idx.dtype))
+    i0 = jnp.clip(jnp.floor(idx).astype(jnp.int32), 0,
+                  jnp.asarray([max(nx - 2, 0), max(ny - 2, 0), max(nz - 2, 0)]))
+    frac = idx - i0.astype(idx.dtype)
+
+    x0, y0, z0 = i0[..., 0], i0[..., 1], i0[..., 2]
+    x1 = jnp.minimum(x0 + 1, nx - 1)
+    y1 = jnp.minimum(y0 + 1, ny - 1)
+    z1 = jnp.minimum(z0 + 1, nz - 1)
+    fx, fy, fz = frac[..., 0:1], frac[..., 1:2], frac[..., 2:3]
+
+    c000 = _flat_gather(grid_flat, x0, y0, z0, ny, nz)
+    c001 = _flat_gather(grid_flat, x0, y0, z1, ny, nz)
+    c010 = _flat_gather(grid_flat, x0, y1, z0, ny, nz)
+    c011 = _flat_gather(grid_flat, x0, y1, z1, ny, nz)
+    c100 = _flat_gather(grid_flat, x1, y0, z0, ny, nz)
+    c101 = _flat_gather(grid_flat, x1, y0, z1, ny, nz)
+    c110 = _flat_gather(grid_flat, x1, y1, z0, ny, nz)
+    c111 = _flat_gather(grid_flat, x1, y1, z1, ny, nz)
+
+    c00 = c000 * (1 - fz) + c001 * fz
+    c01 = c010 * (1 - fz) + c011 * fz
+    c10 = c100 * (1 - fz) + c101 * fz
+    c11 = c110 * (1 - fz) + c111 * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    out = c0 * (1 - fx) + c1 * fx
+    return out[..., 0] if squeeze else out
+
+
+def occupancy_lookup(mask, xyz, xyz_min, xyz_max):
+    """Nearest-voxel boolean occupancy lookup; out-of-bounds -> False.
+
+    Mirrors ``maskcache_lookup`` (render_utils_kernel.cu:300-319):
+    ``ijk = round(xyz * scale + shift)`` with ``scale=(shape-1)/extent`` and
+    ``shift=-xyz_min*scale`` (lib/dvgo.py:600-602).
+    """
+    shape = jnp.asarray(mask.shape, dtype=xyz.dtype)
+    scale = (shape - 1.0) / (xyz_max - xyz_min)
+    shift = -xyz_min * scale
+    ijk_f = jnp.round(xyz * scale + shift)
+    inb = jnp.all((ijk_f >= 0) & (ijk_f <= shape - 1.0), axis=-1)
+    ijk = jnp.clip(ijk_f, 0, shape - 1.0).astype(jnp.int32)
+    nx, ny, nz = mask.shape
+    lin = (ijk[..., 0] * ny + ijk[..., 1]) * nz + ijk[..., 2]
+    vals = jnp.take(mask.reshape(-1), lin, axis=0)
+    return vals & inb
+
+
+def max_pool3d_same(x):
+    """3x3x3 max pool, stride 1, 'same' padding on a ``[X, Y, Z]`` grid.
+
+    Replaces ``F.max_pool3d(..., kernel_size=3, padding=1, stride=1)``
+    (lib/dvgo.py:256, run.py:331).
+    """
+    neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+    return jax.lax.reduce_window(
+        x, neg_inf, jax.lax.max,
+        window_dimensions=(3, 3, 3), window_strides=(1, 1, 1),
+        padding=((1, 1), (1, 1), (1, 1)))
+
+
+def _interp_matrix(n_new, n_old, dtype=jnp.float32):
+    """[n_new, n_old] linear-interpolation matrix with align_corners=True."""
+    if n_old == 1:
+        return jnp.ones((n_new, 1), dtype)
+    if n_new == 1:
+        w = jnp.zeros((1, n_old), dtype)
+        return w.at[0, 0].set(1.0)
+    pos = jnp.arange(n_new, dtype=dtype) * ((n_old - 1) / (n_new - 1))
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_old - 2)
+    frac = pos - lo.astype(dtype)
+    rows = jnp.arange(n_new)
+    w = jnp.zeros((n_new, n_old), dtype)
+    w = w.at[rows, lo].add(1.0 - frac)
+    w = w.at[rows, lo + 1].add(frac)
+    return w
+
+
+def resize_trilinear(grid, new_size):
+    """Trilinear resize with align_corners=True via separable 1D matmuls.
+
+    Replaces ``F.interpolate(grid, size, mode='trilinear',
+    align_corners=True)`` used by progressive scaling (lib/dvgo.py:235-239).
+    Separable interpolation as three dense matmuls keeps the op on the MXU.
+
+    Args:
+      grid: ``[X, Y, Z]`` or ``[X, Y, Z, C]``.
+      new_size: (X', Y', Z').
+    """
+    squeeze = grid.ndim == 3
+    if squeeze:
+        grid = grid[..., None]
+    nx, ny, nz, nc = grid.shape
+    mx = _interp_matrix(new_size[0], nx, grid.dtype)
+    my = _interp_matrix(new_size[1], ny, grid.dtype)
+    mz = _interp_matrix(new_size[2], nz, grid.dtype)
+    # HIGHEST precision: the default matmul precision truncates to bf16 on
+    # the MXU, which would corrupt the grids at every progressive-scaling
+    # step; this op runs a handful of times per stage, so exactness wins.
+    hi = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("ax,xyzc->ayzc", mx, grid, precision=hi)
+    out = jnp.einsum("by,ayzc->abzc", my, out, precision=hi)
+    out = jnp.einsum("cz,abzd->abcd", mz, out, precision=hi)
+    return out[..., 0] if squeeze else out

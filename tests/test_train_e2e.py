@@ -1,0 +1,125 @@
+"""End-to-end: coarse->fine training on the procedural fixture must learn the
+scene (PSNR rises well above the untrained baseline), checkpoints must
+round-trip, and rendering must work — the golden-file-style acceptance from
+SURVEY.md §4."""
+
+import os
+import types
+
+import numpy as np
+import pytest
+
+from directvoxgo_tpu.config import Config
+from directvoxgo_tpu.data.synthetic import make_synthetic_dataset
+from directvoxgo_tpu.engine import checkpoint as ckpt_lib
+from directvoxgo_tpu.engine import train as train_lib
+from directvoxgo_tpu.engine.render import render_viewpoints
+from directvoxgo_tpu.models.dvgo import DirectVoxGO
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def tiny_cfg(basedir, n_coarse=150, n_fine=150):
+    cfg = Config.fromfile(os.path.join(REPO, "configs", "default.py"))
+    cfg.expname = "tiny_e2e"
+    cfg.basedir = str(basedir)
+    cfg.data.dataset_type = "synthetic_fixture"
+    cfg.data.white_bkgd = True
+    cfg.coarse_train.N_iters = n_coarse
+    cfg.coarse_train.N_rand = 512
+    cfg.coarse_train.lrate_density = 0.3
+    cfg.fine_train.N_iters = n_fine
+    cfg.fine_train.N_rand = 512
+    cfg.fine_train.pg_scale = [n_fine // 2]
+    cfg.coarse_model_and_render.num_voxels = 24 ** 3
+    cfg.coarse_model_and_render.num_voxels_base = 24 ** 3
+    cfg.fine_model_and_render.num_voxels = 32 ** 3
+    cfg.fine_model_and_render.num_voxels_base = 32 ** 3
+    cfg.fine_model_and_render.rgbnet_dim = 6
+    cfg.fine_model_and_render.rgbnet_width = 32
+    cfg.fine_model_and_render.k_density = 64
+    cfg.fine_model_and_render.k_color = 32
+    return cfg
+
+
+def make_args(**kw):
+    base = dict(seed=777, no_reload=False, no_reload_optimizer=False,
+                ft_path="", i_print=50, i_weights=100000)
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    basedir = tmp_path_factory.mktemp("logs")
+    cfg = tiny_cfg(basedir)
+    data_dict = make_synthetic_dataset(n_train=10, n_val=1, n_test=2,
+                                       H=40, W=40)
+    args = make_args()
+    train_lib.train(args, cfg, data_dict)
+    return cfg, data_dict
+
+
+class TestEndToEnd:
+    def test_checkpoints_written(self, trained):
+        cfg, _ = trained
+        logdir = os.path.join(cfg.basedir, cfg.expname)
+        assert os.path.isfile(os.path.join(logdir, "coarse_last.tar"))
+        assert os.path.isfile(os.path.join(logdir, "fine_last.tar"))
+        assert os.path.isfile(os.path.join(logdir, "config.py"))
+        assert os.path.isfile(os.path.join(logdir, "args.txt"))
+
+    def test_learned_scene_beats_untrained(self, trained):
+        cfg, data_dict = trained
+        ckpt = os.path.join(cfg.basedir, cfg.expname, "fine_last.tar")
+        model = ckpt_lib.load_model(DirectVoxGO, ckpt)
+        render_kwargs = {
+            "near": data_dict["near"], "far": data_dict["far"],
+            "bg": 1, "stepsize": cfg.fine_model_and_render.stepsize,
+            "inverse_y": False, "render_depth": True,
+        }
+        i_test = data_dict["i_test"]
+        rgbs, depths, stats = render_viewpoints(
+            model=model,
+            render_poses=data_dict["poses"][i_test],
+            HW=data_dict["HW"][i_test], Ks=data_dict["Ks"][i_test],
+            ndc=False, render_kwargs=render_kwargs,
+            gt_imgs=[data_dict["images"][i] for i in i_test],
+            chunk=2048, verbose=False)
+        psnr = float(np.mean(stats["psnr"]))
+        # Untrained/empty renders of this fixture sit around 10-13 dB
+        # (white frame vs blobs); a short training run must clearly learn.
+        assert psnr > 18.0, f"fine-stage PSNR too low: {psnr}"
+        assert rgbs.shape == (len(i_test), 40, 40, 3)
+        assert np.isfinite(depths).all()
+
+    def test_checkpoint_roundtrip_render_identical(self, trained):
+        cfg, data_dict = trained
+        ckpt = os.path.join(cfg.basedir, cfg.expname, "fine_last.tar")
+        m1 = ckpt_lib.load_model(DirectVoxGO, ckpt)
+        m2 = ckpt_lib.load_model(DirectVoxGO, ckpt)
+        np.testing.assert_array_equal(np.asarray(m1.params["density"]),
+                                      np.asarray(m2.params["density"]))
+        rk = dict(near=data_dict["near"], far=data_dict["far"], bg=1.0,
+                  stepsize=0.5)
+        o = np.tile([[0.0, 0, 3.5]], (32, 1)).astype(np.float32)
+        d = np.tile([[0.0, 0, -1.0]], (32, 1)).astype(np.float32)
+        r1 = m1(o, d, d, **rk)["rgb_marched"]
+        r2 = m2(o, d, d, **rk)["rgb_marched"]
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+    def test_resume_continues_from_checkpoint(self, trained, capsys):
+        cfg, data_dict = trained
+        # Re-entering the fine stage with the same N_iters is a no-op resume:
+        # it must load the checkpoint and skip training.
+        args = make_args()
+        xyz_min, xyz_max = train_lib.compute_bbox_by_cam_frustrm(
+            cfg=cfg, **data_dict)
+        model = train_lib.scene_rep_reconstruction(
+            args=args, cfg=cfg, cfg_model=cfg.fine_model_and_render,
+            cfg_train=cfg.fine_train, xyz_min=xyz_min, xyz_max=xyz_max,
+            data_dict=data_dict, stage="fine",
+            coarse_ckpt_path=os.path.join(cfg.basedir, cfg.expname,
+                                          "coarse_last.tar"))
+        out = capsys.readouterr().out
+        assert "reload from" in out
