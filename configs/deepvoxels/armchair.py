@@ -1,0 +1,11 @@
+_base_ = '../default.py'
+
+expname = 'dvgo_armchair'
+basedir = './logs/deepvoxels'
+
+data = {
+    'datadir': './data/deepvoxels/',
+    'dataset_type': 'deepvoxels',
+    'scene': 'armchair',
+    'white_bkgd': True,
+}

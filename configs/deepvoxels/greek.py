@@ -1,0 +1,11 @@
+_base_ = '../default.py'
+
+expname = 'dvgo_greek'
+basedir = './logs/deepvoxels'
+
+data = {
+    'datadir': './data/deepvoxels/',
+    'dataset_type': 'deepvoxels',
+    'scene': 'greek',
+    'white_bkgd': True,
+}

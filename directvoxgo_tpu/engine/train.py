@@ -329,7 +329,10 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             n_rest_scales = len(cfg_train.pg_scale) \
                 - list(cfg_train.pg_scale).index(global_step) - 1
             cur_voxels = int(cfg_model.num_voxels / (2 ** n_rest_scales))
-            model.scale_volume_grid(cur_voxels)
+            if hasattr(model, "mpi_depth"):
+                model.scale_volume_grid(cur_voxels, model.mpi_depth)
+            else:
+                model.scale_volume_grid(cur_voxels)
             optimizer = create_optimizer_or_freeze_model(model, cfg_train)
             opt_state = optimizer.init(model.params)
             model.params["density"] = model.params["density"] - 1

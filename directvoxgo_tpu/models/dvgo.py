@@ -276,18 +276,19 @@ class DirectVoxGO:
         stepdist = stepsize * self.voxel_size
         n_samples = rm.max_samples_for_bbox(self.xyz_min, self.xyz_max,
                                             stepdist)
-        pts, valid, _ = rm.sample_points_dense(
-            rays_o, rays_d, jnp.asarray(self.xyz_min),
-            jnp.asarray(self.xyz_max), near, far, stepdist, n_samples)
-        occ = grid_ops.occupancy_lookup(mask, pts, jnp.asarray(self.xyz_min),
-                                        jnp.asarray(self.xyz_max))
+        bbox_min = tuple(float(v) for v in self.xyz_min)
+        bbox_max = tuple(float(v) for v in self.xyz_max)
+        (px, py, pz), valid, _ = rm.sample_points_dense_parts(
+            rays_o, rays_d, bbox_min, bbox_max, near, far, stepdist,
+            n_samples)
+        occ = grid_ops.occupancy_lookup_parts(mask, px, py, pz,
+                                              bbox_min, bbox_max)
         return jnp.any(occ & valid, axis=-1)
 
     # ------------------------------------------------------------ forward
 
     def forward(self, params, mask, rays_o, rays_d, viewdirs,
-                global_step=None, *, near, far, bg, stepsize,
-                render_depth=False, **_):
+                global_step=None, **render_kwargs):
         """Volume rendering over a ray batch (lib/dvgo.py:450-577).
 
         Pure function of (params, mask, rays); returns a dict with
@@ -295,28 +296,45 @@ class DirectVoxGO:
         ``weights/raw_alpha/raw_rgb`` shaped ``[N, K]``(+channel), and
         optionally ``depth [N]``.
         """
-        xyz_min = jnp.asarray(self.xyz_min)
-        xyz_max = jnp.asarray(self.xyz_max)
+        return self._render_rays(
+            params["density"], params.get("k0"), params.get("rgbnet"),
+            mask, rays_o, rays_d, viewdirs, **render_kwargs)
+
+    def _render_rays(self, density_grid, k0_grid, rgbnet_params, mask,
+                     rays_o, rays_d, viewdirs, *, near, far, bg, stepsize,
+                     render_depth=False, **_):
+        """Core render path over explicit grids (shared with the multiscene
+        variant, which selects per-scene grids first).
+
+        Coordinates are carried as (x, y, z) component tensors [N, S] — the
+        packed [N, S, 3] layout maps xyz onto the 128-lane minor axis and is
+        ~3 orders of magnitude slower on the TPU vector unit.
+        """
+        bbox_min = tuple(float(v) for v in self.xyz_min)
+        bbox_max = tuple(float(v) for v in self.xyz_max)
         stepdist = stepsize * self.voxel_size
         interval = stepsize * self.voxel_size_ratio
         n_cap = rm.max_samples_for_bbox(self.xyz_min, self.xyz_max, stepdist)
 
         # 1. dense sampling + occupancy (sample_pts_on_rays + mask_cache).
-        pts, valid, step_sl = rm.sample_points_dense(
-            rays_o, rays_d, xyz_min, xyz_max, near, far, stepdist, n_cap)
-        occ = grid_ops.occupancy_lookup(mask, pts, xyz_min, xyz_max) & valid
-        step_f = step_sl.astype(jnp.float32)[None, :] * jnp.ones(
-            (rays_o.shape[0], 1), jnp.float32)
+        (px, py, pz), valid, step_sl = rm.sample_points_dense_parts(
+            rays_o, rays_d, bbox_min, bbox_max, near, far, stepdist, n_cap)
+        occ = grid_ops.occupancy_lookup_parts(
+            mask, px, py, pz, bbox_min, bbox_max) & valid
+        step_f = jnp.broadcast_to(step_sl.astype(jnp.float32)[None, :],
+                                  px.shape)
 
         # 2. fixed-capacity compaction of occupied samples in step order.
         k_d = self.k_density or n_cap
         if k_d < n_cap:
             big = jnp.float32(2 * n_cap)
             key = jnp.where(occ, step_f, big + step_f)
-            _, pts, occ, step_f = rm.compact_by_key(key, k_d, pts, occ, step_f)
+            _, px, py, pz, occ, step_f = rm.compact_by_key(
+                key, k_d, px, py, pz, occ, step_f)
 
         # 3. density -> alpha -> weights (Raw2Alpha + Alphas2Weights).
-        density = self.grid_sampler(pts, params["density"])
+        density = grid_ops.trilinear_sample_world(
+            density_grid, px, py, pz, bbox_min, bbox_max)
         alpha = rm.raw2alpha(density, self.act_shift, interval)
         if self.fast_color_thres > 0:
             occ = occ & (alpha > self.fast_color_thres)
@@ -330,28 +348,30 @@ class DirectVoxGO:
         # 4. top-k-by-weight compaction before the color query.
         k_c = self.k_color if (self.has_rgbnet and self.k_color) else 0
         if k_c and k_c < w_eff.shape[-1]:
-            _, w_eff, pts, step_f, alpha, wmask = rm.compact_by_key(
-                -w_eff, k_c, w_eff, pts, step_f, alpha, wmask)
+            _, w_eff, px, py, pz, step_f, alpha, wmask = rm.compact_by_key(
+                -w_eff, k_c, w_eff, px, py, pz, step_f, alpha, wmask)
 
         # 5. color.
         if not self.rgbnet_full_implicit:
-            k0 = self.grid_sampler(pts, params["k0"])
+            k0 = grid_ops.trilinear_sample_world(
+                k0_grid, px, py, pz, bbox_min, bbox_max)
         if not self.has_rgbnet:
             rgb = jax.nn.sigmoid(k0)
         else:
             vd_emb = mlp_lib.positional_encoding(viewdirs, self.viewbase_pe)
             vd_emb = jnp.broadcast_to(vd_emb[:, None, :],
-                                      (*pts.shape[:2], vd_emb.shape[-1]))
+                                      (*px.shape, vd_emb.shape[-1]))
             if self.rgbnet_full_implicit:
                 feat = vd_emb
             elif self.posbase_pe > 0:
+                pts = jnp.stack([px, py, pz], -1)
                 pos_emb = mlp_lib.positional_encoding(pts, self.posbase_pe)
                 feat = jnp.concatenate([pos_emb, vd_emb], -1)
             elif self.rgbnet_direct:
                 feat = jnp.concatenate([k0, vd_emb], -1)
             else:
                 feat = jnp.concatenate([k0[..., 3:], vd_emb], -1)
-            logit = mlp_lib.mlp_apply(params["rgbnet"], feat)
+            logit = mlp_lib.mlp_apply(rgbnet_params, feat)
             if self.rgbnet_direct or self.rgbnet_full_implicit \
                     or self.posbase_pe > 0:
                 rgb = jax.nn.sigmoid(logit)

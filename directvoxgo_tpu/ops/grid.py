@@ -17,6 +17,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# TPU layout note: the vector unit is 8x128 lanes with the LAST dim mapped to
+# lanes. Arithmetic on `[..., 3]` tensors (xyz packed in the minor dim) uses
+# 3 of 128 lanes and forces relayouts around gathers — measured 1600x slower
+# than the same math done per-component on `[..., S]` tensors. Hence every
+# hot-path op below has a *component* form taking (x, y, z) separately with
+# the bbox as static python floats; the packed `[..., 3]` wrappers remain for
+# cold paths and tests.
+
 
 def world_to_grid(xyz, xyz_min, xyz_max, world_size):
     """Map world coords [..., 3] to continuous voxel indices (align_corners)."""
@@ -28,6 +36,84 @@ def world_to_grid(xyz, xyz_min, xyz_max, world_size):
 def _flat_gather(grid_flat, ix, iy, iz, ny, nz):
     lin = (ix * ny + iy) * nz + iz
     return jnp.take(grid_flat, lin, axis=0)
+
+
+def trilinear_sample_parts(grid, ix, iy, iz):
+    """Trilinear interpolation, component form (hot path).
+
+    Args:
+      grid: ``[X, Y, Z]`` or ``[X, Y, Z, C]``.
+      ix, iy, iz: continuous voxel coordinates, any (matching) batch shape.
+
+    Returns ``[...]`` or ``[..., C]``.
+    """
+    squeeze = grid.ndim == 3
+    if squeeze:
+        grid = grid[..., None]
+    nx, ny, nz, nc = grid.shape
+    grid_flat = grid.reshape(nx * ny * nz, nc)
+
+    ix = jnp.clip(ix, 0.0, nx - 1.0)
+    iy = jnp.clip(iy, 0.0, ny - 1.0)
+    iz = jnp.clip(iz, 0.0, nz - 1.0)
+    x0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, max(nx - 2, 0))
+    y0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, max(ny - 2, 0))
+    z0 = jnp.clip(jnp.floor(iz).astype(jnp.int32), 0, max(nz - 2, 0))
+    fx, fy, fz = ix - x0, iy - y0, iz - z0
+    x1 = jnp.minimum(x0 + 1, nx - 1)
+    y1 = jnp.minimum(y0 + 1, ny - 1)
+    z1 = jnp.minimum(z0 + 1, nz - 1)
+
+    if nc > 1:
+        fx, fy, fz = fx[..., None], fy[..., None], fz[..., None]
+
+    def g(a, b, c):
+        out = _flat_gather(grid_flat, a, b, c, ny, nz)
+        return out if nc > 1 else out[..., 0]
+
+    c00 = g(x0, y0, z0) * (1 - fz) + g(x0, y0, z1) * fz
+    c01 = g(x0, y1, z0) * (1 - fz) + g(x0, y1, z1) * fz
+    c10 = g(x1, y0, z0) * (1 - fz) + g(x1, y0, z1) * fz
+    c11 = g(x1, y1, z0) * (1 - fz) + g(x1, y1, z1) * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fx) + c1 * fx
+
+
+def world_to_grid_parts(x, y, z, xyz_min, xyz_max, world_size):
+    """Component world->voxel mapping with static (python float) bbox."""
+    out = []
+    for v, lo, hi, n in zip((x, y, z), xyz_min, xyz_max, world_size):
+        s = (float(n) - 1.0) / (float(hi) - float(lo))
+        out.append((v - float(lo)) * s)
+    return tuple(out)
+
+
+def trilinear_sample_world(grid, x, y, z, xyz_min, xyz_max):
+    """World-space trilinear query, component form (hot path)."""
+    ix, iy, iz = world_to_grid_parts(x, y, z, xyz_min, xyz_max,
+                                     grid.shape[:3])
+    return trilinear_sample_parts(grid, ix, iy, iz)
+
+
+def occupancy_lookup_parts(mask, x, y, z, xyz_min, xyz_max):
+    """Nearest-voxel occupancy lookup, component form (hot path).
+
+    ``xyz_min``/``xyz_max`` must be static python sequences; out-of-bounds
+    points return False (render_utils_kernel.cu:300-319 semantics).
+    """
+    nx, ny, nz = mask.shape
+    comps = []
+    inb = None
+    for v, lo, hi, n in zip((x, y, z), xyz_min, xyz_max, (nx, ny, nz)):
+        s = (n - 1.0) / (float(hi) - float(lo))
+        idx = jnp.round((v - float(lo)) * s)
+        ok = (idx >= 0) & (idx <= n - 1)
+        inb = ok if inb is None else (inb & ok)
+        comps.append(jnp.clip(idx, 0, n - 1).astype(jnp.int32))
+    xi, yi, zi = comps
+    lin = (xi * ny + yi) * nz + zi
+    return jnp.take(mask.reshape(-1), lin, axis=0) & inb
 
 
 def trilinear_sample(grid, idx):
@@ -85,18 +171,14 @@ def occupancy_lookup(mask, xyz, xyz_min, xyz_max):
 
     Mirrors ``maskcache_lookup`` (render_utils_kernel.cu:300-319):
     ``ijk = round(xyz * scale + shift)`` with ``scale=(shape-1)/extent`` and
-    ``shift=-xyz_min*scale`` (lib/dvgo.py:600-602).
+    ``shift=-xyz_min*scale`` (lib/dvgo.py:600-602). Packed-[...,3] wrapper
+    over :func:`occupancy_lookup_parts`; requires a concrete bbox.
     """
-    shape = jnp.asarray(mask.shape, dtype=xyz.dtype)
-    scale = (shape - 1.0) / (xyz_max - xyz_min)
-    shift = -xyz_min * scale
-    ijk_f = jnp.round(xyz * scale + shift)
-    inb = jnp.all((ijk_f >= 0) & (ijk_f <= shape - 1.0), axis=-1)
-    ijk = jnp.clip(ijk_f, 0, shape - 1.0).astype(jnp.int32)
-    nx, ny, nz = mask.shape
-    lin = (ijk[..., 0] * ny + ijk[..., 1]) * nz + ijk[..., 2]
-    vals = jnp.take(mask.reshape(-1), lin, axis=0)
-    return vals & inb
+    import numpy as np
+    mn = tuple(float(v) for v in np.asarray(xyz_min))
+    mx = tuple(float(v) for v in np.asarray(xyz_max))
+    return occupancy_lookup_parts(mask, xyz[..., 0], xyz[..., 1],
+                                  xyz[..., 2], mn, mx)
 
 
 def max_pool3d_same(x):

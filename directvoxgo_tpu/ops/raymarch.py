@@ -41,6 +41,50 @@ def ray_aabb_tminmax(rays_o, rays_d, xyz_min, xyz_max, near, far):
     return t_min, t_max
 
 
+def ray_aabb_tminmax_parts(o, d, xyz_min, xyz_max, near, far):
+    """Component form of :func:`ray_aabb_tminmax` (hot path).
+
+    ``o``/``d`` are 3-tuples of [n_rays] arrays; bbox is static floats.
+    """
+    t_lo, t_hi = None, None
+    for ov, dv, lo, hi in zip(o, d, xyz_min, xyz_max):
+        vec = jnp.where(dv == 0, 1e-6, dv)
+        a = (float(hi) - ov) / vec
+        b = (float(lo) - ov) / vec
+        lo_t = jnp.minimum(a, b)
+        hi_t = jnp.maximum(a, b)
+        t_lo = lo_t if t_lo is None else jnp.maximum(t_lo, lo_t)
+        t_hi = hi_t if t_hi is None else jnp.minimum(t_hi, hi_t)
+    return (jnp.clip(t_lo, near, far), jnp.clip(t_hi, near, far))
+
+
+def sample_points_dense_parts(rays_o, rays_d, xyz_min, xyz_max, near, far,
+                              stepdist, n_samples):
+    """Component form of :func:`sample_points_dense` (hot path).
+
+    Returns ((px, py, pz) each [n_rays, n_samples], valid, step_id[S]).
+    """
+    o = tuple(rays_o[:, i] for i in range(3))
+    d = tuple(rays_d[:, i] for i in range(3))
+    t_min, t_max = ray_aabb_tminmax_parts(o, d, xyz_min, xyz_max, near, far)
+    n_steps = jnp.maximum(jnp.ceil((t_max - t_min) / stepdist), 1.0)
+    rnorm = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+
+    step_id = jnp.arange(n_samples, dtype=jnp.int32)
+    dist = stepdist * step_id.astype(rays_o.dtype)
+    pts = []
+    in_bbox = None
+    for ov, dv, lo, hi in zip(o, d, xyz_min, xyz_max):
+        start = ov + dv * t_min
+        unit = dv / rnorm
+        p = start[:, None] + unit[:, None] * dist[None, :]
+        ok = (p >= float(lo)) & (p <= float(hi))
+        in_bbox = ok if in_bbox is None else (in_bbox & ok)
+        pts.append(p)
+    in_segment = step_id[None, :] < n_steps[:, None]
+    return tuple(pts), in_segment & in_bbox, step_id
+
+
 def max_samples_for_bbox(xyz_min, xyz_max, stepdist):
     """Static per-ray sample capacity: bbox diagonal / step distance.
 
@@ -145,9 +189,11 @@ def compact_by_key(key, k, *arrays, fill_values=None):
     """Gather, per row, the ``k`` entries with the smallest ``key``.
 
     The TPU-native replacement for the reference's dynamic boolean-mask
-    compressions (lib/dvgo.py:469-494): a fixed-capacity selection. Sort keys
-    ascending, keep the first ``k`` columns, and gather the same columns from
-    every array in ``arrays``.
+    compressions (lib/dvgo.py:469-494): a fixed-capacity selection. When all
+    payloads are rank-2 this lowers to a single multi-operand ``lax.sort``
+    (key + payloads co-sorted), which compiles and runs far better on TPU
+    than argsort + batched take_along_axis; higher-rank payloads fall back
+    to the gather path.
 
     Args:
       key: [n_rays, n_samples] float sort key (use ``step + BIG*(~keep)`` to
@@ -155,8 +201,12 @@ def compact_by_key(key, k, *arrays, fill_values=None):
       k: static capacity.
       arrays: arrays shaped [n_rays, n_samples, ...] to gather alongside.
 
-    Returns: (indices [n_rays, k], gathered arrays...).
+    Returns: (sorted_key[:, :k] — callers usually discard, gathered arrays...).
     """
+    if all(a.ndim == 2 for a in arrays):
+        sorted_ops = jax.lax.sort((key, *arrays), dimension=-1, num_keys=1,
+                                  is_stable=True)
+        return tuple(op[:, :k] for op in sorted_ops)
     order = jnp.argsort(key, axis=-1)[:, :k]
     outs = []
     for arr in arrays:
@@ -164,4 +214,4 @@ def compact_by_key(key, k, *arrays, fill_values=None):
         if arr.ndim > 2:
             idx = order.reshape(order.shape + (1,) * (arr.ndim - 2))
         outs.append(jnp.take_along_axis(arr, idx, axis=1))
-    return (order, *outs)
+    return (jnp.take_along_axis(key, order, axis=1), *outs)

@@ -168,12 +168,37 @@ class TestCompact:
 
     def test_multidim_gather(self):
         rng = np.random.default_rng(0)
-        key = jnp.asarray(rng.normal(size=(4, 10)).astype(np.float32))
-        pts = jnp.asarray(rng.normal(size=(4, 10, 3)).astype(np.float32))
-        order, out = compact_by_key(key, 4, pts)
+        key_np = rng.normal(size=(4, 10)).astype(np.float32)
+        pts_np = rng.normal(size=(4, 10, 3)).astype(np.float32)
+        _, out = compact_by_key(jnp.asarray(key_np), 4, jnp.asarray(pts_np))
         for r in range(4):
-            np.testing.assert_allclose(np.asarray(out[r]),
-                                       np.asarray(pts[r])[np.asarray(order[r])])
+            order = np.argsort(key_np[r])[:4]
+            np.testing.assert_allclose(np.asarray(out[r]), pts_np[r][order])
+
+    def test_rank2_payloads_match_fallback(self):
+        rng = np.random.default_rng(1)
+        key_np = rng.normal(size=(8, 20)).astype(np.float32)
+        a_np = rng.normal(size=(8, 20)).astype(np.float32)
+        b_np = (rng.uniform(size=(8, 20)) > 0.5)
+        sk, a_out, b_out = compact_by_key(
+            jnp.asarray(key_np), 5, jnp.asarray(a_np), jnp.asarray(b_np))
+        for r in range(8):
+            order = np.argsort(key_np[r], kind="stable")[:5]
+            np.testing.assert_allclose(np.asarray(a_out[r]), a_np[r][order])
+            np.testing.assert_array_equal(np.asarray(b_out[r]),
+                                          b_np[r][order])
+
+    def test_rank2_sort_is_differentiable(self):
+        key = jnp.asarray([[3.0, 1.0, 2.0]])
+        vals = jnp.asarray([[10.0, 20.0, 30.0]])
+
+        def f(v):
+            _, out = compact_by_key(key, 2, v)
+            return jnp.sum(out * jnp.asarray([1.0, 10.0]))
+
+        g = jax.grad(f)(vals)
+        # kept order: keys (1,2) -> vals (20, 30) with factors (1, 10)
+        np.testing.assert_allclose(np.asarray(g), [[0.0, 1.0, 10.0]])
 
 
 class TestTrilinear:
@@ -259,6 +284,64 @@ class TestPoolResize:
             np.linspace(0, 1, 9), np.linspace(0, 1, 11),
             np.linspace(0, 1, 13), indexing="ij")
         np.testing.assert_allclose(out, xs2 + 2 * ys2 - zs2, atol=1e-5)
+
+
+class TestComponentFormsParity:
+    """The hot path uses component (x,y,z) forms; they must agree with the
+    packed [...,3] reference forms bit-for-bit."""
+
+    def test_tminmax_parts(self):
+        o, d = _rand_rays(64, seed=7)
+        mn, mx = (-1.0, -1.0, -1.0), (1.0, 1.5, 0.5)
+        t1 = rm.ray_aabb_tminmax(jnp.asarray(o), jnp.asarray(d),
+                                 jnp.asarray(mn), jnp.asarray(mx), 0.3, 7.0)
+        t2 = rm.ray_aabb_tminmax_parts(
+            tuple(jnp.asarray(o[:, i]) for i in range(3)),
+            tuple(jnp.asarray(d[:, i]) for i in range(3)), mn, mx, 0.3, 7.0)
+        np.testing.assert_allclose(np.asarray(t1[0]), np.asarray(t2[0]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(t1[1]), np.asarray(t2[1]),
+                                   rtol=1e-6)
+
+    def test_sample_points_parts(self):
+        o, d = _rand_rays(32, seed=8)
+        mn, mx = (-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)
+        n = rm.max_samples_for_bbox(mn, mx, 0.07)
+        pts, valid, step = rm.sample_points_dense(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(mn), jnp.asarray(mx),
+            0.2, 9.0, 0.07, n)
+        (px, py, pz), valid2, step2 = rm.sample_points_dense_parts(
+            jnp.asarray(o), jnp.asarray(d), mn, mx, 0.2, 9.0, 0.07, n)
+        np.testing.assert_allclose(np.asarray(pts[..., 0]), np.asarray(px),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pts[..., 2]), np.asarray(pz),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid2))
+
+    def test_trilinear_world_parts(self):
+        rng = np.random.default_rng(3)
+        grid = jnp.asarray(rng.normal(size=(6, 7, 8)).astype(np.float32))
+        pts = rng.uniform(-1, 1, (40, 3)).astype(np.float32)
+        mn, mx = (-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)
+        from directvoxgo_tpu.ops.grid import trilinear_sample_world
+        idx = world_to_grid(jnp.asarray(pts), jnp.asarray(mn),
+                            jnp.asarray(mx), grid.shape)
+        ref = trilinear_sample(grid, idx)
+        out = trilinear_sample_world(
+            grid, jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]),
+            jnp.asarray(pts[:, 2]), mn, mx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-6)
+
+    def test_occupancy_parts_oob(self):
+        mask = np.zeros((4, 4, 4), bool)
+        mask[1, 2, 3] = True
+        from directvoxgo_tpu.ops.grid import occupancy_lookup_parts
+        out = occupancy_lookup_parts(
+            jnp.asarray(mask),
+            jnp.asarray([1.2, 1.6, -5.0]), jnp.asarray([2.1, 2.1, 0.0]),
+            jnp.asarray([2.9, 2.9, 0.0]), (0.0, 0.0, 0.0), (3.0, 3.0, 3.0))
+        np.testing.assert_array_equal(np.asarray(out), [True, False, False])
 
 
 class TestTV:
