@@ -1,0 +1,175 @@
+"""Super-resolution DVGO: learned density grid + color features from a
+single low-resolution conditioning view.
+
+TPU-native re-design of lib/sr_dvgo.py: the LR image passes through an EDSR
+encoder; the feature map is cropped to ``rgbnet_dim`` channels and broadcast
+along one world axis into a pseudo-3D feature field (sr_dvgo.py:474-484 —
+``feats.unsqueeze(-1).repeat(...)``), which the render path then queries like
+a k0 grid. Here the broadcast is kept implicit: color queries sample the 2D
+feature plane at the (x, y) world coordinates directly, which is the same
+function without materializing the repeated grid.
+
+Note: the reference file cannot import as published (it imports a nonexistent
+``MLP`` from lib/mlp — sr_dvgo.py:14 — and its EDSR head expects 9 input
+channels while the driver feeds 3, run_sr.py:416). This rebuild fixes both:
+the encoder's input channel count is configurable (default 3, matching the
+driver), and the color MLP is the standard rgbnet.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import grid as grid_ops
+from ..ops import raymarch as rm
+from . import mlp as mlp_lib
+from . import backbone
+from .dvgo import DirectVoxGO
+
+
+class SRDVGO(DirectVoxGO):
+    """Density grid + LR-image-conditioned color (lib/sr_dvgo.py)."""
+
+    def __init__(self, xyz_min, xyz_max,
+                 num_voxels=0, num_voxels_base=0, alpha_init=None,
+                 mask_cache_path=None, mask_cache_thres=1e-3,
+                 fast_color_thres=0,
+                 rgbnet_dim=6, rgbnet_direct=False, rgbnet_depth=3,
+                 rgbnet_width=128, viewbase_pe=4,
+                 n_feats=64, n_resblocks=16, res_scale=1, n_colors=3,
+                 k_density=None, k_color=64, seed=0, **kwargs):
+        super().__init__(
+            xyz_min, xyz_max, num_voxels=num_voxels,
+            num_voxels_base=num_voxels_base, alpha_init=alpha_init,
+            mask_cache_path=mask_cache_path,
+            mask_cache_thres=mask_cache_thres,
+            fast_color_thres=fast_color_thres, rgbnet_dim=0,
+            k_density=k_density, k_color=k_color, seed=seed)
+        del self.params["k0"]
+
+        self.rgbnet_dim = rgbnet_dim
+        self.rgbnet_direct = rgbnet_direct
+        self.viewbase_pe = viewbase_pe
+        self.k0_dim = rgbnet_dim
+        self.encoder_kwargs = dict(n_feats=n_feats, n_resblocks=n_resblocks,
+                                   res_scale=res_scale, n_colors=n_colors)
+        self.rgbnet_kwargs = {
+            "rgbnet_dim": rgbnet_dim, "rgbnet_direct": rgbnet_direct,
+            "rgbnet_depth": rgbnet_depth, "rgbnet_width": rgbnet_width,
+            "viewbase_pe": viewbase_pe, **self.encoder_kwargs,
+        }
+
+        key = jax.random.PRNGKey(seed)
+        k_enc, k_rgb = jax.random.split(key)
+        enc_params, self._enc_apply, _ = backbone.make_edsr_baseline(
+            k_enc, n_resblocks=n_resblocks, n_feats=n_feats,
+            res_scale=res_scale, no_upsampling=True, n_colors=n_colors)
+        self.params["encoder"] = enc_params
+
+        dim0 = 3 + 3 * viewbase_pe * 2
+        dim0 += rgbnet_dim if rgbnet_direct else rgbnet_dim - 3
+        self.params["rgbnet"] = mlp_lib.init_mlp(
+            k_rgb, dim0, rgbnet_width, rgbnet_depth, 3)
+        self.has_rgbnet = True
+
+    def get_kwargs(self):
+        return {
+            "xyz_min": np.asarray(self.xyz_min),
+            "xyz_max": np.asarray(self.xyz_max),
+            "num_voxels": self.num_voxels,
+            "num_voxels_base": self.num_voxels_base,
+            "alpha_init": self.alpha_init,
+            "mask_cache_path": self.mask_cache_path,
+            "mask_cache_thres": self.mask_cache_thres,
+            "fast_color_thres": self.fast_color_thres,
+            "k_density": self.k_density,
+            "k_color": self.k_color,
+            **self.rgbnet_kwargs,
+        }
+
+    def encode_feat(self, params, rgb_lr):
+        """LR view [1, H, W, C] -> feature plane [H, W, rgbnet_dim]
+        (sr_dvgo.py:474-484: crop to rgbnet_dim channels)."""
+        feats = self._enc_apply(params["encoder"], rgb_lr)
+        return feats[0, :, :, :self.rgbnet_dim]
+
+    def forward(self, params, mask, rgb_lr, rays_o, rays_d, viewdirs,
+                global_step=None, *, near, far, bg, stepsize,
+                render_depth=False, **_):
+        bbox_min = tuple(float(x) for x in self.xyz_min)
+        bbox_max = tuple(float(x) for x in self.xyz_max)
+        stepdist = stepsize * self.voxel_size
+        interval = stepsize * self.voxel_size_ratio
+        n_cap = rm.max_samples_for_bbox(self.xyz_min, self.xyz_max, stepdist)
+        plane = self.encode_feat(params, rgb_lr)
+
+        (px, py, pz), valid, step_sl = rm.sample_points_dense_parts(
+            rays_o, rays_d, bbox_min, bbox_max, near, far, stepdist, n_cap)
+        occ = grid_ops.occupancy_lookup_parts(
+            mask, px, py, pz, bbox_min, bbox_max) & valid
+        step_f = jnp.broadcast_to(step_sl.astype(jnp.float32)[None, :],
+                                  px.shape)
+
+        k_d = self.k_density or n_cap
+        if k_d < n_cap:
+            big = jnp.float32(2 * n_cap)
+            key = jnp.where(occ, step_f, big + step_f)
+            _, px, py, pz, occ, step_f = rm.compact_by_key(
+                key, k_d, px, py, pz, occ, step_f)
+
+        density = grid_ops.trilinear_sample_world(
+            params["density"], px, py, pz, bbox_min, bbox_max)
+        alpha = rm.raw2alpha(density, self.act_shift, interval)
+        if self.fast_color_thres > 0:
+            occ = occ & (alpha > self.fast_color_thres)
+        weights, alphainv_last, live = rm.alpha2weight_dense(alpha, occ)
+        wmask = (weights > self.fast_color_thres) \
+            if self.fast_color_thres > 0 else live
+        w_eff = jnp.where(wmask, weights, 0.0)
+
+        k_c = self.k_color or 0
+        if k_c and k_c < w_eff.shape[-1]:
+            _, w_eff, px, py, pz, step_f, alpha, wmask = rm.compact_by_key(
+                -w_eff, k_c, w_eff, px, py, pz, step_f, alpha, wmask)
+
+        # Feature plane sampled at (x, y); constant along z — the implicit
+        # form of the reference's broadcast pseudo-grid.
+        u = (px - bbox_min[0]) / (bbox_max[0] - bbox_min[0]) \
+            * (plane.shape[0] - 1)
+        v = (py - bbox_min[1]) / (bbox_max[1] - bbox_min[1]) \
+            * (plane.shape[1] - 1)
+        k0 = grid_ops.bilinear_sample_parts(plane, u, v)
+
+        vd_emb = mlp_lib.positional_encoding(viewdirs, self.viewbase_pe)
+        vd_emb = jnp.broadcast_to(vd_emb[:, None, :],
+                                  (*px.shape, vd_emb.shape[-1]))
+        if self.rgbnet_direct:
+            feat = jnp.concatenate([k0, vd_emb], -1)
+            rgb = jax.nn.sigmoid(mlp_lib.mlp_apply(params["rgbnet"], feat))
+        else:
+            feat = jnp.concatenate([k0[..., 3:], vd_emb], -1)
+            logit = mlp_lib.mlp_apply(params["rgbnet"], feat)
+            rgb = jax.nn.sigmoid(logit + k0[..., :3])
+
+        rgb_marched = jnp.sum(w_eff[..., None] * rgb, axis=1) \
+            + alphainv_last[..., None] * bg
+        ret = {
+            "alphainv_last": alphainv_last,
+            "weights": w_eff,
+            "rgb_marched": rgb_marched,
+            "raw_alpha": jnp.where(wmask, alpha, 0.0),
+            "raw_rgb": rgb,
+            "wmask": wmask,
+        }
+        if render_depth:
+            ret["depth"] = jax.lax.stop_gradient(
+                jnp.sum(w_eff * step_f, axis=1))
+        return ret
+
+    def __call__(self, rgb_lr, rays_o, rays_d, viewdirs, global_step=None,
+                 **kw):
+        return self.forward(self.params, self.mask, jnp.asarray(rgb_lr),
+                            jnp.asarray(rays_o), jnp.asarray(rays_d),
+                            jnp.asarray(viewdirs), **kw)

@@ -1,0 +1,249 @@
+"""Conditioned multi-scene triplane model (the most experimental variant).
+
+TPU-native re-design of lib/tri_dvgo_multiscene.py: TriDVGO plus
+  * per-scene density grids ``[n_scene, X, Y, Z]`` (tri_dvgo_multiscene.py:240)
+  * a choice of plane-mapping operators (tri_dvgo_multiscene.py:166-201,
+    899-961): MLP ``Mapping``, conv ``Conv_Mapping`` (pose conditioning is
+    ``anchor @ pose^-1``), a closed-form affine warp of the feature maps by
+    the pose submatrix (``closed_map_transform``, :899-907), or non-local
+    attention against the scene's accumulated alpha maps
+    (``nl_density_attention``, :939-961)
+  * auxiliary losses from ``encode_feat`` (:1017-1124): cross-view feature
+    consistency (MSE across the 3 views' maps per plane, stop-gradient on the
+    target) and plane-decorrelation cosine losses (v1 / v2 / inverse-MSE)
+  * ``forward`` returns ``(ret_dict, consistency, cosine, distillation)``
+    (:1127-1136). Distillation against a frozen anchor LIIF teacher
+    (:769-775) requires that teacher's pretrained weights; the hook accepts a
+    teacher apply-fn and returns 0 when absent.
+
+The 3 views x 3 planes = 9 mapped maps; the final planes take the diagonal
+(view i supplies plane i, :1078-1090).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import grid as grid_ops
+from ..ops import raymarch as rm
+from . import nets
+from .tri_dvgo import TriDVGO, PLANE_AXES
+
+
+def affine_warp(feat, theta):
+    """``F.affine_grid`` + ``grid_sample`` (align_corners=True) equivalent.
+
+    Args:
+      feat: [H, W, C] source map.
+      theta: [2, 3] affine matrix mapping normalized output coords (u, v, 1)
+        to normalized source coords.
+    """
+    h, w, _ = feat.shape
+    vs = jnp.linspace(-1.0, 1.0, h)
+    us = jnp.linspace(-1.0, 1.0, w)
+    v_grid, u_grid = jnp.meshgrid(vs, us, indexing="ij")
+    src_u = theta[0, 0] * u_grid + theta[0, 1] * v_grid + theta[0, 2]
+    src_v = theta[1, 0] * u_grid + theta[1, 1] * v_grid + theta[1, 2]
+    iu = (src_v + 1.0) / 2.0 * (h - 1)   # rows <- y
+    iv = (src_u + 1.0) / 2.0 * (w - 1)   # cols <- x
+    return grid_ops.bilinear_sample_parts(feat, iu, iv)
+
+
+class TriDVGOMultiScene(TriDVGO):
+    def __init__(self, xyz_min, xyz_max, n_scene=1,
+                 mlp_map=True, conv_map=False, closed_map=False,
+                 use_nl=False,
+                 compute_consistency=False, compute_cosine=False,
+                 cosine_v1=False, cosine_v2=True,
+                 **kwargs):
+        self.n_scene = int(n_scene)
+        super().__init__(xyz_min, xyz_max, **kwargs)
+        self.params["density"] = jnp.zeros((self.n_scene, *self.world_size),
+                                           jnp.float32)
+        self.mask = jnp.ones((self.n_scene, *self.world_size), bool)
+        self.mlp_map = mlp_map
+        self.conv_map = conv_map
+        self.closed_map = closed_map
+        self.use_nl = use_nl
+        self.compute_consistency = compute_consistency
+        self.compute_cosine = compute_cosine
+        self.cosine_v1 = cosine_v1
+        self.cosine_v2 = cosine_v2
+        self.rgbnet_kwargs.update({
+            "n_scene": self.n_scene, "mlp_map": mlp_map,
+            "conv_map": conv_map, "closed_map": closed_map,
+            "use_nl": use_nl, "compute_consistency": compute_consistency,
+            "compute_cosine": compute_cosine, "cosine_v1": cosine_v1,
+            "cosine_v2": cosine_v2,
+        })
+        n_feats = self.encoder_kwargs["n_feats"]
+        key = jax.random.PRNGKey(kwargs.get("seed", 0) + 11)
+        if conv_map:
+            self.params["map"] = nets.init_conv_mapping(
+                key, in_dim=n_feats + 16, out_dim=self.rgbnet_dim)
+        if use_nl:
+            self.params["nl_block"] = nets.init_nl_block(key, n_feats, 1)
+        if not (conv_map or mlp_map) and n_feats != self.rgbnet_dim:
+            # closed-form / NL / identity modes emit n_feats channels; a 1x1
+            # projection brings them to the plane feature width.
+            from .mlp import init_linear
+            self.params["plane_proj"] = init_linear(
+                jax.random.fold_in(key, 1), n_feats, self.rgbnet_dim)
+
+    def get_kwargs(self):
+        kw = super().get_kwargs()
+        kw.update({k: v for k, v in self.rgbnet_kwargs.items()})
+        return kw
+
+    # --------------------------------------------------------- conditioning
+
+    def _plane_theta(self, pose, plane_idx):
+        """Pose submatrix selecting the plane's two axes
+        (``sampling_encode``, tri_dvgo_multiscene.py:917-934), with the
+        translation column zeroed (:900)."""
+        rows = [(0, 1), (1, 2), (2, 0)][plane_idx]
+        cols = [(0, 1, 3), (1, 2, 3), (2, 0, 3)][plane_idx]
+        theta = pose[jnp.asarray(rows)][:, jnp.asarray(cols)]
+        return theta.at[:, -1].set(0.0)
+
+    def encode_feat(self, params, rgb_lr, pose_lr, scene_id=0):
+        """3 views -> (feats dict, consistency_loss, cosine_loss)."""
+        feats3 = self._enc_apply(params["encoder"], rgb_lr)  # [3, h, w, F]
+        anchors = jnp.asarray(self.pose_anchor)
+        # mapped[i][j]: plane i from view j.
+        mapped = [[None] * 3 for _ in range(3)]
+        for i in range(3):  # plane
+            for j in range(3):  # view
+                fmap = feats3[j]
+                if self.closed_map:
+                    fmap = affine_warp(fmap, self._plane_theta(pose_lr[j], i))
+                if self.use_nl:
+                    alpha_map = self._accumulated_alpha_map(
+                        params, scene_id, i, fmap.shape[:2])
+                    fmap = nets.nl_block_apply(
+                        params["nl_block"], fmap[None],
+                        alpha_map[None, ..., None])[0]
+                if self.conv_map:
+                    cond = anchors[i] @ jnp.linalg.inv(pose_lr[j])
+                    fmap = nets.conv_mapping_apply(
+                        params["map"], fmap[None], cond[None])[0]
+                elif self.mlp_map:
+                    cond = anchors[i] @ jnp.linalg.inv(pose_lr[j])
+                    fmap = nets.mapping_apply(
+                        params["map"], fmap[None], cond[None])[0]
+                elif "plane_proj" in params:
+                    fmap = jnp.dot(fmap, params["plane_proj"]["w"]) \
+                        + params["plane_proj"]["b"]
+                mapped[i][j] = fmap
+
+        consistency = 0.0
+        if self.compute_consistency:
+            for i in range(3):
+                for a in range(3):
+                    for b in range(3):
+                        consistency = consistency + (1.0 / 27.0) * jnp.mean(
+                            (jax.lax.stop_gradient(mapped[i][a])
+                             - mapped[i][b]) ** 2)
+
+        feats = {"xy": mapped[0][0], "yz": mapped[1][1], "zx": mapped[2][2]}
+
+        cosine = 0.0
+        if self.compute_cosine:
+            def cos_abs_sum(a, b):
+                num = jnp.sum(a * b, axis=-1)
+                den = jnp.linalg.norm(a, axis=-1) \
+                    * jnp.linalg.norm(b, axis=-1) + 1e-8
+                return jnp.sum(jnp.abs(num / den))
+
+            h, w = feats["xy"].shape[:2]
+            if self.cosine_v1:
+                for k in range(3):
+                    for i in range(3):
+                        others = [mapped[j][k] for j in range(3) if j != i]
+                        sim = sum(
+                            0.5 * cos_abs_sum(
+                                jax.lax.stop_gradient(mapped[i][k]), o)
+                            for o in others)
+                        cosine = cosine + sim / 3.0
+                cosine = cosine / h / w
+            elif self.cosine_v2:
+                pairs = [("xy", "yz"), ("yz", "zx"), ("zx", "xy")]
+                for a, b in pairs:
+                    cosine = cosine + (1.0 / 3.0) * cos_abs_sum(
+                        jax.lax.stop_gradient(feats[a]), feats[b])
+                cosine = cosine / h / w
+            else:
+                pairs = [("xy", "yz"), ("yz", "zx"), ("zx", "xy")]
+                for a, b in pairs:
+                    mse = jnp.mean((jax.lax.stop_gradient(feats[a])
+                                    - feats[b]) ** 2)
+                    cosine = cosine + (1.0 / 3.0) / (mse + 1e-8)
+        return feats, consistency, cosine
+
+    def _accumulated_alpha_map(self, params, scene_id, plane_idx, hw):
+        """Per-plane accumulated alpha of the scene's density grid
+        (``nl_density_attention``, tri_dvgo_multiscene.py:939-961): resize
+        the alpha grid so the plane's two axes match the feature map, then
+        take the cumulative sum's last slice along the third axis."""
+        density = params["density"][scene_id]
+        alpha = self.activate_density(density)
+        a, b = PLANE_AXES[["xy", "yz", "zx"][plane_idx]]
+        c = 3 - a - b
+        new_size = [0, 0, 0]
+        new_size[a], new_size[b] = hw
+        new_size[c] = alpha.shape[c]
+        resized = grid_ops.resize_trilinear(alpha, tuple(new_size))
+        acc = jnp.cumsum(resized, axis=c)
+        idx = [slice(None)] * 3
+        idx[c] = -1
+        out = acc[tuple(idx)]
+        if a > b:  # ensure (a_axis, b_axis) row/col order
+            out = out.T
+        return out
+
+    # ------------------------------------------------------------ forward
+
+    def forward(self, params, mask, rgb_lr, pose_lr, rays_o, rays_d,
+                viewdirs, scene_id=0, global_step=None,
+                teacher_apply=None, **render_kwargs):
+        feats, consistency, cosine = self.encode_feat(
+            params, rgb_lr, pose_lr, scene_id)
+        scene_params = dict(params)
+        scene_params["density"] = params["density"][scene_id]
+        ret = self.render(scene_params, mask[scene_id], feats,
+                          rays_o, rays_d, viewdirs, global_step,
+                          **render_kwargs)
+        distillation = 0.0
+        if teacher_apply is not None:
+            # Distill plane features toward a frozen anchor-LIIF teacher
+            # (tri_dvgo_multiscene.py:769-775): MSE between mapped planes
+            # and teacher planes.
+            teacher_feats = teacher_apply(rgb_lr, pose_lr)
+            for name in ("xy", "yz", "zx"):
+                distillation = distillation + (1.0 / 3.0) * jnp.mean(
+                    (feats[name]
+                     - jax.lax.stop_gradient(teacher_feats[name])) ** 2)
+        return ret, consistency, cosine, distillation
+
+    def __call__(self, rgb_lr, pose_lr, rays_o, rays_d, viewdirs,
+                 scene_id=0, global_step=None, **kw):
+        return self.forward(self.params, self.mask, jnp.asarray(rgb_lr),
+                            jnp.asarray(pose_lr), jnp.asarray(rays_o),
+                            jnp.asarray(rays_d), jnp.asarray(viewdirs),
+                            scene_id=scene_id, **kw)
+
+    def hit_coarse_geo(self, rays_o, rays_d, scene_id=0, **kw):
+        saved = self.mask
+        try:
+            self.mask = saved[scene_id]
+            return super().hit_coarse_geo(rays_o, rays_d, **kw)
+        finally:
+            self.mask = saved
+
+    def update_occupancy_cache(self):
+        alpha = rm.raw2alpha(
+            jax.vmap(grid_ops.max_pool3d_same)(self.params["density"]),
+            self.act_shift, self.voxel_size_ratio)
+        self.mask = self.mask & (alpha > self.fast_color_thres)

@@ -181,6 +181,54 @@ def occupancy_lookup(mask, xyz, xyz_min, xyz_max):
                                   xyz[..., 2], mn, mx)
 
 
+def bilinear_sample_parts(plane, iu, iv):
+    """Bilinear interpolation on a 2D feature plane, component form.
+
+    Args:
+      plane: ``[U, V, C]`` (or ``[U, V]``).
+      iu, iv: continuous plane coordinates (align-corners: 0..dim-1).
+
+    The 2D analog of :func:`trilinear_sample_parts`, used by the triplane
+    models (reference ``grid_sampler2D``, lib/tri_dvgo.py:456-479).
+    """
+    squeeze = plane.ndim == 2
+    if squeeze:
+        plane = plane[..., None]
+    nu, nv, nc = plane.shape
+    flat = plane.reshape(nu * nv, nc)
+
+    iu = jnp.clip(iu, 0.0, nu - 1.0)
+    iv = jnp.clip(iv, 0.0, nv - 1.0)
+    u0 = jnp.clip(jnp.floor(iu).astype(jnp.int32), 0, max(nu - 2, 0))
+    v0 = jnp.clip(jnp.floor(iv).astype(jnp.int32), 0, max(nv - 2, 0))
+    fu, fv = iu - u0, iv - v0
+    u1 = jnp.minimum(u0 + 1, nu - 1)
+    v1 = jnp.minimum(v0 + 1, nv - 1)
+    if nc > 1:
+        fu, fv = fu[..., None], fv[..., None]
+
+    def g(a, b):
+        out = jnp.take(flat, a * nv + b, axis=0)
+        return out if nc > 1 else out[..., 0]
+
+    c0 = g(u0, v0) * (1 - fv) + g(u0, v1) * fv
+    c1 = g(u1, v0) * (1 - fv) + g(u1, v1) * fv
+    return c0 * (1 - fu) + c1 * fu
+
+
+def nearest_sample_2d_parts(plane, iu, iv):
+    """Nearest-neighbor 2D plane lookup (LIIF taps, lib/tri_dvgo.py:498)."""
+    squeeze = plane.ndim == 2
+    if squeeze:
+        plane = plane[..., None]
+    nu, nv, nc = plane.shape
+    flat = plane.reshape(nu * nv, nc)
+    u = jnp.clip(jnp.round(iu).astype(jnp.int32), 0, nu - 1)
+    v = jnp.clip(jnp.round(iv).astype(jnp.int32), 0, nv - 1)
+    out = jnp.take(flat, u * nv + v, axis=0)
+    return out[..., 0] if squeeze else out
+
+
 def max_pool3d_same(x):
     """3x3x3 max pool, stride 1, 'same' padding on a ``[X, Y, Z]`` grid.
 
