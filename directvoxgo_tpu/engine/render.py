@@ -85,33 +85,64 @@ def render_viewpoints(model, render_poses, HW, Ks, ndc, render_kwargs,
 
 
 def make_render_fn(model, render_kwargs):
-    """One jitted forward over (params, mask, ray chunk) -> (rgb, depth)."""
+    """One jitted forward over (params, mask, ray chunk) -> (rgb, depth).
+
+    For sweep-mode models the chunk's static dominant ``axis`` selects the
+    station-sweep fast path (rays are grouped by axis in
+    :func:`render_rays_chunked`)."""
     kwargs = {k: v for k, v in render_kwargs.items()
               if k in ("near", "far", "bg", "stepsize")}
+    use_sweep = (getattr(model, "query_mode", "gather") == "sweep"
+                 and hasattr(model, "forward_sweep"))
 
-    @jax.jit
-    def render_chunk(params, mask, ro, rd, vd):
-        ret = model.forward(params, mask, ro, rd, vd,
-                            render_depth=True, **kwargs)
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def render_chunk(params, mask, ro, rd, vd, axis):
+        if axis is None:
+            ret = model.forward(params, mask, ro, rd, vd,
+                                render_depth=True, **kwargs)
+        else:
+            ret = model.forward_sweep(params, mask, ro, rd, vd, axis,
+                                      render_depth=True, **kwargs)
         return ret["rgb_marched"], ret["depth"]
 
+    render_chunk.use_sweep = use_sweep
     return render_chunk
 
 
 def render_rays_chunked(render_fn, model, rays_o, rays_d, viewdirs, chunk):
+    """Render a flat ray list in fixed-size padded chunks.
+
+    Sweep-mode models require each chunk to share a dominant axis, so rays
+    are partitioned host-side into (at most) three groups first; results are
+    scattered back into frame order. Chunk results are pulled asynchronously
+    (device arrays collected, one host sync at the end) to hide dispatch
+    latency."""
     n = rays_o.shape[0]
-    n_pad = _round_up(max(n, 1), chunk)
-    pad = n_pad - n
-    ro = np.concatenate([rays_o, np.zeros((pad, 3), np.float32)])
-    rd = np.concatenate([rays_d, np.ones((pad, 3), np.float32)])
-    vd = np.concatenate([viewdirs, np.ones((pad, 3), np.float32)])
-    rgb_out = np.empty((n_pad, 3), np.float32)
-    dep_out = np.empty((n_pad,), np.float32)
-    for i in range(0, n_pad, chunk):
-        rgb, dep = render_fn(model.params, model.mask,
-                             jnp.asarray(ro[i:i + chunk]),
-                             jnp.asarray(rd[i:i + chunk]),
-                             jnp.asarray(vd[i:i + chunk]))
-        rgb_out[i:i + chunk] = np.asarray(rgb)
-        dep_out[i:i + chunk] = np.asarray(dep)
-    return rgb_out[:n], dep_out[:n]
+    rgb_out = np.empty((n, 3), np.float32)
+    dep_out = np.empty((n,), np.float32)
+    if getattr(render_fn, "use_sweep", False):
+        from ..ops import sweep as sweep_ops
+        groups = sweep_ops.dominant_axis(rays_d, model.xyz_min,
+                                         model.xyz_max, model.world_size)
+        parts = [(int(ax), np.flatnonzero(groups == ax)) for ax in range(3)]
+        parts = [(ax, idx) for ax, idx in parts if len(idx)]
+    else:
+        parts = [(None, np.arange(n))]
+    for axis, idx in parts:
+        n_g = len(idx)
+        n_pad = _round_up(max(n_g, 1), chunk)
+        pad = n_pad - n_g
+        ro = np.concatenate([rays_o[idx], np.zeros((pad, 3), np.float32)])
+        rd = np.concatenate([rays_d[idx], np.ones((pad, 3), np.float32)])
+        vd = np.concatenate([viewdirs[idx], np.ones((pad, 3), np.float32)])
+        outs = []
+        for i in range(0, n_pad, chunk):
+            outs.append(render_fn(model.params, model.mask,
+                                  jnp.asarray(ro[i:i + chunk]),
+                                  jnp.asarray(rd[i:i + chunk]),
+                                  jnp.asarray(vd[i:i + chunk]), axis))
+        rgb_g = np.concatenate([np.asarray(o[0]) for o in outs])[:n_g]
+        dep_g = np.concatenate([np.asarray(o[1]) for o in outs])[:n_g]
+        rgb_out[idx] = rgb_g
+        dep_out[idx] = dep_g
+    return rgb_out, dep_out

@@ -105,12 +105,14 @@ def create_optimizer_or_freeze_model(model, cfg_train):
 
 
 def make_train_step(model, optimizer, cfg_train, render_kwargs,
-                    apply_tv, tv_dense):
+                    apply_tv, tv_dense, axis=None):
     """Build the jitted full train step for the current phase.
 
     ``apply_tv``/``tv_dense`` are baked in statically; the host flips them at
     the tv_before/tv_after/tv_dense_before boundaries (run.py:389-395), which
-    costs at most a few retraces per stage.
+    costs at most a few retraces per stage. ``axis`` (static) selects the
+    station-sweep fast path: the batch's rays must share that dominant axis
+    (the engine groups the pool host-side).
     """
     kwargs = {k: render_kwargs[k] for k in ("near", "far", "bg", "stepsize")}
     w_main = float(cfg_train.weight_main)
@@ -133,8 +135,13 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
         frozen = {n: params[n] for n in frozen_names}
 
         def loss_fn(trainable):
-            ret = model.forward({**trainable, **frozen}, mask,
-                                rays_o, rays_d, viewdirs, **kwargs)
+            if axis is None:
+                ret = model.forward({**trainable, **frozen}, mask,
+                                    rays_o, rays_d, viewdirs, **kwargs)
+            else:
+                ret = model.forward_sweep({**trainable, **frozen}, mask,
+                                          rays_o, rays_d, viewdirs, axis,
+                                          **kwargs)
             mse = jnp.mean((ret["rgb_marched"] - target) ** 2)
             loss = w_main * mse
             if w_entropy > 0:
@@ -293,14 +300,44 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     }
     n_pool = pool["rgb"].shape[0]
     rng = np.random.default_rng(getattr(args, "seed", 777))
-    if cfg_train.ray_sampler in ("flatten", "in_maskcache") \
+
+    # Station-sweep fast path: group the pool by each ray's dominant axis so
+    # every batch shares a static sweep axis (directvoxgo_tpu/ops/sweep.py).
+    use_sweep = (getattr(model, "query_mode", "gather") == "sweep"
+                 and hasattr(model, "forward_sweep"))
+    if use_sweep:
+        from ..ops import sweep as sweep_ops
+        groups = sweep_ops.dominant_axis(
+            np.asarray(pool["rays_d"]), model.xyz_min, model.xyz_max,
+            model.world_size)
+        group_idx = [np.flatnonzero(groups == ax) for ax in range(3)]
+        group_p = np.array([len(g) for g in group_idx], np.float64)
+        group_p = group_p / group_p.sum()
+        print("gather_training_rays: sweep axis groups",
+              [len(g) for g in group_idx])
+        group_gens = []
+        for g in group_idx:
+            if len(g) >= cfg_train.N_rand:
+                gen = ray_lib.batch_indices_generator(
+                    len(g), cfg_train.N_rand, rng=rng)
+                group_gens.append(lambda g=g, gen=gen: g[np.asarray(next(gen))])
+            elif len(g) > 0:
+                group_gens.append(
+                    lambda g=g: g[rng.integers(0, len(g), cfg_train.N_rand)])
+            else:
+                group_gens.append(None)
+
+        def next_batch():
+            ax = int(rng.choice(3, p=group_p))
+            return group_gens[ax](), ax
+    elif cfg_train.ray_sampler in ("flatten", "in_maskcache") \
             and n_pool >= cfg_train.N_rand:
         index_gen = ray_lib.batch_indices_generator(
             n_pool, cfg_train.N_rand, rng=rng)
-        next_batch = lambda: np.asarray(next(index_gen))  # noqa: E731
+        next_batch = lambda: (np.asarray(next(index_gen)), None)  # noqa: E731
     else:
-        next_batch = lambda: rng.integers(  # noqa: E731
-            0, n_pool, cfg_train.N_rand)
+        next_batch = lambda: (rng.integers(  # noqa: E731
+            0, n_pool, cfg_train.N_rand), None)
 
     # View-count-based per-voxel lr (run.py:311-320).
     if cfg_train.pervoxel_lr:
@@ -316,7 +353,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     psnr_lst = []
     time0 = time.time()
     global_step = -1
-    train_step = None
+    train_steps = {}  # (axis or None) -> jitted step for current tv state
     tv_state = None
 
     for global_step in range(1 + start, 1 + cfg_train.N_iters):
@@ -336,7 +373,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             optimizer = create_optimizer_or_freeze_model(model, cfg_train)
             opt_state = optimizer.init(model.params)
             model.params["density"] = model.params["density"] - 1
-            train_step = None  # shapes changed -> re-jit
+            train_steps = {}  # shapes changed -> re-jit
 
         apply_tv = (global_step < cfg_train.tv_before
                     and global_step > cfg_train.tv_after
@@ -344,13 +381,17 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                     and (cfg_train.weight_tv_density > 0
                          or cfg_train.weight_tv_k0 > 0))
         tv_dense = global_step < cfg_train.tv_dense_before
-        if train_step is None or tv_state != (apply_tv, tv_dense):
-            train_step = make_train_step(model, optimizer, cfg_train,
-                                         render_kwargs, apply_tv, tv_dense)
+        if tv_state != (apply_tv, tv_dense):
+            train_steps = {}
             tv_state = (apply_tv, tv_dense)
 
-        sel = jnp.asarray(next_batch(), jnp.int32)
-        model.params, opt_state, loss, psnr = train_step(
+        sel, axis = next_batch()
+        if axis not in train_steps:
+            train_steps[axis] = make_train_step(
+                model, optimizer, cfg_train, render_kwargs, apply_tv,
+                tv_dense, axis=axis)
+        sel = jnp.asarray(sel, jnp.int32)
+        model.params, opt_state, loss, psnr = train_steps[axis](
             model.params, model.mask, opt_state, pool, sel)
         psnr_lst.append(psnr)
 

@@ -54,6 +54,42 @@ def mlp_apply(params, x, compute_dtype=None):
     return x.astype(orig_dtype)
 
 
+def mlp_apply_split(params, x_samples, x_shared, compute_dtype=None):
+    """MLP whose input is ``concat([x_samples, x_shared_broadcast], -1)``.
+
+    ``x_samples`` is [..., S, D1] (per-sample features) and ``x_shared`` is
+    [..., D2] (per-ray features, constant across the sample axis). Layer 1 is
+    split so the shared part is computed once per ray instead of per sample —
+    this also avoids materializing the concatenated [..., S, D1+D2] tensor
+    (the reference concatenates, lib/dvgo.py:527-530; on TPU the broadcast
+    concat dominates HBM traffic).
+    """
+    layers = params["layers"]
+    w1, b1 = layers[0]["w"], layers[0]["b"]
+    d1 = x_samples.shape[-1]
+    wa, wb = w1[:d1], w1[d1:]
+    cd = compute_dtype
+    if cd is not None:
+        x_samples, x_shared = x_samples.astype(cd), x_shared.astype(cd)
+        wa, wb, b1 = wa.astype(cd), wb.astype(cd), b1.astype(cd)
+    shared = jnp.dot(x_shared, wb, preferred_element_type=jnp.float32) + b1
+    x = jnp.dot(x_samples, wa, preferred_element_type=jnp.float32) \
+        + shared[..., None, :]
+    x = jax.nn.relu(x)
+    if cd is not None:
+        x = x.astype(cd)
+    for i, layer in enumerate(layers[1:]):
+        w, b = layer["w"], layer["b"]
+        if cd is not None:
+            w, b = w.astype(cd), b.astype(cd)
+        x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+        if i < len(layers) - 2:
+            x = jax.nn.relu(x)
+            if cd is not None:
+                x = x.astype(cd)
+    return x.astype(jnp.float32)
+
+
 def positional_encoding(x, n_freqs):
     """[x, sin(x*2^i), cos(x*2^i)] embedding (lib/dvgo.py:524-525)."""
     if n_freqs <= 0:

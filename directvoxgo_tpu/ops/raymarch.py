@@ -185,6 +185,32 @@ def alpha2weight_dense(alpha, valid):
     return weights, alphainv_last, live & valid
 
 
+def alpha2weight_dense_bidir(alpha, valid, forward):
+    """:func:`alpha2weight_dense` for rows that march in either direction.
+
+    The station sweep returns samples in slab order; rays with a negative
+    sweep-axis direction march from the last column to the first. Rather
+    than flipping the big per-sample tensors, compute the exclusive
+    transmittance in both directions (two cheap [N,S] cumprods) and select
+    per row — sums used downstream (rgb compositing, losses, depth) are
+    order-free.
+
+    Args:
+      alpha, valid: [n_rays, n_samples].
+      forward: [n_rays] bool; True = row marches left-to-right.
+    """
+    alpha = jnp.where(valid, alpha, 0.0)
+    one_minus = jnp.where(valid, 1.0 - alpha + T_EPS, 1.0)
+    t_excl_f = jnp.cumprod(one_minus, axis=-1) / one_minus
+    t_incl_b = jnp.cumprod(one_minus[..., ::-1], axis=-1)[..., ::-1]
+    t_excl_b = t_incl_b / one_minus
+    t_excl = jnp.where(forward[:, None], t_excl_f, t_excl_b)
+    live = t_excl >= T_TERMINATE
+    weights = jnp.where(valid & live, t_excl * alpha, 0.0)
+    alphainv_last = jnp.prod(jnp.where(live, one_minus, 1.0), axis=-1)
+    return weights, alphainv_last, live & valid
+
+
 def compact_by_key(key, k, *arrays, fill_values=None):
     """Gather, per row, the ``k`` entries with the smallest ``key``.
 

@@ -1,0 +1,275 @@
+"""Station-sweep grid queries: trilinear sampling as MXU matmuls.
+
+THE core TPU-native redesign of the reference hot path. The reference gathers
+grid values at arbitrary ray-sample points with CUDA random access
+(``sample_pts_on_rays`` + ``F.grid_sample``, lib/dvgo.py:462-509). Random
+HBM gathers on TPU run at ~1e8/s while matmuls run at ~2e14 FLOP/s, so here
+samples are pinned to *stations* — half-voxel-spaced planes perpendicular to
+the ray batch's dominant axis — and each station's query becomes a dense
+matmul:
+
+  ``val[n] = wu[n] @ D_s @ wv[n]``
+
+where ``wu``/``wv`` are the (two-nonzero) linear-interpolation weight rows
+built on the fly from the ray's continuous (u, v) coordinates at that
+station, via the closed form ``max(0, 1 - |u - iota|)``. Station planes at
+integer voxel coordinates hold grid slabs; fractional stations blend the two
+neighboring slabs (streamed inside the scan, never materialized), so a
+station sample equals exact trilinear interpolation at that point. Sampling
+matches the reference's ``stepsize=0.5`` quadrature (spacing along the ray is
+``0.5 * voxel/|unit_d_axis|`` ∈ [0.5, 0.87] voxels for rays grouped by
+dominant axis), with the per-ray interval fed into ``raw2alpha``.
+
+The backward pass is the transpose matmul (``dD_s = wu^T @ (g ⊙ wv)``),
+streamed the same way — no scatters anywhere, which is what makes training
+fast on TPU (XLA scatter-add measured ~1e7 rows/s vs ~1e11 matmul FLOP/ms).
+
+Outputs are in *slab order* (ascending station coordinate); rays marching
+against the axis (``dp < 0``) see descending ``t``. Compositing handles both
+directions with a bidirectional cumulative product
+(:func:`...ops.raymarch.alpha2weight_dense_bidir`) instead of flipping the
+big ``[N, S, C]`` sample tensor.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Axis permutations: sweep axis first, remaining axes keep original order.
+_PERMS = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}
+
+
+def substeps_for_stepsize(stepsize):
+    """Stations per voxel along the sweep axis (reference stepsize=0.5 ->
+    half-voxel stations -> k=2)."""
+    return max(int(round(1.0 / float(stepsize))), 1)
+
+
+def permute_grid(grid, axis, dtype=jnp.bfloat16):
+    """[Gx, Gy, Gz, C] -> [Gp, Gu, Gv*C] slabs for a sweep along ``axis``."""
+    perm = _PERMS[axis]
+    g = jnp.transpose(grid, (*perm, 3))
+    gp, gu, gv, c = g.shape
+    return g.reshape(gp, gu, gv * c).astype(dtype)
+
+
+def rays_to_voxel(rays_o, rays_d, xyz_min, xyz_max, world_size, axis):
+    """World rays -> continuous voxel coordinates, permuted (p, u, v).
+
+    The ray parameter t is unchanged (each component scales both origin
+    offset and direction by the same factor).
+    """
+    perm = _PERMS[axis]
+    o, d = [], []
+    for ax in perm:
+        scale = (world_size[ax] - 1.0) / (float(xyz_max[ax])
+                                          - float(xyz_min[ax]))
+        o.append((rays_o[:, ax] - float(xyz_min[ax])) * scale)
+        d.append(rays_d[:, ax] * scale)
+    return tuple(o), tuple(d)
+
+
+def _station_uv(rays_pv, p_s):
+    (op, ou, ov), (dp, du, dv) = rays_pv
+    safe_dp = jnp.where(dp == 0, 1e-10, dp)
+    t = (p_s - op) / safe_dp
+    return t, ou + t * du, ov + t * dv
+
+
+def _interp_rows(x, g, dtype):
+    """[N] continuous coords -> [N, g] linear-interp weight rows
+    (max(0, 1-|x - i|) has exactly the two trilinear corner weights)."""
+    iota = jax.lax.broadcasted_iota(jnp.float32, (1, g), 1)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - iota)).astype(dtype)
+
+
+def _query_station(d_st, rays_pv, p_s, gu, gv, c, interp_dtype):
+    """One station query: [Gu, Gv*C] slab -> ([N, C] values, [N] t)."""
+    n = rays_pv[0][0].shape[0]
+    t, u, v = _station_uv(rays_pv, p_s)
+    wu = _interp_rows(u, gu, interp_dtype)
+    wv = _interp_rows(v, gv, jnp.float32)
+    tmp = jax.lax.dot(wu, d_st, preferred_element_type=jnp.float32)
+    val = jnp.einsum("ngc,ng->nc", tmp.reshape(n, gv, c), wv)
+    return val, t
+
+
+def _station_cotangent(g_s, rays_pv, p_s, gu, gv, c, interp_dtype):
+    """One station's grid cotangent: [N, C] -> [Gu, Gv*C]."""
+    n = g_s.shape[0]
+    _, u, v = _station_uv(rays_pv, p_s)
+    wu = _interp_rows(u, gu, interp_dtype)
+    wv = _interp_rows(v, gv, jnp.float32)
+    rhs = (wv[:, :, None] * g_s[:, None, :]).reshape(n, gv * c)
+    return jax.lax.dot(wu.T, rhs.astype(interp_dtype),
+                       preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def station_sweep(grid_perm, rays_pv, n_channels, k, guv, dtypes):
+    """Sample every station along each ray; stations streamed from slabs.
+
+    Args:
+      grid_perm: [Gp, Gu, Gv*C] permuted grid slabs (:func:`permute_grid`).
+      rays_pv: ((op, ou, ov), (dp, du, dv)) [N] voxel-space ray components,
+        sweep axis first.
+      n_channels: C (static).
+      k: stations per voxel (static); station s sits at axis coord s/k,
+        S = k*(Gp-1)+1.
+      guv: static (Gu, Gv) pair (the VJP cannot recover in-plane dims from
+        cotangent shapes).
+      dtypes: static (interp_dtype, grid_dtype) dtype classes for the weight
+        matmuls and the returned grid cotangent.
+
+    Returns:
+      vals: [N, S, C] station samples (f32), in slab order.
+      t:    [N, S] ray parameter per station (f32; huge where dp≈0).
+    """
+    return _sweep_fwd_impl(grid_perm, rays_pv, n_channels, k, guv, dtypes[0])
+
+
+def _station_slabs(grid_perm, k):
+    """Materialize the [S, Gu, Gv*C] station slabs from [Gp, Gu, Gv*C].
+
+    Kept out of the scan on purpose: a carry-based streaming variant
+    measured 2x slower (the slab-blend in the loop body defeats XLA's
+    xs prefetch pipelining), while this build is pure bandwidth in the
+    compact dtype.
+    """
+    gp = grid_perm.shape[0]
+    if k == 1:
+        return grid_perm
+    parts = [grid_perm[:-1]]
+    for j in range(1, k):
+        f = j / k
+        parts.append((1.0 - f) * grid_perm[:-1] + f * grid_perm[1:])
+    inner = jnp.stack(parts, axis=1).astype(grid_perm.dtype)
+    inner = inner.reshape((gp - 1) * k, *grid_perm.shape[1:])
+    return jnp.concatenate([inner, grid_perm[-1:]], axis=0)
+
+
+def _sweep_fwd_impl(grid_perm, rays_pv, c, k, guv, interp_dtype):
+    gp = grid_perm.shape[0]
+    gu, gv = guv
+    slabs = _station_slabs(grid_perm, k)
+    s = slabs.shape[0]
+    p_stations = jnp.arange(s, dtype=jnp.float32) / k
+
+    def body(_, inp):
+        d_st, p_s = inp
+        val, t = _query_station(d_st, rays_pv, p_s, gu, gv, c, interp_dtype)
+        return (), (val, t)
+
+    _, (vals, ts) = jax.lax.scan(body, (), (slabs, p_stations))
+    return jnp.transpose(vals, (1, 0, 2)), jnp.transpose(ts, (1, 0))
+
+
+def _sweep_fwd(grid_perm, rays_pv, n_channels, k, guv, dtypes):
+    out = _sweep_fwd_impl(grid_perm, rays_pv, n_channels, k, guv, dtypes[0])
+    return out, rays_pv
+
+
+def _sweep_bwd(n_channels, k, guv, dtypes, rays_pv, cts):
+    """Streamed transpose: iter z emits dD[z-1], carries the pending
+    contribution to dD[z] (each station between slabs z-1 and z splits its
+    cotangent (1-f)/f between them)."""
+    interp_dtype, grid_dtype = dtypes
+    gu, gv = guv
+    c = n_channels
+    g_vals, _ = cts  # t is non-differentiable
+    n, s, _ = g_vals.shape
+    gp = (s - 1) // k + 1
+    fracs = [j / k for j in range(k)]
+
+    g_main = jnp.transpose(g_vals[:, : (gp - 1) * k, :], (1, 0, 2))
+    g_main = g_main.reshape(gp - 1, k, n, c)
+    g_last = g_vals[:, -1, :]
+
+    def body(pending, inp):
+        g_z, z = inp  # [k, N, C] cotangents of stations in [z-1, z)
+        d_prev = pending
+        d_next = jnp.zeros_like(pending)
+        for j, f in enumerate(fracs):
+            p_s = z.astype(jnp.float32) - 1.0 + f
+            d_st = _station_cotangent(g_z[j], rays_pv, p_s, gu, gv, c,
+                                      interp_dtype)
+            d_prev = d_prev + (1.0 - f) * d_st
+            if j > 0:
+                d_next = d_next + f * d_st
+        return d_next, d_prev
+
+    zs = jnp.arange(1, gp, dtype=jnp.int32)
+    init = jnp.zeros((gu, gv * c), jnp.float32)
+    pending, d_slabs = jax.lax.scan(body, init, (g_main, zs))
+    d_last = pending + _station_cotangent(g_last, rays_pv,
+                                          jnp.float32(gp - 1.0), gu, gv, c,
+                                          interp_dtype)
+    d_grid = jnp.concatenate([d_slabs, d_last[None]], axis=0)
+    zeros_rays = jax.tree_util.tree_map(jnp.zeros_like, rays_pv)
+    return d_grid.astype(grid_dtype), zeros_rays
+
+
+station_sweep.defvjp(_sweep_fwd, _sweep_bwd)
+
+
+def sweep_samples(grid, mask, rays_o, rays_d, xyz_min, xyz_max, axis,
+                  stepsize=0.5, interp_dtype=jnp.bfloat16,
+                  march_order=True):
+    """Full sweep query: density/mask/feature channels at ray stations.
+
+    Args:
+      grid: [Gx, Gy, Gz, C] channels-last stacked grids (caller packs
+        density, occupancy-mask-as-float and color features).
+      mask: unused here (fold occupancy as a channel of ``grid``); kept for
+        signature clarity. Pass None.
+      rays_o, rays_d: [N, 3] world rays (rays_d need not be unit).
+      axis: static sweep axis (the batch's dominant |d| axis).
+      stepsize: station spacing in voxels along the sweep axis.
+      march_order: if True, flip rows with dp<0 so t ascends (convenient but
+        touches the whole [N,S,C] tensor); if False, return slab order plus
+        a per-ray ``forward`` flag and let the caller composite
+        bidirectionally (the fast path).
+
+    Returns dict with:
+      vals:  [N, S, C] station samples.
+      t:     [N, S] ray parameter.
+      forward: [N] bool, True where t ascends with station index (always
+        True when march_order=True).
+      interval: [N] world-space step distance between this ray's stations;
+        divide by voxel_size_base for the reference's ``interval``
+        (lib/dvgo.py:466).
+    """
+    k = substeps_for_stepsize(stepsize)
+    world_size = grid.shape[:3]
+    c = grid.shape[3]
+    grid_perm = permute_grid(grid, axis, dtype=interp_dtype)
+    o_pv, d_pv = rays_to_voxel(rays_o, rays_d, xyz_min, xyz_max,
+                               world_size, axis)
+    gu, gv = grid_perm.shape[1], grid_perm.shape[2] // c
+    vals, t = station_sweep(grid_perm, (o_pv, d_pv), c, k, (gu, gv),
+                            (interp_dtype, interp_dtype))
+
+    forward = d_pv[0] >= 0
+    if march_order:
+        flip = ~forward[:, None]
+        vals = jnp.where(flip[..., None], vals[:, ::-1, :], vals)
+        t = jnp.where(flip, t[:, ::-1], t)
+        forward = jnp.ones_like(forward)
+
+    # World-space distance between consecutive stations along the ray:
+    # dt = (1/k)/|dp_vox|, scaled by |d_world|.
+    d_norm = jnp.sqrt(jnp.sum(rays_d * rays_d, axis=-1))
+    interval = d_norm / (k * jnp.maximum(jnp.abs(d_pv[0]), 1e-10))
+    return {"vals": vals, "t": t, "forward": forward, "interval": interval}
+
+
+def dominant_axis(rays_d, xyz_min, xyz_max, world_size):
+    """Per-ray dominant axis in voxel space (host-side grouping helper)."""
+    rays_d = np.asarray(rays_d)
+    scale = (np.asarray(world_size) - 1.0) / (
+        np.asarray(xyz_max, np.float64) - np.asarray(xyz_min, np.float64))
+    return np.argmax(np.abs(rays_d * scale), axis=-1)

@@ -1,0 +1,161 @@
+"""Station-sweep op tests (directvoxgo_tpu/ops/sweep.py).
+
+The sweep is the TPU replacement of the reference's ragged point sampler +
+grid_sample hot path (lib/cuda/render_utils_kernel.cu:138-236 +
+lib/dvgo.py:312-328): samples pinned to half-voxel stations, trilinear
+queries as matmuls. Tests verify (a) exact agreement with the direct
+trilinear sampler at station points, (b) VJP correctness against autodiff of
+the gather formulation, (c) adjointness of the station-grid build/fold pair,
+and (d) end-to-end agreement of forward_sweep with the reference-faithful
+gather forward on camera-like rays.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from directvoxgo_tpu.ops import sweep as sweep_ops
+from directvoxgo_tpu.ops.grid import trilinear_sample_world
+from directvoxgo_tpu.models.dvgo import DirectVoxGO
+
+F32 = jnp.float32
+
+
+def _rand_setup(seed=0, G=(12, 10, 14), C=3, N=64):
+    rng = np.random.default_rng(seed)
+    grid = jnp.asarray(rng.normal(size=(*G, C)).astype(np.float32))
+    xyz_min = (-1.0, -0.8, -1.2)
+    xyz_max = (1.0, 0.9, 1.1)
+    o = rng.uniform(-0.5, 0.5, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    return grid, xyz_min, xyz_max, o, d
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_sweep_matches_trilinear_at_stations(axis):
+    grid, xyz_min, xyz_max, o, d = _rand_setup()
+    out = sweep_ops.sweep_samples(grid, None, jnp.asarray(o), jnp.asarray(d),
+                                  xyz_min, xyz_max, axis, stepsize=0.5,
+                                  interp_dtype=F32)
+    vals, t = np.asarray(out["vals"]), np.asarray(out["t"])
+    pts = o[:, None, :] + t[..., None] * d[:, None, :]
+    inb = np.all((pts >= np.array(xyz_min)) & (pts <= np.array(xyz_max)), -1)
+    ref = np.asarray(trilinear_sample_world(
+        grid, jnp.asarray(pts[..., 0]), jnp.asarray(pts[..., 1]),
+        jnp.asarray(pts[..., 2]), xyz_min, xyz_max))
+    assert np.abs(vals - ref)[inb].max() < 1e-4
+    # march order: t ascending
+    assert (np.diff(t, axis=1) >= -1e-5).all()
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_sweep_vjp_matches_gather_autodiff(axis):
+    grid, xyz_min, xyz_max, o, d = _rand_setup(seed=1)
+    rng = np.random.default_rng(2)
+
+    out = sweep_ops.sweep_samples(grid, None, jnp.asarray(o), jnp.asarray(d),
+                                  xyz_min, xyz_max, axis, stepsize=0.5,
+                                  interp_dtype=F32)
+    t = np.asarray(out["t"])
+    pts = o[:, None, :] + t[..., None] * d[:, None, :]
+    inb = np.all((pts >= np.array(xyz_min)) & (pts <= np.array(xyz_max)),
+                 -1, keepdims=True)
+    cot = rng.normal(size=out["vals"].shape).astype(np.float32) * inb
+
+    def loss_sweep(g):
+        r = sweep_ops.sweep_samples(g, None, jnp.asarray(o), jnp.asarray(d),
+                                    xyz_min, xyz_max, axis, stepsize=0.5,
+                                    interp_dtype=F32)
+        return jnp.sum(r["vals"] * cot)
+
+    def loss_gather(g):
+        r = trilinear_sample_world(
+            g, jnp.asarray(pts[..., 0]), jnp.asarray(pts[..., 1]),
+            jnp.asarray(pts[..., 2]), xyz_min, xyz_max)
+        return jnp.sum(r * cot)
+
+    g_sweep = np.asarray(jax.grad(loss_sweep)(grid))
+    g_gather = np.asarray(jax.grad(loss_gather)(grid))
+    # Out-of-bbox stations are zeroed in the cotangent, where the two
+    # formulations agree exactly (clamping vs zero-weighting differs only
+    # outside).
+    assert np.abs(g_sweep - g_gather).max() < 1e-3 * max(
+        1.0, np.abs(g_gather).max())
+
+
+def test_sweep_custom_vjp_matches_autodiff_of_fwd_impl():
+    """The hand-written streamed bwd must equal autodiff of the fwd scan."""
+    rng = np.random.default_rng(3)
+    gp, gu, gv, c, k, n = 7, 6, 5, 2, 2, 16
+    grid_perm = jnp.asarray(rng.normal(size=(gp, gu, gv * c))
+                            .astype(np.float32))
+    o = tuple(jnp.asarray(rng.uniform(0, g - 1, (n,)).astype(np.float32))
+              for g in (gp, gu, gv))
+    d = tuple(jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+              for _ in range(3))
+    cot = jnp.asarray(
+        rng.normal(size=(n, k * (gp - 1) + 1, c)).astype(np.float32))
+
+    def loss_custom(g):
+        vals, _ = sweep_ops.station_sweep(g, (o, d), c, k, (gu, gv),
+                                          (F32, F32))
+        return jnp.sum(vals * cot)
+
+    def loss_auto(g):
+        vals, _ = sweep_ops._sweep_fwd_impl(g, (o, d), c, k, (gu, gv), F32)
+        return jnp.sum(vals * cot)
+
+    g_custom = np.asarray(jax.grad(loss_custom)(grid_perm))
+    g_auto = np.asarray(jax.grad(loss_auto)(grid_perm))
+    assert np.abs(g_custom - g_auto).max() < 1e-4 * max(
+        1.0, np.abs(g_auto).max())
+
+
+def test_forward_sweep_matches_gather_forward():
+    rng = np.random.default_rng(0)
+    model = DirectVoxGO(xyz_min=[-1, -1, -1], xyz_max=[1, 1, 1],
+                        num_voxels=32 ** 3, num_voxels_base=32 ** 3,
+                        alpha_init=1e-2, fast_color_thres=1e-4,
+                        rgbnet_dim=6, rgbnet_direct=True,
+                        k_density=None, k_color=0)
+    pts = np.asarray(model.grid_points())
+    r2 = (pts ** 2).sum(-1)
+    model.params["density"] = jnp.asarray(
+        (8 * np.exp(-3 * r2) - 2).astype(np.float32))
+    model.params["k0"] = jnp.asarray(
+        rng.normal(0, 0.5, model.params["k0"].shape).astype(np.float32))
+
+    # camera-like rays: |d| ~ 1, z-dominant (the reference's sampler counts
+    # steps in rays_d units, so parity comparisons need |d| near 1;
+    # render_utils_kernel.cu:38-49)
+    N = 256
+    o = np.tile([[0.0, 0.0, 3.0]], (N, 1)).astype(np.float32)
+    ang = rng.uniform(-0.3, 0.3, (N, 2))
+    d = np.stack([np.tan(ang[:, 0]), np.tan(ang[:, 1]),
+                  -np.ones(N)], -1).astype(np.float32)
+    vd = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    kw = dict(near=0.5, far=6.0, bg=1.0, stepsize=0.5, render_depth=True)
+
+    ret_g = model.forward(model.params, model.mask, jnp.asarray(o),
+                          jnp.asarray(d), jnp.asarray(vd), **kw)
+    ret_s = model.forward_sweep(model.params, model.mask, jnp.asarray(o),
+                                jnp.asarray(d), jnp.asarray(vd), 2, **kw)
+    a = np.asarray(ret_g["rgb_marched"])
+    b = np.asarray(ret_s["rgb_marched"])
+    mse = float(np.mean((a - b) ** 2))
+    psnr_of_diff = -10 * np.log10(mse + 1e-12)
+    assert psnr_of_diff > 45, f"sweep/gather disagree: {psnr_of_diff:.1f} dB"
+    ai = np.abs(np.asarray(ret_g["alphainv_last"])
+                - np.asarray(ret_s["alphainv_last"]))
+    assert ai.max() < 0.05
+    dep_corr = np.corrcoef(np.asarray(ret_g["depth"]),
+                           np.asarray(ret_s["depth"]))[0, 1]
+    assert dep_corr > 0.99
+
+
+def test_dominant_axis_grouping():
+    d = np.array([[1.0, 0.1, 0.1], [0.1, -2.0, 0.3], [0.0, 0.1, 5.0]],
+                 np.float32)
+    g = sweep_ops.dominant_axis(d, (-1, -1, -1), (1, 1, 1), (64, 64, 64))
+    assert list(g) == [0, 1, 2]
