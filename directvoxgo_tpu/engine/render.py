@@ -36,17 +36,30 @@ def render_viewpoints(model, render_poses, HW, Ks, ndc, render_kwargs,
         Ks[:, :2, :3] = Ks[:, :2, :3] / render_factor
 
     render_fn = make_render_fn(model, render_kwargs)
+    use_frame_sweep = (not ndc and getattr(render_fn, "use_sweep", False))
+    if use_frame_sweep:
+        from . import render_sweep as render_sweep_lib
 
     rgbs, depths, psnrs, ssims, lp_alex, lp_vgg = [], [], [], [], [], []
     for i, c2w in enumerate(render_poses):
         H, W = HW[i]
         K = Ks[i]
-        rays_o, rays_d, viewdirs = ray_lib.get_rays_of_a_view(
-            H, W, K, c2w, ndc, inverse_y=render_kwargs["inverse_y"],
-            flip_x=flip_x, flip_y=flip_y)
-        rgb, depth = render_rays_chunked(
-            render_fn, model, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
-            viewdirs.reshape(-1, 3), chunk)
+        out = None
+        if use_frame_sweep:
+            # Whole-frame separable sweep (MXU path); returns None when the
+            # camera geometry rules it out -> per-ray fallback below.
+            out = render_sweep_lib.render_frame_sweep(
+                model, int(H), int(W), np.asarray(K), np.asarray(c2w),
+                render_kwargs)
+        if out is not None:
+            rgb, depth = out
+        else:
+            rays_o, rays_d, viewdirs = ray_lib.get_rays_of_a_view(
+                H, W, K, c2w, ndc, inverse_y=render_kwargs["inverse_y"],
+                flip_x=flip_x, flip_y=flip_y)
+            rgb, depth = render_rays_chunked(
+                render_fn, model, rays_o.reshape(-1, 3),
+                rays_d.reshape(-1, 3), viewdirs.reshape(-1, 3), chunk)
         rgb = rgb.reshape(H, W, 3)
         depth = depth.reshape(H, W, 1)
         rgbs.append(rgb)

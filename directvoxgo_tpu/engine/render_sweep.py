@@ -1,0 +1,516 @@
+"""Camera-frame station-sweep renderer (separable shear-warp, MXU-native).
+
+The per-ray station sweep (ops/sweep.py) costs one [N, Gu] interp matmul per
+station — fine for 8k-ray train batches, quadratic-ish for an 800x800 frame.
+For a *camera* frame all rays share one center of projection, so the slab ->
+image resampling factorizes (Lacroute & Levoy shear-warp, adapted to voxel
+radiance fields):
+
+  1. Parameterize rays by their intersection (Ur, Vr) with a reference plane
+     p = p_ref perpendicular to the dominant view axis. A regular (Ur, Vr)
+     grid = the *intermediate image*; each intermediate pixel is one ray
+     through the camera center.
+  2. At station p_s the ray grid lands on the slab at ``U = lam_s*(Ur - ou)
+     + ou`` with ``lam_s = (p_s - op)/(p_ref - op)`` — an axis-aligned scale
+     + shift, so the slab resample is two tiny shared 1-D interp matmuls
+     ``Au_s @ D_s @ Av_s^T`` instead of per-ray weight rows.
+  3. Stations are composited front-to-back in a streaming scan (transmittance
+     carry, early termination at T < 1e-3 like the reference's alpha2weight,
+     render_utils_kernel.cu:447-455), evaluating the color MLP per station on
+     the warped features with the per-pixel view embedding's first-layer
+     contribution hoisted out of the loop.
+  4. The composited intermediate image is warped to screen pixels by the
+     (single) homography between the reference plane and the image plane.
+
+Per-sample math matches lib/dvgo.py:450-577 (same trilinear values at
+stations, same raw2alpha with the per-ray interval, same compositing and
+``fast_color_thres`` masking); only the quadrature points differ from the
+reference's arbitrary-t samples, as in the per-ray sweep.
+
+Restriction: every frame ray must share the dominant axis (|half FOV| < 45
+degrees toward the grid); `plan_camera_sweep` detects violations and the
+caller falls back to the per-ray sweep path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import rays as ray_lib
+from ..models import mlp as mlp_lib
+from ..ops import raymarch as rm
+from ..ops import sweep as sweep_ops
+
+# Intermediate-image oversampling vs screen pixel density, and the shape
+# quantum that bounds recompiles across poses (orbit renders then share a
+# handful of compiled shapes). Remote XLA compiles cost minutes, so coarse
+# quantization (fewer distinct shapes) beats tight footprints.
+OVERSAMPLE = 1.25
+SHAPE_QUANTUM = 512
+# Station-count quantum (padded with inert mask=0 slabs).
+S_QUANTUM = 64
+# Minimum |unit_d_axis| over the frame's corner rays. Station spacing along
+# a ray is stepsize/|unit_d_axis| voxels, so 0.25 allows up to 2-voxel
+# spacing at the extreme frame corners (object-centered scenes keep their
+# content near the center where spacing stays near the reference's 0.5);
+# frames below the bound fall back to the per-ray sweep.
+MIN_CORNER_UNIT_DP = 0.25
+
+
+def _round_up(x, m):
+    return int(np.ceil(x / m)) * m
+
+
+def _active_bbox_vox(model):
+    """Bounding box (voxel coords, padded by 1) of the occupancy mask.
+
+    The TPU analogue of the reference's maskcache free-space skipping at the
+    whole-frame level: stations and intermediate-image footprint are clipped
+    to this box. Cached per mask array."""
+    cache = getattr(model, "_active_bbox_cache", None)
+    if cache is not None and cache[0] is model.mask:
+        return cache[1]
+    m = np.asarray(model.mask)
+    if not m.any():
+        box = (np.zeros(3), np.asarray(m.shape, np.float64) - 1.0)
+    else:
+        lo, hi = [], []
+        for a in range(3):
+            axes = tuple(x for x in range(3) if x != a)
+            nz = np.flatnonzero(m.any(axis=axes))
+            lo.append(max(nz[0] - 1.0, 0.0))
+            hi.append(min(nz[-1] + 1.0, m.shape[a] - 1.0))
+        box = (np.asarray(lo), np.asarray(hi))
+    model._active_bbox_cache = (model.mask, box)
+    return box
+
+
+def plan_camera_sweep(model, H, W, K, c2w, near, far, inverse_y=False,
+                      flip_x=False, flip_y=False, stepsize=0.5):
+    """Host-side geometry for one camera. Returns None when the separable
+    sweep does not apply (rays disagree on the dominant axis)."""
+    rays_o, rays_d, _ = ray_lib.get_rays_of_a_view(
+        H, W, K, c2w, ndc=False, inverse_y=inverse_y,
+        flip_x=flip_x, flip_y=flip_y)
+    rays_o = np.asarray(rays_o)
+    rays_d = np.asarray(rays_d)
+    ws = np.asarray(model.world_size, np.float64)
+    scale = (ws - 1.0) / (np.asarray(model.xyz_max, np.float64)
+                          - np.asarray(model.xyz_min, np.float64))
+    d_vox_corners = rays_d[[0, 0, -1, -1], [0, -1, 0, -1]] * scale
+    d_vox_center = rays_d[H // 2, W // 2] * scale
+    axis = int(np.argmax(np.abs(d_vox_center)))
+    # all corner rays must march the same way along the axis, away from zero
+    dp = np.concatenate([d_vox_corners[:, axis:axis + 1].ravel(),
+                         d_vox_center[axis:axis + 1]])
+    if not ((dp > 1e-6).all() or (dp < -1e-6).all()):
+        return None
+    unit_dp = np.abs(d_vox_corners[:, axis]) / np.linalg.norm(
+        d_vox_corners, axis=1)
+    if unit_dp.min() < MIN_CORNER_UNIT_DP:
+        return None
+
+    perm = sweep_ops._PERMS[axis]
+    o_vox = (rays_o[0, 0] - np.asarray(model.xyz_min)) * scale
+    op = float(o_vox[axis])
+    gp = int(ws[axis])
+    sign = 1.0 if dp[0] > 0 else -1.0
+    # reference plane: the slab plane farthest from the camera
+    p_ref = float(gp - 1) if sign > 0 else 0.0
+
+    # Project the *occupied* bbox corners through the camera center onto the
+    # ref plane (maskcache-driven footprint clipping).
+    act_lo, act_hi = _active_bbox_vox(model)
+    corners = np.stack(np.meshgrid(
+        *[(act_lo[a], act_hi[a]) for a in perm],
+        indexing="ij"), -1).reshape(-1, 3)
+    o_pv = o_vox[list(perm)]
+    denom = corners[:, 0] - o_pv[0]
+    ok = np.abs(denom) > 1e-9
+    lam = (p_ref - o_pv[0]) / denom[ok]
+    lam = np.clip(lam, 0.0, 1e6)
+    ur = o_pv[1] + lam * (corners[ok, 1] - o_pv[1])
+    vr = o_pv[2] + lam * (corners[ok, 2] - o_pv[2])
+    gu, gv = ws[perm[1]], ws[perm[2]]
+    # ur/vr bounds of anything visible, clamped to the slab footprint scaled
+    # by the worst-case magnification (<= full plane extent is enough).
+    ur_lo, ur_hi = max(ur.min(), -gu), min(ur.max(), 2 * gu)
+    vr_lo, vr_hi = max(vr.min(), -gv), min(vr.max(), 2 * gv)
+
+    # Screen-pixel density on the reference plane: how far apart adjacent
+    # pixel rays land on it (take the center pixel's spacing).
+    d_pv = rays_d[H // 2, W // 2] * scale
+    d_pv = d_pv[list(perm)]
+    t_ref = (p_ref - o_pv[0]) / d_pv[0]
+    du_px = rays_d[H // 2, W // 2 + 1] * scale - rays_d[H // 2, W // 2] * scale
+    dv_px = rays_d[H // 2 + 1, W // 2] * scale - rays_d[H // 2, W // 2] * scale
+    spacing = min(
+        np.linalg.norm((du_px[list(perm)] * t_ref)[1:]),
+        np.linalg.norm((dv_px[list(perm)] * t_ref)[1:]))
+    spacing = max(spacing / OVERSAMPLE, 1e-3)
+    hi = _round_up(min((ur_hi - ur_lo) / spacing + 2, 4 * max(H, W)),
+                   SHAPE_QUANTUM)
+    wi = _round_up(min((vr_hi - vr_lo) / spacing + 2, 4 * max(H, W)),
+                   SHAPE_QUANTUM)
+
+    return {
+        "axis": axis, "perm": perm, "sign": sign, "p_ref": p_ref,
+        "o_pv": tuple(float(v) for v in o_pv),
+        "ur_range": (float(ur_lo), float(ur_hi)),
+        "vr_range": (float(vr_lo), float(vr_hi)),
+        "hi": int(hi), "wi": int(wi), "gp": gp,
+        "gu": int(gu), "gv": int(gv),
+        "p_active": (float(act_lo[axis]), float(act_hi[axis])),
+    }
+
+
+def _interp_matrix(coords, g, dtype):
+    """[M] continuous coords -> [M, g] hat-function interp rows."""
+    iota = jax.lax.broadcasted_iota(jnp.float32, (1, g), 1)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(coords[:, None] - iota)
+                       ).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "plan_static", "c", "k", "model_static", "bg", "near", "far"))
+def _sweep_frame_core(grid_perm, rgbnet_params, vd_emb_map, dnorm_map,
+                      ur_grid, vr_grid, *, plan_static, c, k, model_static,
+                      bg, near, far):
+    """Jitted streaming composite over stations.
+
+    grid_perm: [Gp, Gu, Gv*C] (bf16) permuted stacked grid
+    vd_emb_map: [Hi, Wi, E] per-intermediate-pixel view embedding (or None)
+    dnorm_map:  [Hi, Wi] world-space |d| for the ray of each pixel, with d
+                normalized so t=lam (the station fraction along o->ref).
+    ur_grid/vr_grid: [Hi], [Wi] reference-plane coordinates.
+    """
+    (op, ou, ov), p_ref, sign = plan_static[:3]
+    act_shift, interval_base, fast_thres, rgb_mode = model_static
+    gp = grid_perm.shape[0]
+    gu, gv = plan_static[3]
+    hi, wi = ur_grid.shape[0], vr_grid.shape[0]
+
+    slabs = sweep_ops._station_slabs(grid_perm, k)
+    s_total = slabs.shape[0]
+    p_stations = jnp.arange(s_total, dtype=jnp.float32) / k
+    if sign < 0:  # march back-to-front in slab order -> reverse
+        slabs = slabs[::-1]
+        p_stations = p_stations[::-1]
+
+    inv_span = 1.0 / (p_ref - op)
+    bf16 = jnp.bfloat16
+
+    # Hoist the view-dependent half of the MLP's first layer (constant per
+    # pixel across stations). For the non-direct mode the MLP consumes only
+    # k0[..., 3:] and its logits are offset by k0[..., :3]
+    # (lib/dvgo.py:536-539).
+    feat_lo = 5 if rgb_mode == "logit_plus_k0" else 2
+    if rgbnet_params is not None:
+        w1 = rgbnet_params["layers"][0]["w"]
+        b1 = rgbnet_params["layers"][0]["b"]
+        d1 = c - feat_lo  # MLP feature channels
+        shared1 = jnp.dot(vd_emb_map.astype(bf16),
+                          w1[d1:].astype(bf16),
+                          preferred_element_type=jnp.float32) \
+            + b1.astype(jnp.float32)
+        w1a = w1[:d1].astype(bf16)
+        rest = rgbnet_params["layers"][1:]
+
+    def body(carry, inp):
+        t_cum, rgb_acc, depth_acc = carry
+        d_s, p_s = inp
+        lam = (p_s - op) * inv_span  # in (0, 1]; t of this station
+        u = ou + lam * (ur_grid - ou)   # [Hi]
+        v = ov + lam * (vr_grid - ov)   # [Wi]
+        au = _interp_matrix(u, gu, bf16)          # [Hi, Gu]
+        av = _interp_matrix(v, gv, bf16)          # [Wi, Gv]
+        t1 = jax.lax.dot(au, d_s, preferred_element_type=jnp.float32)
+        t1 = t1.reshape(hi, gv, c)
+        warped = jax.lax.dot_general(
+            t1.astype(bf16), av,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [Hi, C, Wi]
+        warped = jnp.transpose(warped, (0, 2, 1))  # [Hi, Wi, C]
+
+        density = warped[..., 0]
+        mask_s = warped[..., 1]
+        dist = lam * dnorm_map                      # world distance along ray
+        interval = (dnorm_map * (inv_span / k)) / interval_base
+        alpha = rm.raw2alpha(density, act_shift, jnp.abs(interval))
+        valid = (dist >= near) & (dist <= far) & (mask_s > 0)
+        if fast_thres > 0:
+            valid = valid & (alpha > fast_thres)
+        active = t_cum >= rm.T_TERMINATE
+        alpha = jnp.where(valid & active, alpha, 0.0)
+        w = t_cum * alpha
+
+        if rgbnet_params is not None:
+            k0 = warped[..., feat_lo:]
+            h = jax.lax.dot_general(
+                k0.astype(bf16), w1a,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + shared1
+            h = jax.nn.relu(h)
+            for i, layer in enumerate(rest):
+                h = jax.lax.dot_general(
+                    h.astype(bf16), layer["w"].astype(bf16),
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) \
+                    + layer["b"].astype(jnp.float32)
+                if i < len(rest) - 1:
+                    h = jax.nn.relu(h)
+            if rgb_mode == "logit_plus_k0":
+                rgb = jax.nn.sigmoid(h + warped[..., 2:5])
+            else:
+                rgb = jax.nn.sigmoid(h)
+        else:
+            rgb = jax.nn.sigmoid(warped[..., 2:5])
+
+        rgb_acc = rgb_acc + w[..., None] * rgb
+        depth_acc = depth_acc + w * dist
+        t_cum = t_cum * (1.0 - alpha + rm.T_EPS)
+        return (t_cum, rgb_acc, depth_acc), ()
+
+    init = (jnp.ones((hi, wi), jnp.float32),
+            jnp.zeros((hi, wi, 3), jnp.float32),
+            jnp.zeros((hi, wi), jnp.float32))
+    (t_cum, rgb_acc, depth_acc), _ = jax.lax.scan(
+        body, init, (slabs, p_stations))
+    rgb = rgb_acc + t_cum[..., None] * bg
+    return rgb, depth_acc, t_cum
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "geom", "consts", "has_mlp", "rgb_mode", "interpret"))
+def _pallas_launch(d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params, *,
+                   geom, consts, has_mlp, rgb_mode, interpret):
+    from ..ops.pallas_render import render_frame_pallas
+    return render_frame_pallas(
+        d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params,
+        geom=geom, consts=consts, has_mlp=has_mlp, rgb_mode=rgb_mode,
+        interpret=interpret)
+
+
+def _frame_core_pallas(model, plan, k, dnorm, ur_grid, vr_grid, vd_emb,
+                       rgbnet_params, rgb_mode, *, near, far, bg,
+                       interpret=False):
+    """Prepare slabs/params and launch the fused Pallas frame kernel."""
+    from ..ops.pallas_render import S_BLK
+    sdt = jnp.bfloat16
+    axis = plan["axis"]
+    op, ou, ov = plan["o_pv"]
+    sign = plan["sign"]
+
+    # Station range clipped to the occupancy bbox along the sweep axis.
+    p_lo, p_hi = plan["p_active"]
+    s_lo = int(np.floor(p_lo * k))
+    s_hi = int(np.ceil(p_hi * k))
+
+    geo = jnp.stack([model.params["density"].astype(sdt),
+                     model.mask.astype(sdt)], -1)
+    d_geo = sweep_ops._station_slabs(
+        sweep_ops.permute_grid_cmajor(geo, axis, dtype=sdt),
+        k)[s_lo:s_hi + 1]
+    d_k0 = None
+    if model.k0_dim > 0:
+        perm = sweep_ops._PERMS[axis]
+        k0p = jnp.transpose(model.params["k0"].astype(sdt), (*perm, 3))
+        k0p = jnp.transpose(k0p, (0, 3, 1, 2))  # [Gp, F, Gu, Gv]
+        d_k0 = sweep_ops._station_slabs(k0p, k)[s_lo:s_hi + 1]
+
+    # March order: front-to-back. The kernel sees stations at
+    # p = p_first + p_step * t.
+    if sign > 0:
+        p_first, p_step = s_lo / k, 1.0 / k
+    else:
+        d_geo = d_geo[::-1]
+        if d_k0 is not None:
+            d_k0 = d_k0[::-1]
+        p_first, p_step = s_hi / k, -1.0 / k
+    # Pad the station count to the shape quantum with mask=0 slabs (alpha
+    # forced to 0) so orbit poses share compiled shapes.
+    s_n = d_geo.shape[0]
+    pad = (-s_n) % max(S_QUANTUM, S_BLK)
+    if pad:
+        d_geo = jnp.concatenate(
+            [d_geo, jnp.zeros((pad, *d_geo.shape[1:]), d_geo.dtype)], 0)
+        if d_k0 is not None:
+            d_k0 = jnp.concatenate(
+                [d_k0, jnp.zeros((pad, *d_k0.shape[1:]), d_k0.dtype)], 0)
+
+    has_mlp = rgbnet_params is not None
+    shared1 = None
+    mlp_params = None
+    if has_mlp:
+        w1 = rgbnet_params["layers"][0]["w"]
+        b1 = rgbnet_params["layers"][0]["b"]
+        f_mlp = model.k0_dim - (3 if rgb_mode == "logit_plus_k0" else 0)
+        shared1 = (jnp.dot(vd_emb.astype(sdt), w1[f_mlp:].astype(sdt),
+                           preferred_element_type=jnp.float32)
+                   + b1).astype(sdt)
+        layers = rgbnet_params["layers"]
+        assert len(layers) == 3, "pallas renderer supports depth-3 rgbnet"
+        mlp_params = {
+            "w1a": w1[:f_mlp], "w2": layers[1]["w"], "b2": layers[1]["b"],
+            "w3": layers[2]["w"], "b3": layers[2]["b"],
+        }
+
+    inv_span = 1.0 / (plan["p_ref"] - op)
+    geom = (float(op), float(ou), float(ov), float(inv_span),
+            float(p_first), float(p_step), int(plan["gu"]),
+            int(plan["gv"]))
+    consts = (float(model.act_shift),
+              float(abs(p_step * inv_span) / model.voxel_size_base),
+              float(model.fast_color_thres), float(near), float(far),
+              float(bg))
+    return _pallas_launch(
+        d_geo, d_k0, shared1, jnp.asarray(dnorm),
+        jnp.asarray(ur_grid), jnp.asarray(vr_grid), mlp_params,
+        geom=geom, consts=consts, has_mlp=has_mlp, rgb_mode=rgb_mode,
+        interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "bg"))
+def _warp_to_screen(inter_rgb, inter_depth, inter_alphainv, ur_px, vr_px,
+                    valid_px, *, h, w, bg):
+    """Homography resample: intermediate image -> screen pixels."""
+    from ..ops.grid import bilinear_sample_parts
+    packed = jnp.concatenate(
+        [inter_rgb, inter_depth[..., None], inter_alphainv[..., None]], -1)
+    out = bilinear_sample_parts(packed, ur_px, vr_px)
+    rgb = jnp.where(valid_px[..., None], out[..., :3],
+                    jnp.full((1, 1, 3), float(bg), jnp.float32))
+    depth = jnp.where(valid_px, out[..., 3], 0.0)
+    alphainv = jnp.where(valid_px, out[..., 4], 1.0)
+    return rgb, depth, alphainv
+
+
+def _use_pallas():
+    import os
+    if os.environ.get("DVGO_NO_PALLAS"):
+        return False
+    return jax.devices()[0].platform != "cpu"
+
+
+def render_frame_sweep(model, H, W, K, c2w, render_kwargs, plan=None,
+                       backend=None):
+    """Render one camera frame with the separable station sweep.
+
+    ``backend``: 'pallas' (fused TPU kernel, default on accelerators),
+    'pallas_interpret' (the same kernel interpreted — CPU tests), or 'xla'
+    (scan-of-matmuls fallback, default on CPU).
+
+    Returns (rgb [H,W,3], depth [H,W]) as numpy, or None when the camera
+    geometry rules the sweep out (caller falls back to per-ray rendering).
+    """
+    near = float(render_kwargs["near"])
+    far = float(render_kwargs["far"])
+    bg = float(render_kwargs["bg"])
+    stepsize = float(render_kwargs["stepsize"])
+    inverse_y = bool(render_kwargs.get("inverse_y", False))
+    flip_x = bool(render_kwargs.get("flip_x", False))
+    flip_y = bool(render_kwargs.get("flip_y", False))
+    if plan is None:
+        plan = plan_camera_sweep(model, H, W, K, c2w, near, far,
+                                 inverse_y=inverse_y, flip_x=flip_x,
+                                 flip_y=flip_y, stepsize=stepsize)
+    if plan is None:
+        return None
+
+    k = sweep_ops.substeps_for_stepsize(stepsize)
+    perm = plan["perm"]
+    hi, wi = plan["hi"], plan["wi"]
+    op, ou, ov = plan["o_pv"]
+    p_ref = plan["p_ref"]
+
+    # stacked channels-last grid, like forward_sweep
+    sdt = jnp.bfloat16
+    chans = [model.params["density"].astype(sdt)[..., None],
+             model.mask.astype(sdt)[..., None]]
+    if model.k0_dim > 0:
+        chans.append(model.params["k0"].astype(sdt))
+    grid_cat = jnp.concatenate(chans, -1)
+    c = grid_cat.shape[-1]
+    grid_perm = sweep_ops.permute_grid(grid_cat, plan["axis"], dtype=sdt)
+
+    ur_grid = np.linspace(plan["ur_range"][0], plan["ur_range"][1], hi,
+                          dtype=np.float32)
+    vr_grid = np.linspace(plan["vr_range"][0], plan["vr_range"][1], wi,
+                          dtype=np.float32)
+
+    # Per-intermediate-pixel world direction d = P(ref) - o (t == lam).
+    ws = np.asarray(model.world_size, np.float64)
+    ext = (np.asarray(model.xyz_max, np.float64)
+           - np.asarray(model.xyz_min, np.float64))
+    inv_scale = ext / (ws - 1.0)  # voxel -> world per axis
+    d_p = np.full((hi, wi), p_ref - op, np.float32) * inv_scale[plan["axis"]]
+    d_u = ((ur_grid - ou)[:, None] * np.ones((1, wi), np.float32)
+           * inv_scale[perm[1]])
+    d_v = (np.ones((hi, 1), np.float32) * (vr_grid - ov)[None, :]
+           * inv_scale[perm[2]])
+    d_world = np.zeros((hi, wi, 3), np.float32)
+    d_world[..., plan["axis"]] = d_p
+    d_world[..., perm[1]] = d_u
+    d_world[..., perm[2]] = d_v
+    dnorm = np.linalg.norm(d_world, axis=-1)
+    viewdirs = d_world / np.maximum(dnorm[..., None], 1e-12)
+
+    vd_emb = None
+    rgbnet_params = None
+    rgb_mode = "direct"
+    if model.has_rgbnet:
+        if model.rgbnet_full_implicit or model.posbase_pe > 0:
+            return None  # rare variants: per-ray sweep fallback
+        rgbnet_params = model.params["rgbnet"]
+        vd_emb = mlp_lib.positional_encoding(jnp.asarray(viewdirs),
+                                             model.viewbase_pe)
+        if not model.rgbnet_direct:
+            rgb_mode = "logit_plus_k0"
+
+    if backend is None:
+        backend = "pallas" if _use_pallas() else "xla"
+    if backend.startswith("pallas"):
+        inter_rgb, inter_depth, inter_ainv = _frame_core_pallas(
+            model, plan, k, dnorm, ur_grid, vr_grid, vd_emb, rgbnet_params,
+            rgb_mode, near=near, far=far, bg=bg,
+            interpret=(backend == "pallas_interpret"))
+    else:
+        plan_static = ((op, ou, ov), p_ref, plan["sign"],
+                       (plan["gu"], plan["gv"]))
+        model_static = (float(model.act_shift), float(model.voxel_size_base),
+                        float(model.fast_color_thres), rgb_mode)
+        inter_rgb, inter_depth, inter_ainv = _sweep_frame_core(
+            grid_perm, rgbnet_params, vd_emb, jnp.asarray(dnorm),
+            jnp.asarray(ur_grid), jnp.asarray(vr_grid),
+            plan_static=plan_static, c=c, k=k, model_static=model_static,
+            bg=bg, near=near, far=far)
+
+    # Homography to screen: each screen pixel's ray hits the ref plane at
+    # (Ur, Vr); sample the intermediate image there (in grid coordinates of
+    # the intermediate pixel lattice).
+    rays_o, rays_d, _ = ray_lib.get_rays_of_a_view(
+        H, W, K, c2w, ndc=False, inverse_y=inverse_y,
+        flip_x=flip_x, flip_y=flip_y)
+    rays_d = np.asarray(rays_d)
+    scale = (ws - 1.0) / ext
+    d_pv = rays_d * scale  # [H, W, 3] voxel-space dirs
+    dp_px = d_pv[..., plan["axis"]]
+    dp_safe = np.where(np.abs(dp_px) < 1e-12, 1e-12, dp_px)
+    t_ref = (p_ref - op) / dp_safe
+    ur_px = ou + t_ref * d_pv[..., perm[1]]
+    vr_px = ov + t_ref * d_pv[..., perm[2]]
+    valid_px = (t_ref > 0) & (ur_px >= ur_grid[0]) & (ur_px <= ur_grid[-1]) \
+        & (vr_px >= vr_grid[0]) & (vr_px <= vr_grid[-1])
+    # to intermediate lattice coords
+    ur_l = (ur_px - ur_grid[0]) / max(ur_grid[1] - ur_grid[0], 1e-12)
+    vr_l = (vr_px - vr_grid[0]) / max(vr_grid[1] - vr_grid[0], 1e-12)
+    rgb, depth, _ = _warp_to_screen(
+        inter_rgb, inter_depth, inter_ainv,
+        jnp.asarray(ur_l.astype(np.float32)),
+        jnp.asarray(vr_l.astype(np.float32)),
+        jnp.asarray(valid_px), h=H, w=W, bg=bg)
+    return np.asarray(rgb), np.asarray(depth)

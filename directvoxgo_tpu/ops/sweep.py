@@ -50,11 +50,23 @@ def substeps_for_stepsize(stepsize):
 
 
 def permute_grid(grid, axis, dtype=jnp.bfloat16):
-    """[Gx, Gy, Gz, C] -> [Gp, Gu, Gv*C] slabs for a sweep along ``axis``."""
+    """[Gx, Gy, Gz, C] -> [Gp, Gu, Gv*C] slabs for a sweep along ``axis``
+    (channel-minor: column v*C + c)."""
     perm = _PERMS[axis]
     g = jnp.transpose(grid, (*perm, 3))
     gp, gu, gv, c = g.shape
     return g.reshape(gp, gu, gv * c).astype(dtype)
+
+
+def permute_grid_cmajor(grid, axis, dtype=jnp.bfloat16):
+    """[Gx, Gy, Gz, C] -> [Gp, Gu, C*Gv] slabs, channel-major (column
+    c*Gv + v) — the layout the fused Pallas frame kernel slices per
+    channel."""
+    perm = _PERMS[axis]
+    g = jnp.transpose(grid, (*perm, 3))
+    gp, gu, gv, c = g.shape
+    g = jnp.transpose(g, (0, 1, 3, 2))
+    return g.reshape(gp, gu, c * gv).astype(dtype)
 
 
 def rays_to_voxel(rays_o, rays_d, xyz_min, xyz_max, world_size, axis):
