@@ -9,8 +9,18 @@ reference's headline inference number is 0.36-0.07 s/frame on an RTX 2080 Ti
 (README.md:7, BASELINE.md). vs_baseline = reference_best / ours (>1 = faster
 than the reference's best GPU number). Train-step throughput and a projected
 lego fine-stage wall-clock go to stderr.
+
+Render goes through the camera-frame station sweep (fused Pallas kernel,
+engine/render_sweep.py); training through the per-ray station sweep
+(ops/sweep.py) — the same paths run.py uses on TPU.
 """
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import functools
 import json
 import sys
 import time
@@ -31,13 +41,11 @@ def build_fine_model():
         xyz_min=[-1.0, -1.0, -1.0], xyz_max=[1.0, 1.0, 1.0],
         num_voxels=160 ** 3, num_voxels_base=160 ** 3,
         alpha_init=1e-2, fast_color_thres=1e-4,
-        rgbnet_dim=12, rgbnet_direct=True, rgbnet_depth=3, rgbnet_width=128,
-        k_density=256, k_color=64)
+        rgbnet_dim=12, rgbnet_direct=True, rgbnet_depth=3, rgbnet_width=128)
     # Populate with a realistic occupancy pattern (the fixture blobs at grid
     # resolution) so free-space skipping / early termination behave like a
     # trained scene rather than an empty or solid grid.
     density, rgb = teacher_grids(model.world_size[0])
-    # teacher grid is cubic; broadcast-resample to the actual world_size
     from directvoxgo_tpu.ops.grid import resize_trilinear
     density = np.asarray(resize_trilinear(jnp.asarray(density),
                                           model.world_size))
@@ -51,38 +59,31 @@ def build_fine_model():
     return model
 
 
-def bench_render(model, H=800, W=800, frames=3, chunk=65536):
-    import jax
-    from directvoxgo_tpu.engine.render import (make_render_fn,
-                                               render_rays_chunked)
-    from directvoxgo_tpu import rays as ray_lib
+def bench_render(model, H=800, W=800):
+    from directvoxgo_tpu.engine import render_sweep
     from directvoxgo_tpu.data.load_blender import pose_spherical
 
     focal = 0.5 * W / np.tan(0.5 * 0.6911)
     K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
                  np.float32)
-    render_kwargs = dict(near=2.0, far=6.0, bg=1.0, stepsize=0.5,
-                         inverse_y=False)
-    render_fn = make_render_fn(model, render_kwargs)
+    rk = dict(near=2.0, far=6.0, bg=1.0, stepsize=0.5,
+              inverse_y=False, flip_x=False, flip_y=False)
+    thetas = np.linspace(0, 360, 13)[:-1]
 
-    def one_frame(theta):
-        c2w = pose_spherical(theta, -30.0, 4.0)[:3, :4]
-        rays_o, rays_d, viewdirs = ray_lib.get_rays_of_a_view(
-            H, W, K, c2w, ndc=False, inverse_y=False,
-            flip_x=False, flip_y=False)
-        return render_rays_chunked(
-            render_fn, model, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
-            viewdirs.reshape(-1, 3), chunk)
+    def frame(th):
+        c2w = np.asarray(pose_spherical(float(th), -30.0, 4.0))[:3, :4]
+        return render_sweep.render_frame_sweep(model, H, W, K, c2w, rk)
 
-    # warmup / compile
     t0 = time.time()
-    one_frame(0.0)
-    log(f"bench: render compile+first frame {time.time()-t0:.2f}s")
+    n_fallback = sum(frame(th) is None for th in thetas)
+    log(f"bench: render warmup/compile {time.time()-t0:.1f}s "
+        f"({n_fallback} poses fell back)")
     times = []
-    for i in range(frames):
+    for th in thetas:
         t0 = time.time()
-        rgb, dep = one_frame(10.0 * (i + 1))
-        times.append(time.time() - t0)
+        out = frame(th)
+        if out is not None:
+            times.append(time.time() - t0)
     sec = float(np.median(times))
     log(f"bench: render {H}x{W} median {sec*1000:.1f} ms/frame "
         f"(times: {[f'{t*1000:.0f}' for t in times]})")
@@ -103,17 +104,20 @@ def bench_train(model, n_rand=8192, iters=50):
 
     rng = np.random.default_rng(0)
     rays_o = np.tile([[0.0, 0.0, 3.5]], (n_rand, 1)).astype(np.float32)
-    rays_d = rng.normal(size=(n_rand, 3)).astype(np.float32)
-    rays_d[:, 2] = -np.abs(rays_d[:, 2]) - 0.5
+    ang = rng.uniform(-0.3, 0.3, (n_rand, 2))
+    rays_d = np.stack([np.tan(ang[:, 0]), np.tan(ang[:, 1]),
+                       -np.ones(n_rand)], -1).astype(np.float32)
     viewdirs = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
     target = rng.uniform(0, 1, (n_rand, 3)).astype(np.float32)
     batch = tuple(jnp.asarray(x) for x in (rays_o, rays_d, viewdirs, target))
 
-    @jax.jit
-    def step(params, mask, opt_state, rays_o, rays_d, viewdirs, target):
+    @functools.partial(jax.jit, static_argnums=(7,))
+    def step(params, mask, opt_state, rays_o, rays_d, viewdirs, target,
+             axis):
         def loss_fn(params):
-            ret = model.forward(params, mask, rays_o, rays_d, viewdirs,
-                                near=2.0, far=6.0, bg=1.0, stepsize=0.5)
+            ret = model.forward_sweep(params, mask, rays_o, rays_d,
+                                      viewdirs, axis, near=2.0, far=6.0,
+                                      bg=1.0, stepsize=0.5)
             mse = jnp.mean((ret["rgb_marched"] - target) ** 2)
             pout = jnp.clip(ret["alphainv_last"], 1e-6, 1 - 1e-6)
             ent = -jnp.mean(pout * jnp.log(pout)
@@ -128,13 +132,13 @@ def bench_train(model, n_rand=8192, iters=50):
 
     params, mask = model.params, model.mask
     t0 = time.time()
-    params, opt_state, loss = step(params, mask, opt_state, *batch)
-    jax.block_until_ready(loss)
-    log(f"bench: train compile+first step {time.time()-t0:.2f}s")
+    params, opt_state, loss = step(params, mask, opt_state, *batch, 2)
+    log(f"bench: train compile+first step "
+        f"{time.time()-t0:.2f}s (loss={float(jnp.sum(loss)):.4f})")
     t0 = time.time()
     for _ in range(iters):
-        params, opt_state, loss = step(params, mask, opt_state, *batch)
-    jax.block_until_ready(loss)
+        params, opt_state, loss = step(params, mask, opt_state, *batch, 2)
+    float(jnp.sum(loss))  # device->host transfer = real sync on this stack
     dt = (time.time() - t0) / iters
     log(f"bench: train step {dt*1000:.2f} ms/iter ({1/dt:.1f} it/s, "
         f"N_rand={n_rand})")

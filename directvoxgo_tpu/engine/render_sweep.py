@@ -176,10 +176,9 @@ def _interp_matrix(coords, g, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "plan_static", "c", "k", "model_static", "bg", "near", "far"))
+    "c", "k", "guv", "sign", "rgb_mode"))
 def _sweep_frame_core(grid_perm, rgbnet_params, vd_emb_map, dnorm_map,
-                      ur_grid, vr_grid, *, plan_static, c, k, model_static,
-                      bg, near, far):
+                      ur_grid, vr_grid, sc, *, c, k, guv, sign, rgb_mode):
     """Jitted streaming composite over stations.
 
     grid_perm: [Gp, Gu, Gv*C] (bf16) permuted stacked grid
@@ -187,11 +186,14 @@ def _sweep_frame_core(grid_perm, rgbnet_params, vd_emb_map, dnorm_map,
     dnorm_map:  [Hi, Wi] world-space |d| for the ray of each pixel, with d
                 normalized so t=lam (the station fraction along o->ref).
     ur_grid/vr_grid: [Hi], [Wi] reference-plane coordinates.
+    sc: [10] f32 runtime scalars (op, ou, ov, p_ref, act_shift,
+        voxel_size_base, fast_thres, near, far, bg) — runtime, not static,
+        so orbit poses share one compiled program per shape.
     """
-    (op, ou, ov), p_ref, sign = plan_static[:3]
-    act_shift, interval_base, fast_thres, rgb_mode = model_static
-    gp = grid_perm.shape[0]
-    gu, gv = plan_static[3]
+    op, ou, ov, p_ref = sc[0], sc[1], sc[2], sc[3]
+    act_shift, interval_base = sc[4], sc[5]
+    fast_thres, near, far, bg = sc[6], sc[7], sc[8], sc[9]
+    gu, gv = guv
     hi, wi = ur_grid.shape[0], vr_grid.shape[0]
 
     slabs = sweep_ops._station_slabs(grid_perm, k)
@@ -241,9 +243,8 @@ def _sweep_frame_core(grid_perm, rgbnet_params, vd_emb_map, dnorm_map,
         dist = lam * dnorm_map                      # world distance along ray
         interval = (dnorm_map * (inv_span / k)) / interval_base
         alpha = rm.raw2alpha(density, act_shift, jnp.abs(interval))
-        valid = (dist >= near) & (dist <= far) & (mask_s > 0)
-        if fast_thres > 0:
-            valid = valid & (alpha > fast_thres)
+        valid = (dist >= near) & (dist <= far) & (mask_s > 0) \
+            & (alpha > fast_thres)
         active = t_cum >= rm.T_TERMINATE
         alpha = jnp.where(valid & active, alpha, 0.0)
         w = t_cum * alpha
@@ -285,93 +286,137 @@ def _sweep_frame_core(grid_perm, rgbnet_params, vd_emb_map, dnorm_map,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "geom", "consts", "has_mlp", "rgb_mode", "interpret"))
-def _pallas_launch(d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params, *,
-                   geom, consts, has_mlp, rgb_mode, interpret):
-    from ..ops.pallas_render import render_frame_pallas
-    return render_frame_pallas(
-        d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params,
-        geom=geom, consts=consts, has_mlp=has_mlp, rgb_mode=rgb_mode,
-        interpret=interpret)
-
-
-def _frame_core_pallas(model, plan, k, dnorm, ur_grid, vr_grid, vd_emb,
-                       rgbnet_params, rgb_mode, *, near, far, bg,
-                       interpret=False):
-    """Prepare slabs/params and launch the fused Pallas frame kernel."""
-    from ..ops.pallas_render import S_BLK
+    "axis", "sign", "k", "s_lo", "s_hi", "s_pad", "has_k0"))
+def _build_slabs(density, mask, k0, *, axis, sign, k, s_lo, s_hi, s_pad,
+                 has_k0):
+    """Station slabs for the fused frame kernel, in march order + padded."""
     sdt = jnp.bfloat16
-    axis = plan["axis"]
-    op, ou, ov = plan["o_pv"]
-    sign = plan["sign"]
-
-    # Station range clipped to the occupancy bbox along the sweep axis.
-    p_lo, p_hi = plan["p_active"]
-    s_lo = int(np.floor(p_lo * k))
-    s_hi = int(np.ceil(p_hi * k))
-
-    geo = jnp.stack([model.params["density"].astype(sdt),
-                     model.mask.astype(sdt)], -1)
+    geo = jnp.stack([density.astype(sdt), mask.astype(sdt)], -1)
     d_geo = sweep_ops._station_slabs(
         sweep_ops.permute_grid_cmajor(geo, axis, dtype=sdt),
         k)[s_lo:s_hi + 1]
     d_k0 = None
-    if model.k0_dim > 0:
+    if has_k0:
         perm = sweep_ops._PERMS[axis]
-        k0p = jnp.transpose(model.params["k0"].astype(sdt), (*perm, 3))
+        k0p = jnp.transpose(k0.astype(sdt), (*perm, 3))
         k0p = jnp.transpose(k0p, (0, 3, 1, 2))  # [Gp, F, Gu, Gv]
         d_k0 = sweep_ops._station_slabs(k0p, k)[s_lo:s_hi + 1]
-
-    # March order: front-to-back. The kernel sees stations at
-    # p = p_first + p_step * t.
-    if sign > 0:
-        p_first, p_step = s_lo / k, 1.0 / k
-    else:
+    if sign < 0:
         d_geo = d_geo[::-1]
         if d_k0 is not None:
             d_k0 = d_k0[::-1]
-        p_first, p_step = s_hi / k, -1.0 / k
-    # Pad the station count to the shape quantum with mask=0 slabs (alpha
-    # forced to 0) so orbit poses share compiled shapes.
-    s_n = d_geo.shape[0]
-    pad = (-s_n) % max(S_QUANTUM, S_BLK)
-    if pad:
+    if s_pad:
         d_geo = jnp.concatenate(
-            [d_geo, jnp.zeros((pad, *d_geo.shape[1:]), d_geo.dtype)], 0)
+            [d_geo, jnp.zeros((s_pad, *d_geo.shape[1:]), d_geo.dtype)], 0)
         if d_k0 is not None:
             d_k0 = jnp.concatenate(
-                [d_k0, jnp.zeros((pad, *d_k0.shape[1:]), d_k0.dtype)], 0)
+                [d_k0, jnp.zeros((s_pad, *d_k0.shape[1:]), d_k0.dtype)], 0)
+    return d_geo, d_k0
 
-    has_mlp = rgbnet_params is not None
+
+def _get_render_slabs(model, axis, sign, k, s_lo, s_hi, s_pad):
+    """Per-(params, axis) cache: slabs are pose-independent, so an orbit
+    rebuilds them only when the sweep axis (or the model state) changes."""
+    key = (axis, float(sign), k, s_lo, s_hi, s_pad,
+           id(model.params["density"]), id(model.params.get("k0")),
+           id(model.mask))
+    cache = getattr(model, "_render_slab_cache", None)
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    slabs = _build_slabs(model.params["density"], model.mask,
+                         model.params.get("k0"), axis=axis,
+                         sign=float(sign), k=k, s_lo=s_lo, s_hi=s_hi,
+                         s_pad=s_pad, has_k0=model.k0_dim > 0)
+    model._render_slab_cache = (key, slabs)
+    return slabs
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "hw", "hiwi", "guv", "perm", "has_mlp", "rgb_mode", "viewbase_pe",
+    "f_mlp", "inverse_y", "flip_x", "flip_y", "interpret"))
+def _render_frame_fused(d_geo, d_k0, rgbnet_params, km, c2w, sc, *, hw,
+                        hiwi, guv, perm, has_mlp, rgb_mode, viewbase_pe,
+                        f_mlp, inverse_y, flip_x, flip_y, interpret):
+    """One dispatch per frame: intermediate grids, view embeddings, the
+    fused Pallas composite, and the homography warp to screen — everything
+    pose-dependent is a runtime scalar/array so orbit poses share one
+    compiled program per (shape, axis) pair."""
+    from ..ops.pallas_render import render_frame_pallas
+    from ..ops.grid import bilinear_sample_parts
+    h_px, w_px = hw
+    hi, wi = hiwi
+    axis = perm[0]
+    bf16 = jnp.bfloat16
+    (op, ou, ov) = sc[0], sc[1], sc[2]
+    (ur0, dur, vr0, dvr) = sc[12], sc[13], sc[14], sc[15]
+    (w_dp, inv_su, inv_sv) = sc[16], sc[17], sc[18]
+    p_ref, bg = sc[19], sc[11]
+
+    ur_grid = ur0 + dur * jnp.arange(hi, dtype=jnp.float32)
+    vr_grid = vr0 + dvr * jnp.arange(wi, dtype=jnp.float32)
+    du = (ur_grid - ou) * inv_su
+    dv = (vr_grid - ov) * inv_sv
+    dnorm = jnp.sqrt(w_dp ** 2 + du[:, None] ** 2 + dv[None, :] ** 2)
+
     shared1 = None
     mlp_params = None
     if has_mlp:
-        w1 = rgbnet_params["layers"][0]["w"]
-        b1 = rgbnet_params["layers"][0]["b"]
-        f_mlp = model.k0_dim - (3 if rgb_mode == "logit_plus_k0" else 0)
-        shared1 = (jnp.dot(vd_emb.astype(sdt), w1[f_mlp:].astype(sdt),
-                           preferred_element_type=jnp.float32)
-                   + b1).astype(sdt)
+        comps = [None, None, None]
+        comps[axis] = jnp.broadcast_to(w_dp, (hi, wi))
+        comps[perm[1]] = jnp.broadcast_to(du[:, None], (hi, wi))
+        comps[perm[2]] = jnp.broadcast_to(dv[None, :], (hi, wi))
+        viewdirs = jnp.stack(comps, -1) / jnp.maximum(dnorm[..., None],
+                                                      1e-12)
+        vd_emb = mlp_lib.positional_encoding(viewdirs, viewbase_pe)
         layers = rgbnet_params["layers"]
-        assert len(layers) == 3, "pallas renderer supports depth-3 rgbnet"
-        mlp_params = {
-            "w1a": w1[:f_mlp], "w2": layers[1]["w"], "b2": layers[1]["b"],
-            "w3": layers[2]["w"], "b3": layers[2]["b"],
-        }
+        w1, b1 = layers[0]["w"], layers[0]["b"]
+        shared1 = (jnp.dot(vd_emb.astype(bf16), w1[f_mlp:].astype(bf16),
+                           preferred_element_type=jnp.float32)
+                   + b1).astype(bf16)
+        mlp_params = {"w1a": w1[:f_mlp], "w2": layers[1]["w"],
+                      "b2": layers[1]["b"], "w3": layers[2]["w"],
+                      "b3": layers[2]["b"]}
 
-    inv_span = 1.0 / (plan["p_ref"] - op)
-    geom = (float(op), float(ou), float(ov), float(inv_span),
-            float(p_first), float(p_step), int(plan["gu"]),
-            int(plan["gv"]))
-    consts = (float(model.act_shift),
-              float(abs(p_step * inv_span) / model.voxel_size_base),
-              float(model.fast_color_thres), float(near), float(far),
-              float(bg))
-    return _pallas_launch(
-        d_geo, d_k0, shared1, jnp.asarray(dnorm),
-        jnp.asarray(ur_grid), jnp.asarray(vr_grid), mlp_params,
-        geom=geom, consts=consts, has_mlp=has_mlp, rgb_mode=rgb_mode,
+    inter_rgb, inter_depth, inter_ainv = render_frame_pallas(
+        d_geo, d_k0, shared1, dnorm, ur_grid, vr_grid, mlp_params,
+        sc[:12], guv=guv, has_mlp=has_mlp, rgb_mode=rgb_mode,
         interpret=interpret)
+
+    # Homography warp to screen (ray convention of rays.get_rays).
+    ii = jnp.arange(w_px, dtype=jnp.float32) + 0.5
+    jj = jnp.arange(h_px, dtype=jnp.float32) + 0.5
+    if flip_x:
+        ii = ii[::-1]
+    if flip_y:
+        jj = jj[::-1]
+    i2 = jnp.broadcast_to(ii[None, :], (h_px, w_px))
+    j2 = jnp.broadcast_to(jj[:, None], (h_px, w_px))
+    if inverse_y:
+        dirs = jnp.stack([(i2 - km[0, 2]) / km[0, 0],
+                          (j2 - km[1, 2]) / km[1, 1],
+                          jnp.ones_like(i2)], -1)
+    else:
+        dirs = jnp.stack([(i2 - km[0, 2]) / km[0, 0],
+                          -(j2 - km[1, 2]) / km[1, 1],
+                          -jnp.ones_like(i2)], -1)
+    rays_d = dirs @ c2w[:3, :3].T
+    scale3 = jnp.stack([sc[20], sc[21], sc[22]])
+    d_pv = rays_d * scale3
+    dp_px = d_pv[..., axis]
+    dp_safe = jnp.where(jnp.abs(dp_px) < 1e-12, 1e-12, dp_px)
+    t_ref = (p_ref - op) / dp_safe
+    ur_px = ou + t_ref * d_pv[..., perm[1]]
+    vr_px = ov + t_ref * d_pv[..., perm[2]]
+    valid = (t_ref > 0) & (ur_px >= ur_grid[0]) & (ur_px <= ur_grid[-1]) \
+        & (vr_px >= vr_grid[0]) & (vr_px <= vr_grid[-1])
+    ur_l = (ur_px - ur0) / jnp.maximum(dur, 1e-12)
+    vr_l = (vr_px - vr0) / jnp.maximum(dvr, 1e-12)
+    packed = jnp.concatenate([inter_rgb, inter_depth[..., None],
+                              inter_ainv[..., None]], -1)
+    out = bilinear_sample_parts(packed, ur_l, vr_l)
+    rgb = jnp.where(valid[..., None], out[..., :3], bg)
+    depth = jnp.where(valid, out[..., 3], 0.0)
+    return rgb, depth
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "bg"))
@@ -420,14 +465,67 @@ def render_frame_sweep(model, H, W, K, c2w, render_kwargs, plan=None,
                                  flip_y=flip_y, stepsize=stepsize)
     if plan is None:
         return None
+    if model.has_rgbnet and (model.rgbnet_full_implicit
+                             or model.posbase_pe > 0):
+        return None  # rare variants: per-ray sweep fallback
 
     k = sweep_ops.substeps_for_stepsize(stepsize)
     perm = plan["perm"]
     hi, wi = plan["hi"], plan["wi"]
     op, ou, ov = plan["o_pv"]
     p_ref = plan["p_ref"]
+    rgb_mode = "direct"
+    if model.has_rgbnet and not model.rgbnet_direct:
+        rgb_mode = "logit_plus_k0"
+    if backend is None:
+        backend = "pallas" if _use_pallas() else "xla"
 
-    # stacked channels-last grid, like forward_sweep
+    if backend.startswith("pallas"):
+        sign = plan["sign"]
+        p_lo, p_hi = plan["p_active"]
+        s_lo = int(np.floor(p_lo * k))
+        s_hi = int(np.ceil(p_hi * k))
+        from ..ops.pallas_render import S_BLK
+        s_pad = (-(s_hi - s_lo + 1)) % max(S_QUANTUM, S_BLK)
+        d_geo, d_k0 = _get_render_slabs(model, plan["axis"], sign, k,
+                                        s_lo, s_hi, s_pad)
+        if sign > 0:
+            p_first, p_step = s_lo / k, 1.0 / k
+        else:
+            p_first, p_step = s_hi / k, -1.0 / k
+        inv_span = 1.0 / (p_ref - op)
+        ws = np.asarray(model.world_size, np.float64)
+        ext = (np.asarray(model.xyz_max, np.float64)
+               - np.asarray(model.xyz_min, np.float64))
+        inv_scale = ext / (ws - 1.0)  # voxel -> world per axis
+        scale = (ws - 1.0) / ext
+        ur_lo, ur_hi = plan["ur_range"]
+        vr_lo, vr_hi = plan["vr_range"]
+        sc = jnp.asarray([
+            op, ou, ov, inv_span, p_first, p_step, model.act_shift,
+            abs(p_step * inv_span) / model.voxel_size_base,
+            model.fast_color_thres, near, far, bg,
+            ur_lo, (ur_hi - ur_lo) / (hi - 1),
+            vr_lo, (vr_hi - vr_lo) / (wi - 1),
+            (p_ref - op) * inv_scale[plan["axis"]],
+            inv_scale[perm[1]], inv_scale[perm[2]],
+            p_ref, scale[0], scale[1], scale[2]], jnp.float32)
+        f_mlp = 0
+        rgbnet_params = None
+        if model.has_rgbnet:
+            rgbnet_params = model.params["rgbnet"]
+            f_mlp = model.k0_dim - (3 if rgb_mode == "logit_plus_k0" else 0)
+        rgb, depth = _render_frame_fused(
+            d_geo, d_k0, rgbnet_params, jnp.asarray(K, jnp.float32),
+            jnp.asarray(c2w, jnp.float32), sc, hw=(int(H), int(W)),
+            hiwi=(hi, wi), guv=(plan["gu"], plan["gv"]), perm=perm,
+            has_mlp=model.has_rgbnet, rgb_mode=rgb_mode,
+            viewbase_pe=int(model.viewbase_pe), f_mlp=f_mlp,
+            inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y,
+            interpret=(backend == "pallas_interpret"))
+        return np.asarray(rgb), np.asarray(depth)
+
+    # ------------------------------------------------- XLA fallback path
     sdt = jnp.bfloat16
     chans = [model.params["density"].astype(sdt)[..., None],
              model.mask.astype(sdt)[..., None]]
@@ -461,33 +559,19 @@ def render_frame_sweep(model, H, W, K, c2w, render_kwargs, plan=None,
 
     vd_emb = None
     rgbnet_params = None
-    rgb_mode = "direct"
     if model.has_rgbnet:
-        if model.rgbnet_full_implicit or model.posbase_pe > 0:
-            return None  # rare variants: per-ray sweep fallback
         rgbnet_params = model.params["rgbnet"]
         vd_emb = mlp_lib.positional_encoding(jnp.asarray(viewdirs),
                                              model.viewbase_pe)
-        if not model.rgbnet_direct:
-            rgb_mode = "logit_plus_k0"
 
-    if backend is None:
-        backend = "pallas" if _use_pallas() else "xla"
-    if backend.startswith("pallas"):
-        inter_rgb, inter_depth, inter_ainv = _frame_core_pallas(
-            model, plan, k, dnorm, ur_grid, vr_grid, vd_emb, rgbnet_params,
-            rgb_mode, near=near, far=far, bg=bg,
-            interpret=(backend == "pallas_interpret"))
-    else:
-        plan_static = ((op, ou, ov), p_ref, plan["sign"],
-                       (plan["gu"], plan["gv"]))
-        model_static = (float(model.act_shift), float(model.voxel_size_base),
-                        float(model.fast_color_thres), rgb_mode)
-        inter_rgb, inter_depth, inter_ainv = _sweep_frame_core(
-            grid_perm, rgbnet_params, vd_emb, jnp.asarray(dnorm),
-            jnp.asarray(ur_grid), jnp.asarray(vr_grid),
-            plan_static=plan_static, c=c, k=k, model_static=model_static,
-            bg=bg, near=near, far=far)
+    sc = jnp.asarray([op, ou, ov, p_ref, model.act_shift,
+                      model.voxel_size_base, model.fast_color_thres,
+                      near, far, bg], jnp.float32)
+    inter_rgb, inter_depth, inter_ainv = _sweep_frame_core(
+        grid_perm, rgbnet_params, vd_emb, jnp.asarray(dnorm),
+        jnp.asarray(ur_grid), jnp.asarray(vr_grid), sc,
+        c=c, k=k, guv=(plan["gu"], plan["gv"]), sign=plan["sign"],
+        rgb_mode=rgb_mode)
 
     # Homography to screen: each screen pixel's ray hits the ref plane at
     # (Ur, Vr); sample the intermediate image there (in grid coordinates of
@@ -505,7 +589,6 @@ def render_frame_sweep(model, H, W, K, c2w, render_kwargs, plan=None,
     vr_px = ov + t_ref * d_pv[..., perm[2]]
     valid_px = (t_ref > 0) & (ur_px >= ur_grid[0]) & (ur_px <= ur_grid[-1]) \
         & (vr_px >= vr_grid[0]) & (vr_px <= vr_grid[-1])
-    # to intermediate lattice coords
     ur_l = (ur_px - ur_grid[0]) / max(ur_grid[1] - ur_grid[0], 1e-12)
     vr_l = (vr_px - vr_grid[0]) / max(vr_grid[1] - vr_grid[0], 1e-12)
     rgb, depth, _ = _warp_to_screen(

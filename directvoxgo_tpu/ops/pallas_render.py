@@ -46,8 +46,9 @@ def _hat(coords, g, dtype):
                        ).astype(dtype)
 
 
-def render_frame_pallas(d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params, *,
-                        geom, consts, has_mlp, rgb_mode, interpret=False):
+def render_frame_pallas(d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params,
+                        scalars, *, guv, has_mlp, rgb_mode,
+                        interpret=False):
     """Launch the fused frame kernel.
 
     Args:
@@ -62,16 +63,17 @@ def render_frame_pallas(d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params, *,
       dnorm: [Hi, Wi] f32 world |d| per intermediate pixel.
       ur, vr: [Hi], [Wi] reference-plane coordinates.
       mlp_params: dict with w1a [F_mlp, width], w2, b2, w3, b3, or None.
-      geom: static (op, ou, ov, inv_span, p_first, p_step, gu, gv) — the
-        station at flat index t sits at axis coord ``p_first + p_step*t``.
-      consts: static (act_shift, interval_scale, fast_thres, near, far, bg)
-        — interval_scale = |p_step|*|inv_span|... precomputed by the caller
-        as world-step / voxel_size_base per unit dnorm.
+      scalars: [1, 12] f32 runtime pose/model scalars (op, ou, ov,
+        inv_span, p_first, p_step, act_shift, interval_scale, fast_thres,
+        near, far, bg) — runtime (SMEM), NOT baked in, so orbit poses share
+        one compiled kernel per shape; the station at flat index t sits at
+        axis coord ``p_first + p_step*t`` and interval_scale is
+        world-step / voxel_size_base per unit dnorm.
+      guv: static (Gu, Gv).
 
     Returns (rgb [Hi,Wi,3], depth [Hi,Wi], tcum [Hi,Wi]).
     """
-    op, ou, ov, inv_span, p_first, p_step, gu, gv = geom
-    act_shift, interval_scale, fast_thres, near, far, bg = consts
+    gu, gv = guv
     hi, wi = dnorm.shape
     assert hi % TILE == 0 and wi % TILE == 0
     s_total = d_geo.shape[0]
@@ -81,7 +83,7 @@ def render_frame_pallas(d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params, *,
     f_mlp = f_k0 - (3 if rgb_mode == "logit_plus_k0" else 0)
     width = mlp_params["w2"].shape[0] if has_mlp else 0
 
-    def kernel(ur_ref, vr_ref, dnorm_ref, dgeo_ref, *rest):
+    def kernel(sc_ref, ur_ref, vr_ref, dnorm_ref, dgeo_ref, *rest):
         if d_k0 is not None:
             dk0_ref = rest[0]
             rest = rest[1:]
@@ -93,6 +95,11 @@ def render_frame_pallas(d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params, *,
         else:
             rgb_ref, depth_ref, tcum_ref = rest
 
+        op, ou, ov = sc_ref[0, 0], sc_ref[0, 1], sc_ref[0, 2]
+        inv_span, p_first, p_step = sc_ref[0, 3], sc_ref[0, 4], sc_ref[0, 5]
+        act_shift, interval_scale = sc_ref[0, 6], sc_ref[0, 7]
+        fast_thres, near, far, bg = (sc_ref[0, 8], sc_ref[0, 9],
+                                     sc_ref[0, 10], sc_ref[0, 11])
         sb = pl.program_id(2)
 
         @pl.when(sb == 0)
@@ -178,6 +185,8 @@ def render_frame_pallas(d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params, *,
             rgb_ref[:] = rgb_ref[:] + tcum_ref[:][..., None] * bg
 
     in_specs = [
+        pl.BlockSpec((1, 12), lambda i, j, s: (0, 0),
+                     memory_space=pltpu.SMEM),          # scalars
         pl.BlockSpec((TILE, 1), lambda i, j, s: (i, 0),
                      memory_space=pltpu.VMEM),          # ur [Hi,1]
         pl.BlockSpec((1, TILE), lambda i, j, s: (0, j),
@@ -187,7 +196,8 @@ def render_frame_pallas(d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params, *,
         pl.BlockSpec((S_BLK, gu, 2 * gv), lambda i, j, s: (s, 0, 0),
                      memory_space=pltpu.VMEM),          # d_geo
     ]
-    inputs = [ur.reshape(hi, 1), vr.reshape(1, wi), dnorm, d_geo]
+    inputs = [scalars.reshape(1, 12), ur.reshape(hi, 1),
+              vr.reshape(1, wi), dnorm, d_geo]
     if d_k0 is not None:
         in_specs.append(pl.BlockSpec((S_BLK, f_k0, gu, gv),
                                      lambda i, j, s: (s, 0, 0, 0),
