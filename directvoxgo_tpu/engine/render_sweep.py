@@ -297,9 +297,10 @@ def _build_slabs(density, mask, k0, *, axis, sign, k, s_lo, s_hi, s_pad,
         k)[s_lo:s_hi + 1]
     d_k0 = None
     if has_k0:
+        # [Gp, F, Gu, Gv]: per-channel slabs (v1 kernel layout)
         perm = sweep_ops._PERMS[axis]
         k0p = jnp.transpose(k0.astype(sdt), (*perm, 3))
-        k0p = jnp.transpose(k0p, (0, 3, 1, 2))  # [Gp, F, Gu, Gv]
+        k0p = jnp.transpose(k0p, (0, 3, 1, 2))
         d_k0 = sweep_ops._station_slabs(k0p, k)[s_lo:s_hi + 1]
     if sign < 0:
         d_geo = d_geo[::-1]
