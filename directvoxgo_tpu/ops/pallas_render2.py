@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import raymarch as rm
 
 TILE = 128
-S_BLK = 8  # stations per grid step
+S_BLK = 4  # stations per grid step
 
 
 def _hat_multi(coords, g, dtype):
@@ -153,7 +153,7 @@ def render_frame_pallas2(d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params,
                         t1c[:, :, ch * gv:(ch + 1) * gv].astype(bf16), av,
                         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                         preferred_element_type=jnp.float32)
-                    xs_ref[:, :, :, ch] = zc               # [S,TILE,TW]
+                    xs_ref[:, :, :, ch] = zc
             if has_mlp:
                 # MLP per station (a block-wide [S,TILE,TW,width] f32
                 # intermediate would exceed VMEM); warps above stay batched.
