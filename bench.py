@@ -111,23 +111,41 @@ def bench_train(model, n_rand=8192, iters=50):
     target = rng.uniform(0, 1, (n_rand, 3)).astype(np.float32)
     batch = tuple(jnp.asarray(x) for x in (rays_o, rays_d, viewdirs, target))
 
+    # Occupancy-bbox clipping, as the train engine applies it.
+    clip_sizes, clip_off = model.sweep_clip_for_axis(2)
+    log(f"bench: train sweep clip sizes={clip_sizes} off={list(clip_off)}")
+    clip_off = jnp.asarray(clip_off)
+
     @functools.partial(jax.jit, static_argnums=(7,))
     def step(params, mask, opt_state, rays_o, rays_d, viewdirs, target,
              axis):
         def loss_fn(params):
             ret = model.forward_sweep(params, mask, rays_o, rays_d,
                                       viewdirs, axis, near=2.0, far=6.0,
-                                      bg=1.0, stepsize=0.5)
+                                      bg=1.0, stepsize=0.5,
+                                      clip_sizes=clip_sizes,
+                                      clip_offsets=clip_off)
             mse = jnp.mean((ret["rgb_marched"] - target) ** 2)
             pout = jnp.clip(ret["alphainv_last"], 1e-6, 1 - 1e-6)
             ent = -jnp.mean(pout * jnp.log(pout)
                             + (1 - pout) * jnp.log(1 - pout))
-            rgbper = jnp.sum((ret["raw_rgb"] - target[:, None, :]) ** 2, -1)
+            if "raw_rgb_cl" in ret:  # sweep path: [3, N, S]
+                rgbper = jnp.sum(
+                    (ret["raw_rgb_cl"] - target.T[:, :, None]) ** 2, axis=0)
+            else:
+                rgbper = jnp.sum(
+                    (ret["raw_rgb"] - target[:, None, :]) ** 2, -1)
             rl = jnp.sum(rgbper * jax.lax.stop_gradient(ret["weights"])) \
                 / n_rand
             return mse + 0.001 * ent + 0.01 * rl
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        new_params, new_opt = optimizer.update(params, grads, opt_state)
+        # region-sliced Adam, as the train engine applies it (axis=2:
+        # permuted (p,u,v) = (z,x,y) -> xyz order)
+        offs = (clip_off[1], clip_off[2], clip_off[0])
+        sizes = (clip_sizes[1], clip_sizes[2], clip_sizes[0])
+        regions = {n: (offs, sizes) for n in ("density", "k0")}
+        new_params, new_opt = optimizer.update(params, grads, opt_state,
+                                               regions=regions)
         return new_params, new_opt, loss
 
     params, mask = model.params, model.mask

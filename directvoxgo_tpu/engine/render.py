@@ -108,14 +108,16 @@ def make_render_fn(model, render_kwargs):
     use_sweep = (getattr(model, "query_mode", "gather") == "sweep"
                  and hasattr(model, "forward_sweep"))
 
-    @functools.partial(jax.jit, static_argnums=(5,))
-    def render_chunk(params, mask, ro, rd, vd, axis):
+    @functools.partial(jax.jit, static_argnums=(5, 6))
+    def render_chunk(params, mask, ro, rd, vd, axis, clip_sizes, clip_off):
         if axis is None:
             ret = model.forward(params, mask, ro, rd, vd,
                                 render_depth=True, **kwargs)
         else:
             ret = model.forward_sweep(params, mask, ro, rd, vd, axis,
-                                      render_depth=True, **kwargs)
+                                      render_depth=True,
+                                      clip_sizes=clip_sizes,
+                                      clip_offsets=clip_off, **kwargs)
         return ret["rgb_marched"], ret["depth"]
 
     render_chunk.use_sweep = use_sweep
@@ -142,6 +144,11 @@ def render_rays_chunked(render_fn, model, rays_o, rays_d, viewdirs, chunk):
     else:
         parts = [(None, np.arange(n))]
     for axis, idx in parts:
+        if axis is not None and hasattr(model, "sweep_clip_for_axis"):
+            clip_sizes, clip_off = model.sweep_clip_for_axis(axis)
+        else:
+            clip_sizes, clip_off = None, np.zeros(3, np.int32)
+        clip_off = jnp.asarray(clip_off)
         n_g = len(idx)
         n_pad = _round_up(max(n_g, 1), chunk)
         pad = n_pad - n_g
@@ -153,7 +160,8 @@ def render_rays_chunked(render_fn, model, rays_o, rays_d, viewdirs, chunk):
             outs.append(render_fn(model.params, model.mask,
                                   jnp.asarray(ro[i:i + chunk]),
                                   jnp.asarray(rd[i:i + chunk]),
-                                  jnp.asarray(vd[i:i + chunk]), axis))
+                                  jnp.asarray(vd[i:i + chunk]), axis,
+                                  clip_sizes, clip_off))
         rgb_g = np.concatenate([np.asarray(o[0]) for o in outs])[:n_g]
         dep_g = np.concatenate([np.asarray(o[1]) for o in outs])[:n_g]
         rgb_out[idx] = rgb_g

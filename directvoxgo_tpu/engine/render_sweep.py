@@ -74,17 +74,8 @@ def _active_bbox_vox(model):
     cache = getattr(model, "_active_bbox_cache", None)
     if cache is not None and cache[0] is model.mask:
         return cache[1]
-    m = np.asarray(model.mask)
-    if not m.any():
-        box = (np.zeros(3), np.asarray(m.shape, np.float64) - 1.0)
-    else:
-        lo, hi = [], []
-        for a in range(3):
-            axes = tuple(x for x in range(3) if x != a)
-            nz = np.flatnonzero(m.any(axis=axes))
-            lo.append(max(nz[0] - 1.0, 0.0))
-            hi.append(min(nz[-1] + 1.0, m.shape[a] - 1.0))
-        box = (np.asarray(lo), np.asarray(hi))
+    from ..ops.grid import mask_bbox_vox
+    box = mask_bbox_vox(model.mask)
     model._active_bbox_cache = (model.mask, box)
     return box
 

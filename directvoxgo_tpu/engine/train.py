@@ -105,14 +105,17 @@ def create_optimizer_or_freeze_model(model, cfg_train):
 
 
 def make_train_step(model, optimizer, cfg_train, render_kwargs,
-                    apply_tv, tv_dense, axis=None):
+                    apply_tv, tv_dense, axis=None, clip_sizes=None):
     """Build the jitted full train step for the current phase.
 
     ``apply_tv``/``tv_dense`` are baked in statically; the host flips them at
     the tv_before/tv_after/tv_dense_before boundaries (run.py:389-395), which
     costs at most a few retraces per stage. ``axis`` (static) selects the
     station-sweep fast path: the batch's rays must share that dominant axis
-    (the engine groups the pool host-side).
+    (the engine groups the pool host-side). ``clip_sizes`` (static) bounds
+    the sweep to the occupancy bbox; the runtime offsets travel as the
+    ``clip_off`` step argument so mask renewals that keep the same quantized
+    size don't recompile.
     """
     kwargs = {k: render_kwargs[k] for k in ("near", "far", "bg", "stepsize")}
     w_main = float(cfg_train.weight_main)
@@ -125,7 +128,7 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
     n_rand = int(cfg_train.N_rand)
 
     @jax.jit
-    def train_step(params, mask, opt_state, pool, sel):
+    def train_step(params, mask, opt_state, pool, sel, clip_off):
         target = jnp.take(pool["rgb"], sel, axis=0)
         rays_o = jnp.take(pool["rays_o"], sel, axis=0)
         rays_d = jnp.take(pool["rays_d"], sel, axis=0)
@@ -141,6 +144,8 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
             else:
                 ret = model.forward_sweep({**trainable, **frozen}, mask,
                                           rays_o, rays_d, viewdirs, axis,
+                                          clip_sizes=clip_sizes,
+                                          clip_offsets=clip_off,
                                           **kwargs)
             mse = jnp.mean((ret["rgb_marched"] - target) ** 2)
             loss = w_main * mse
@@ -150,8 +155,13 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
                                     + (1 - pout) * jnp.log(1 - pout))
                 loss = loss + w_entropy * entropy
             if w_rgbper > 0:
-                rgbper = jnp.sum(
-                    (ret["raw_rgb"] - target[:, None, :]) ** 2, -1)
+                if "raw_rgb_cl" in ret:  # sweep path: [3, N, S]
+                    rgbper = jnp.sum(
+                        (ret["raw_rgb_cl"] - target.T[:, :, None]) ** 2,
+                        axis=0)
+                else:
+                    rgbper = jnp.sum(
+                        (ret["raw_rgb"] - target[:, None, :]) ** 2, -1)
                 rgbper_loss = jnp.sum(
                     rgbper * jax.lax.stop_gradient(ret["weights"])) / n_rand
                 loss = loss + w_rgbper * rgbper_loss
@@ -170,8 +180,21 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
                     trainable["k0"], grads["k0"],
                     w_tv_k0 / n_rand, tv_dense)
 
+        # Region-sliced Adam: with the sweep clipped to the occupancy bbox,
+        # grid gradients are exactly zero outside it, so skip_zero_grad
+        # params can skip the full-grid moment read/write. TV steps inject
+        # out-of-box gradients -> full update those steps.
+        regions = None
+        if axis is not None and clip_sizes is not None and not apply_tv:
+            from ..ops import sweep as sweep_ops
+            perm = sweep_ops._PERMS[axis]
+            inv = {ax: i for i, ax in enumerate(perm)}
+            offs = tuple(clip_off[inv[a]] for a in range(3))
+            sizes = tuple(clip_sizes[inv[a]] for a in range(3))
+            regions = {n: (offs, sizes) for n in ("density", "k0")
+                       if n in trainable}
         new_trainable, new_opt_state = optimizer.update(
-            trainable, grads, opt_state)
+            trainable, grads, opt_state, regions=regions)
         new_params = {**params, **new_trainable}
         psnr = -10.0 * jnp.log10(mse)
         return new_params, new_opt_state, loss, psnr
@@ -356,10 +379,27 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     train_steps = {}  # (axis or None) -> jitted step for current tv state
     tv_state = None
 
+    # Occupancy-bbox sweep clipping (free-space skipping for training): the
+    # quantized clip sizes are static per compiled step; refresh them when
+    # the mask changes and drop only the steps whose shape bucket moved.
+    clip_plan = {}  # axis -> (sizes or None, offsets int32[3])
+
+    def refresh_clip():
+        if not use_sweep or not hasattr(model, "sweep_clip_for_axis"):
+            return
+        for ax in range(3):
+            new = model.sweep_clip_for_axis(ax)
+            if ax in clip_plan and clip_plan[ax][0] != new[0]:
+                train_steps.pop(ax, None)
+            clip_plan[ax] = new
+
+    refresh_clip()
+
     for global_step in range(1 + start, 1 + cfg_train.N_iters):
         # Occupancy cache renewal (run.py:330-332).
         if (global_step + 500) % 1000 == 0:
             model.update_occupancy_cache()
+            refresh_clip()
 
         # Progressive scaling (run.py:335-345).
         if global_step in list(cfg_train.pg_scale):
@@ -374,6 +414,8 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             opt_state = optimizer.init(model.params)
             model.params["density"] = model.params["density"] - 1
             train_steps = {}  # shapes changed -> re-jit
+            clip_plan.clear()
+            refresh_clip()
 
         apply_tv = (global_step < cfg_train.tv_before
                     and global_step > cfg_train.tv_after
@@ -386,13 +428,16 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             tv_state = (apply_tv, tv_dense)
 
         sel, axis = next_batch()
+        clip_sizes, clip_off = clip_plan.get(axis, (None, np.zeros(3,
+                                                                   np.int32)))
         if axis not in train_steps:
             train_steps[axis] = make_train_step(
                 model, optimizer, cfg_train, render_kwargs, apply_tv,
-                tv_dense, axis=axis)
+                tv_dense, axis=axis, clip_sizes=clip_sizes)
         sel = jnp.asarray(sel, jnp.int32)
         model.params, opt_state, loss, psnr = train_steps[axis](
-            model.params, model.mask, opt_state, pool, sel)
+            model.params, model.mask, opt_state, pool, sel,
+            jnp.asarray(clip_off))
         psnr_lst.append(psnr)
 
         if global_step % args.i_print == 0:

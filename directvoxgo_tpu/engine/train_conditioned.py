@@ -84,7 +84,12 @@ def conditioned_loss_terms(ret, target, cfg_train, n_rand):
         ent = -jnp.mean(pout * jnp.log(pout) + (1 - pout) * jnp.log(1 - pout))
         loss = loss + cfg_train.weight_entropy_last * ent
     if cfg_train.weight_rgbper > 0:
-        rgbper = jnp.sum((ret["raw_rgb"] - target[:, None, :]) ** 2, -1)
+        if "raw_rgb_cl" in ret:  # sweep path: [3, N, S]
+            rgbper = jnp.sum(
+                (ret["raw_rgb_cl"] - target.T[:, :, None]) ** 2, axis=0)
+        else:
+            rgbper = jnp.sum(
+                (ret["raw_rgb"] - target[:, None, :]) ** 2, -1)
         rl = jnp.sum(rgbper * jax.lax.stop_gradient(ret["weights"])) / n_rand
         loss = loss + cfg_train.weight_rgbper * rl
     return loss, mse

@@ -229,6 +229,33 @@ class DirectVoxGO:
             self.activate_density(self.params["density"]))
         self.mask = self.mask & (self_alpha > self.fast_color_thres)
 
+    def sweep_clip_for_axis(self, axis, quantum=16):
+        """(clip_sizes, clip_offsets) for :meth:`forward_sweep`: the occupancy
+        mask's bbox in permuted order, sizes rounded up to ``quantum`` voxels
+        so periodic mask renewals rarely change the compiled shape (offsets
+        are runtime). Returns (None, zeros) when clipping wouldn't shrink
+        anything. Host-side; call at stage start / mask renewal, not per step.
+        """
+        if getattr(self.mask, "ndim", 0) != 3:
+            return None, np.zeros(3, np.int32)  # scene-stacked masks: skip
+        cache = getattr(self, "_mask_bbox_cache", None)
+        if cache is not None and cache[0] is self.mask:
+            lo, hi = cache[1]
+        else:
+            lo, hi = grid_ops.mask_bbox_vox(self.mask)
+            self._mask_bbox_cache = (self.mask, (lo, hi))
+        perm = sweep_ops._PERMS[axis]
+        sizes, offs = [], []
+        for a in perm:
+            g = self.world_size[a]
+            ext = int(hi[a] - lo[a] + 1)
+            q = min(_round_up(ext, quantum), g)
+            sizes.append(q)
+            offs.append(int(min(lo[a], g - q)))
+        if all(s == self.world_size[a] for s, a in zip(sizes, perm)):
+            return None, np.zeros(3, np.int32)
+        return tuple(sizes), np.asarray(offs, np.int32)
+
     def density_total_variation_grad(self, param, grad, weight, dense_mode):
         """TV gradient with the reference's resolution scaling
         (lib/dvgo.py:297-300)."""
@@ -405,7 +432,8 @@ class DirectVoxGO:
     # ----------------------------------------------------- sweep forward
 
     def forward_sweep(self, params, mask, rays_o, rays_d, viewdirs, axis,
-                      *, near, far, bg, stepsize, render_depth=False, **_):
+                      *, near, far, bg, stepsize, render_depth=False,
+                      clip_sizes=None, clip_offsets=None, **_):
         """Station-sweep volume rendering (the TPU fast path).
 
         Same math as :meth:`forward` but every grid query is an MXU matmul
@@ -417,7 +445,10 @@ class DirectVoxGO:
         implemented as masks rather than compactions.
 
         ``axis`` must be static under jit; the train engine groups ray
-        batches by dominant axis.
+        batches by dominant axis. ``clip_sizes`` (static, permuted order) +
+        ``clip_offsets`` (traced int32 [3]) restrict the sweep to the
+        occupancy-mask bbox — see :func:`...ops.sweep.sweep_samples`; the
+        engine derives them via :meth:`sweep_clip_for_axis`.
         """
         # Cast channels to the sweep's compact dtype before concat+transpose
         # so the layout shuffles move half the bytes.
@@ -432,11 +463,17 @@ class DirectVoxGO:
         bbox_max = tuple(float(v) for v in self.xyz_max)
         out = sweep_ops.sweep_samples(grid_cat, None, rays_o, rays_d,
                                       bbox_min, bbox_max, axis,
-                                      stepsize=stepsize, march_order=False)
+                                      stepsize=stepsize, march_order=False,
+                                      clip_sizes=clip_sizes,
+                                      clip_offsets=clip_offsets)
+        # vals is channels-LEADING [C, N, S]: slicing channels off the
+        # leading dim keeps every downstream tensor [N, S] or [N, S, >=128]
+        # (TPU tiles pad the minor dim to 128 lanes; [N, S, smallC]
+        # materializations move ~9x the real bytes).
         vals, t, fwd = out["vals"], out["t"], out["forward"]
-        density_s = vals[..., 0]
-        mask_s = vals[..., 1]
-        k0 = vals[..., 2:]
+        density_s = vals[0]
+        mask_s = vals[1]
+        k0_cl = vals[2:]
 
         # Validity: inside the ray's [near,far]-clamped bbox segment and in
         # (conservatively interpolated) occupied space. The reference filters
@@ -466,43 +503,48 @@ class DirectVoxGO:
         w_eff = jnp.where(wmask, weights, 0.0)
 
         mlp_dtype = self.mlp_dtype
+        # Rematerialize the color MLP in the backward pass: its [N, S, width]
+        # hidden activations are the largest tensors in the train step, and
+        # recomputing them (a few MXU matmuls) is far cheaper than the HBM
+        # round-trip of storing them as residuals.
+        mlp_split_cl = jax.checkpoint(functools.partial(
+            mlp_lib.mlp_apply_split_cl, compute_dtype=mlp_dtype))
         if not self.has_rgbnet:
-            rgb = jax.nn.sigmoid(k0)
+            rgb_cl = jax.nn.sigmoid(k0_cl)          # [3, N, S]
         else:
             vd_emb = mlp_lib.positional_encoding(viewdirs, self.viewbase_pe)
             if self.rgbnet_full_implicit:
                 feat = jnp.broadcast_to(vd_emb[:, None, :],
                                         (*t.shape, vd_emb.shape[-1]))
-                logit = mlp_lib.mlp_apply(params["rgbnet"], feat,
-                                          compute_dtype=mlp_dtype)
+                logit = jax.checkpoint(functools.partial(
+                    mlp_lib.mlp_apply, compute_dtype=mlp_dtype))(
+                        params["rgbnet"], feat)
+                logit_cl = jnp.transpose(logit, (2, 0, 1))
             elif self.posbase_pe > 0:
                 pts = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
                 pos_emb = mlp_lib.positional_encoding(pts, self.posbase_pe)
-                logit = mlp_lib.mlp_apply_split(params["rgbnet"], pos_emb,
-                                                vd_emb,
-                                                compute_dtype=mlp_dtype)
+                logit = jax.checkpoint(functools.partial(
+                    mlp_lib.mlp_apply_split, compute_dtype=mlp_dtype))(
+                        params["rgbnet"], pos_emb, vd_emb)
+                logit_cl = jnp.transpose(logit, (2, 0, 1))
             elif self.rgbnet_direct:
-                logit = mlp_lib.mlp_apply_split(params["rgbnet"], k0,
-                                                vd_emb,
-                                                compute_dtype=mlp_dtype)
+                logit_cl = mlp_split_cl(params["rgbnet"], k0_cl, vd_emb)
             else:
-                logit = mlp_lib.mlp_apply_split(params["rgbnet"],
-                                                k0[..., 3:], vd_emb,
-                                                compute_dtype=mlp_dtype)
+                logit_cl = mlp_split_cl(params["rgbnet"], k0_cl[3:], vd_emb)
             if self.rgbnet_direct or self.rgbnet_full_implicit \
                     or self.posbase_pe > 0:
-                rgb = jax.nn.sigmoid(logit)
+                rgb_cl = jax.nn.sigmoid(logit_cl)
             else:
-                rgb = jax.nn.sigmoid(logit + k0[..., :3])
+                rgb_cl = jax.nn.sigmoid(logit_cl + k0_cl[:3])
 
-        rgb_marched = jnp.sum(w_eff[..., None] * rgb, axis=1) \
+        rgb_marched = jnp.einsum("ns,cns->nc", w_eff, rgb_cl) \
             + alphainv_last[..., None] * bg
         ret = {
             "alphainv_last": alphainv_last,
             "weights": w_eff,
             "rgb_marched": rgb_marched,
             "raw_alpha": jnp.where(wmask, alpha, 0.0),
-            "raw_rgb": rgb,
+            "raw_rgb_cl": rgb_cl,
             "wmask": wmask,
         }
         if render_depth:

@@ -38,19 +38,26 @@ def init_mlp(key, dim_in, width, depth, dim_out, zero_last_bias=True):
 
 
 def mlp_apply(params, x, compute_dtype=None):
-    """Apply the MLP; batch dims are arbitrary, contraction on the last."""
+    """Apply the MLP; batch dims are arbitrary, contraction on the last.
+
+    Hidden activations are produced directly in ``compute_dtype`` (see
+    :func:`mlp_apply_split` on why); the final layer comes out f32."""
     layers = params["layers"]
     orig_dtype = x.dtype
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
+    cd = compute_dtype
+    acc = cd or jnp.float32
+    if cd is not None:
+        x = x.astype(cd)
     for i, layer in enumerate(layers):
         w, b = layer["w"], layer["b"]
-        if compute_dtype is not None:
-            w, b = w.astype(compute_dtype), b.astype(compute_dtype)
-        x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
-        if i < len(layers) - 1:
+        is_last = i == len(layers) - 1
+        if cd is not None and not is_last:
+            w = w.astype(cd)
+        out_dtype = jnp.float32 if is_last else acc
+        x = jnp.dot(x, w, preferred_element_type=out_dtype) \
+            + b.astype(out_dtype)
+        if not is_last:
             x = jax.nn.relu(x)
-        x = x.astype(compute_dtype or orig_dtype)
     return x.astype(orig_dtype)
 
 
@@ -63,31 +70,89 @@ def mlp_apply_split(params, x_samples, x_shared, compute_dtype=None):
     this also avoids materializing the concatenated [..., S, D1+D2] tensor
     (the reference concatenates, lib/dvgo.py:527-530; on TPU the broadcast
     concat dominates HBM traffic).
+
+    With ``compute_dtype=bfloat16`` the hidden activations are *produced* in
+    bf16 (MXU accumulation stays f32 internally): requesting f32 dot outputs
+    and down-casting afterwards materializes an extra [.., S, width] f32
+    tensor per layer — pure HBM traffic for bits that are immediately
+    rounded away. Only the final logits come out f32.
     """
     layers = params["layers"]
     w1, b1 = layers[0]["w"], layers[0]["b"]
     d1 = x_samples.shape[-1]
     wa, wb = w1[:d1], w1[d1:]
     cd = compute_dtype
+    acc = cd or jnp.float32
     if cd is not None:
         x_samples, x_shared = x_samples.astype(cd), x_shared.astype(cd)
         wa, wb, b1 = wa.astype(cd), wb.astype(cd), b1.astype(cd)
-    shared = jnp.dot(x_shared, wb, preferred_element_type=jnp.float32) + b1
-    x = jnp.dot(x_samples, wa, preferred_element_type=jnp.float32) \
+    # per-ray half in f32 (tiny), rounded once when added to the sample half
+    shared = (jnp.dot(x_shared, wb, preferred_element_type=jnp.float32)
+              + b1).astype(acc)
+    x = jnp.dot(x_samples, wa, preferred_element_type=acc) \
         + shared[..., None, :]
     x = jax.nn.relu(x)
-    if cd is not None:
-        x = x.astype(cd)
     for i, layer in enumerate(layers[1:]):
         w, b = layer["w"], layer["b"]
+        is_last = i == len(layers) - 2
+        if cd is not None and not is_last:
+            w, b = w.astype(cd), b.astype(cd)
+        out_dtype = jnp.float32 if is_last else acc
+        x = jnp.dot(x, w, preferred_element_type=out_dtype) \
+            + b.astype(out_dtype)
+        if not is_last:
+            x = jax.nn.relu(x)
+    return x.astype(jnp.float32)
+
+
+def mlp_apply_split_cl(params, x_cl, x_shared, compute_dtype=None):
+    """:func:`mlp_apply_split` for channels-leading sample features.
+
+    ``x_cl`` is [D1, N, S] (the station sweep's native layout — see
+    ops/sweep.py on why small-channel-minor tensors are poison on TPU) and
+    ``x_shared`` is [N, D2]. Returns logits [D_out, N, S], also
+    channels-leading. Hidden activations are [N, S, width] (width >= 128:
+    unpadded tiles) produced directly in ``compute_dtype``.
+    """
+    layers = params["layers"]
+    w1, b1 = layers[0]["w"], layers[0]["b"]
+    d1 = x_cl.shape[0]
+    wa, wb = w1[:d1], w1[d1:]
+    cd = compute_dtype
+    acc = cd or jnp.float32
+    if cd is not None:
+        x_cl, x_shared = x_cl.astype(cd), x_shared.astype(cd)
+        wa, wb, b1 = wa.astype(cd), wb.astype(cd), b1.astype(cd)
+    shared = (jnp.dot(x_shared, wb, preferred_element_type=jnp.float32)
+              + b1).astype(acc)
+    # contract the leading channel dim: [D1, N, S] x [D1, W] -> [N, S, W]
+    x = jax.lax.dot_general(x_cl, wa,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=acc) \
+        + shared[:, None, :]
+    x = jax.nn.relu(x)
+    for i, layer in enumerate(layers[1:]):
+        w, b = layer["w"], layer["b"]
+        is_last = i == len(layers) - 2
+        if is_last:
+            # emit channels-leading: [D_out, W] x [N, S, W] -> [D_out, N, S]
+            if jax.default_backend() == "cpu":
+                # XLA:CPU's DotThunk lacks this bf16 contraction form; the
+                # [N, S, 3] detour only pads tiles on TPU, not here.
+                logit = jnp.dot(x, w.astype(x.dtype),
+                                preferred_element_type=jnp.float32)
+                logit = jnp.transpose(logit, (2, 0, 1))
+            else:
+                logit = jax.lax.dot_general(
+                    w.astype(x.dtype).T, x,
+                    dimension_numbers=(((1,), (2,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return logit + b.astype(jnp.float32)[:, None, None]
         if cd is not None:
             w, b = w.astype(cd), b.astype(cd)
-        x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
-        if i < len(layers) - 2:
-            x = jax.nn.relu(x)
-            if cd is not None:
-                x = x.astype(cd)
-    return x.astype(jnp.float32)
+        x = jax.nn.relu(jnp.dot(x, w, preferred_element_type=acc)
+                        + b.astype(acc))
+    raise AssertionError("MLP needs depth >= 2")
 
 
 def positional_encoding(x, n_freqs):

@@ -16,6 +16,32 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def mask_bbox_vox(mask):
+    """Inclusive voxel-coordinate bounding box of a boolean occupancy mask,
+    padded by one voxel per side (so trilinear interpolation anywhere with a
+    nonzero mask value stays inside the box).
+
+    Host-side helper behind the sweep paths' free-space clipping — the TPU
+    analogue of the reference maskcache's per-sample skipping
+    (lib/cuda/render_utils_kernel.cu:447-455): instead of skipping samples,
+    whole station/slab ranges outside this box are never swept.
+
+    Returns (lo, hi) float64 arrays of shape [3]; the full grid when the mask
+    is empty.
+    """
+    m = np.asarray(mask)
+    if not m.any():
+        return np.zeros(3), np.asarray(m.shape, np.float64) - 1.0
+    lo, hi = [], []
+    for a in range(3):
+        axes = tuple(x for x in range(3) if x != a)
+        nz = np.flatnonzero(m.any(axis=axes))
+        lo.append(max(nz[0] - 1.0, 0.0))
+        hi.append(min(nz[-1] + 1.0, m.shape[a] - 1.0))
+    return np.asarray(lo), np.asarray(hi)
 
 # TPU layout note: the vector unit is 8x128 lanes with the LAST dim mapped to
 # lanes. Arithmetic on `[..., 3]` tensors (xyz packed in the minor dim) uses

@@ -100,23 +100,30 @@ def _interp_rows(x, g, dtype):
 
 
 def _query_station(d_st, rays_pv, p_s, gu, gv, c, interp_dtype):
-    """One station query: [Gu, Gv*C] slab -> ([N, C] values, [N] t)."""
+    """One station query: [Gu, Gv*C] slab -> ([C, N] values, [N] t).
+
+    Values come out *channels-leading*: a [N, C] emission would stack into
+    [S, N, C] scan outputs whose minor dim is the small channel count —
+    TPU tiles pad the minor dim to 128 lanes, so every downstream
+    materialization of a channels-minor tensor moves ~9x the real bytes
+    (measured: the whole alpha chain ran 3x slower on [N, S, C])."""
     n = rays_pv[0][0].shape[0]
     t, u, v = _station_uv(rays_pv, p_s)
     wu = _interp_rows(u, gu, interp_dtype)
     wv = _interp_rows(v, gv, jnp.float32)
     tmp = jax.lax.dot(wu, d_st, preferred_element_type=jnp.float32)
-    val = jnp.einsum("ngc,ng->nc", tmp.reshape(n, gv, c), wv)
+    val = jnp.einsum("ngc,ng->cn", tmp.reshape(n, gv, c), wv)
     return val, t
 
 
 def _station_cotangent(g_s, rays_pv, p_s, gu, gv, c, interp_dtype):
-    """One station's grid cotangent: [N, C] -> [Gu, Gv*C]."""
-    n = g_s.shape[0]
+    """One station's grid cotangent: [C, N] -> [Gu, Gv*C]."""
+    n = g_s.shape[1]
     _, u, v = _station_uv(rays_pv, p_s)
     wu = _interp_rows(u, gu, interp_dtype)
     wv = _interp_rows(v, gv, jnp.float32)
-    rhs = (wv[:, :, None] * g_s[:, None, :]).reshape(n, gv * c)
+    # the transpose and broadcast-multiply fuse into the matmul operand load
+    rhs = (wv[:, :, None] * g_s.T[:, None, :]).reshape(n, gv * c)
     return jax.lax.dot(wu.T, rhs.astype(interp_dtype),
                        preferred_element_type=jnp.float32)
 
@@ -138,7 +145,8 @@ def station_sweep(grid_perm, rays_pv, n_channels, k, guv, dtypes):
         matmuls and the returned grid cotangent.
 
     Returns:
-      vals: [N, S, C] station samples (f32), in slab order.
+      vals: [C, N, S] station samples (f32, channels-leading — see
+        :func:`_query_station`), in slab order.
       t:    [N, S] ray parameter per station (f32; huge where dp≈0).
     """
     return _sweep_fwd_impl(grid_perm, rays_pv, n_channels, k, guv, dtypes[0])
@@ -165,7 +173,6 @@ def _station_slabs(grid_perm, k):
 
 
 def _sweep_fwd_impl(grid_perm, rays_pv, c, k, guv, interp_dtype):
-    gp = grid_perm.shape[0]
     gu, gv = guv
     slabs = _station_slabs(grid_perm, k)
     s = slabs.shape[0]
@@ -177,7 +184,8 @@ def _sweep_fwd_impl(grid_perm, rays_pv, c, k, guv, interp_dtype):
         return (), (val, t)
 
     _, (vals, ts) = jax.lax.scan(body, (), (slabs, p_stations))
-    return jnp.transpose(vals, (1, 0, 2)), jnp.transpose(ts, (1, 0))
+    # [S, C, N] -> [C, N, S]; both layouts tile on unpadded (>=128) dims.
+    return jnp.transpose(vals, (1, 2, 0)), jnp.transpose(ts, (1, 0))
 
 
 def _sweep_fwd(grid_perm, rays_pv, n_channels, k, guv, dtypes):
@@ -192,17 +200,17 @@ def _sweep_bwd(n_channels, k, guv, dtypes, rays_pv, cts):
     interp_dtype, grid_dtype = dtypes
     gu, gv = guv
     c = n_channels
-    g_vals, _ = cts  # t is non-differentiable
-    n, s, _ = g_vals.shape
+    g_vals, _ = cts  # t is non-differentiable; g_vals is [C, N, S]
+    _, n, s = g_vals.shape
     gp = (s - 1) // k + 1
     fracs = [j / k for j in range(k)]
 
-    g_main = jnp.transpose(g_vals[:, : (gp - 1) * k, :], (1, 0, 2))
-    g_main = g_main.reshape(gp - 1, k, n, c)
-    g_last = g_vals[:, -1, :]
+    g_sta = jnp.transpose(g_vals, (2, 0, 1))  # [S, C, N]
+    g_main = g_sta[: (gp - 1) * k].reshape(gp - 1, k, c, n)
+    g_last = g_sta[-1]
 
     def body(pending, inp):
-        g_z, z = inp  # [k, N, C] cotangents of stations in [z-1, z)
+        g_z, z = inp  # [k, C, N] cotangents of stations in [z-1, z)
         d_prev = pending
         d_next = jnp.zeros_like(pending)
         for j, f in enumerate(fracs):
@@ -230,7 +238,7 @@ station_sweep.defvjp(_sweep_fwd, _sweep_bwd)
 
 def sweep_samples(grid, mask, rays_o, rays_d, xyz_min, xyz_max, axis,
                   stepsize=0.5, interp_dtype=jnp.bfloat16,
-                  march_order=True):
+                  march_order=True, clip_sizes=None, clip_offsets=None):
     """Full sweep query: density/mask/feature channels at ray stations.
 
     Args:
@@ -245,38 +253,59 @@ def sweep_samples(grid, mask, rays_o, rays_d, xyz_min, xyz_max, axis,
         touches the whole [N,S,C] tensor); if False, return slab order plus
         a per-ray ``forward`` flag and let the caller composite
         bidirectionally (the fast path).
+      clip_sizes / clip_offsets: free-space clipping to the occupancy-mask
+        bbox (the sweep analogue of the reference maskcache's sample
+        skipping, render_utils_kernel.cu:447-455). ``clip_sizes`` is a
+        *static* (p, u, v) voxel-extent triple in permuted order (quantized
+        by the caller so mask renewals rarely change the compiled shape);
+        ``clip_offsets`` is a traced int32 [3] start-voxel vector. Only the
+        clipped sub-box is swept; samples outside it read as zeros, which is
+        exact because the box bounds everything with interpolated mask > 0.
 
     Returns dict with:
-      vals:  [N, S, C] station samples.
+      vals:  [C, N, S] station samples (channels-leading).
       t:     [N, S] ray parameter.
       forward: [N] bool, True where t ascends with station index (always
         True when march_order=True).
       interval: [N] world-space step distance between this ray's stations;
         divide by voxel_size_base for the reference's ``interval``
         (lib/dvgo.py:466).
+      p_offset: [] f32 sweep-axis voxel offset of station 0 (0 unclipped).
     """
     k = substeps_for_stepsize(stepsize)
     world_size = grid.shape[:3]
     c = grid.shape[3]
-    grid_perm = permute_grid(grid, axis, dtype=interp_dtype)
     o_pv, d_pv = rays_to_voxel(rays_o, rays_d, xyz_min, xyz_max,
                                world_size, axis)
+    p_offset = jnp.float32(0.0)
+    if clip_sizes is not None:
+        perm = _PERMS[axis]
+        inv = {ax: i for i, ax in enumerate(perm)}
+        sizes_xyz = tuple(int(clip_sizes[inv[a]]) for a in range(3))
+        off_xyz = [clip_offsets[inv[a]] for a in range(3)]
+        grid = jax.lax.dynamic_slice(
+            grid, (*off_xyz, jnp.int32(0)), (*sizes_xyz, c))
+        offs_f = clip_offsets.astype(jnp.float32)
+        o_pv = tuple(o - offs_f[i] for i, o in enumerate(o_pv))
+        p_offset = offs_f[0]
+    grid_perm = permute_grid(grid, axis, dtype=interp_dtype)
     gu, gv = grid_perm.shape[1], grid_perm.shape[2] // c
     vals, t = station_sweep(grid_perm, (o_pv, d_pv), c, k, (gu, gv),
                             (interp_dtype, interp_dtype))
 
     forward = d_pv[0] >= 0
     if march_order:
-        flip = ~forward[:, None]
-        vals = jnp.where(flip[..., None], vals[:, ::-1, :], vals)
-        t = jnp.where(flip, t[:, ::-1], t)
+        flip = ~forward
+        vals = jnp.where(flip[None, :, None], vals[:, :, ::-1], vals)
+        t = jnp.where(flip[:, None], t[:, ::-1], t)
         forward = jnp.ones_like(forward)
 
     # World-space distance between consecutive stations along the ray:
     # dt = (1/k)/|dp_vox|, scaled by |d_world|.
     d_norm = jnp.sqrt(jnp.sum(rays_d * rays_d, axis=-1))
     interval = d_norm / (k * jnp.maximum(jnp.abs(d_pv[0]), 1e-10))
-    return {"vals": vals, "t": t, "forward": forward, "interval": interval}
+    return {"vals": vals, "t": t, "forward": forward, "interval": interval,
+            "p_offset": p_offset}
 
 
 def dominant_axis(rays_d, xyz_min, xyz_max, world_size):

@@ -91,11 +91,19 @@ class MaskedAdam:
         state["per_lr"] = count.astype(jnp.float32) / count.max()
         return state
 
-    def update(self, params, grads, state):
+    def update(self, params, grads, state, regions=None):
         """Apply one step. Returns (new_params, new_state).
 
         ``params``/``grads`` are dicts name -> pytree; only names present in
         ``group_cfg`` are updated, others pass through unchanged (frozen).
+
+        ``regions`` (optional) maps a param name to ``(offsets, sizes)`` —
+        traced int32 [3] start voxels + a static (x, y, z) extent — limiting
+        the update to that grid sub-box. Only applied to ``skip_zero_grad``
+        params whose leading dims match the grid: their gradients are exactly
+        zero outside the swept clip box, so skipping those voxels is *exact*
+        (moments and params there would be untouched anyway) and saves the
+        full-grid moment read/write bandwidth every step.
         """
         step = state["step"] + 1
         # The reference multiplies lr by the decay factor *after* each step
@@ -111,11 +119,29 @@ class MaskedAdam:
                 continue
             lr = cfg["lr"] * lr_scale
             skip = bool(cfg.get("skip_zero_grad", False))
+            region = (regions or {}).get(name) if skip else None
 
-            def upd_leaf(p, g, m, v, _lr=lr, _skip=skip):
+            def upd_leaf(p, g, m, v, _lr=lr, _skip=skip, _region=region):
                 per_lr = None
                 if per_lr_arr is not None and p.shape == per_lr_arr.shape:
                     per_lr = per_lr_arr
+                if _region is not None and p.ndim >= 3:
+                    offs, sizes = _region
+                    start = tuple(offs[i] for i in range(3)) \
+                        + (jnp.int32(0),) * (p.ndim - 3)
+                    box = tuple(sizes) + p.shape[3:]
+
+                    def cut(x):
+                        return None if x is None else jax.lax.dynamic_slice(
+                            x, start, box)
+
+                    np_, nm_, nv_ = adam_param_update(
+                        cut(p), cut(g), cut(m), cut(v), step, _lr,
+                        self.beta1, self.beta2, self.eps,
+                        skip_zero_grad=True, per_lr=cut(per_lr))
+                    return (jax.lax.dynamic_update_slice(p, np_, start),
+                            jax.lax.dynamic_update_slice(m, nm_, start),
+                            jax.lax.dynamic_update_slice(v, nv_, start))
                 return adam_param_update(
                     p, g, m, v, step, _lr, self.beta1, self.beta2, self.eps,
                     skip_zero_grad=_skip, per_lr=per_lr)

@@ -89,3 +89,37 @@ def test_lr_decay_factor_applied_after_first_step():
     # second update from the same state must be strictly smaller than 1x.
     d2 = -float(p2["w"][0])
     assert d2 < d1
+
+
+def test_region_sliced_update_matches_full():
+    """With skip_zero_grad and grads exactly zero outside the region, the
+    region-sliced update must equal the full-grid update bit-for-bit."""
+    import numpy as np
+    import jax.numpy as jnp
+    from directvoxgo_tpu.optim import MaskedAdam
+
+    rng = np.random.default_rng(0)
+    shape = (12, 10, 14, 3)
+    offs, sizes = (2, 3, 4), (6, 5, 8)
+    g = np.zeros(shape, np.float32)
+    g[2:8, 3:8, 4:12] = rng.normal(size=(6, 5, 8, 3)).astype(np.float32)
+    p = rng.normal(size=shape).astype(np.float32)
+    m = rng.normal(size=shape).astype(np.float32) * 0.1
+    v = abs(rng.normal(size=shape)).astype(np.float32) * 0.01
+
+    opt = MaskedAdam({"k0": {"lr": 0.1, "skip_zero_grad": True}})
+    params = {"k0": jnp.asarray(p)}
+    grads = {"k0": jnp.asarray(g)}
+    state = {"step": jnp.asarray(7, jnp.int32),
+             "exp_avg": {"k0": jnp.asarray(m)},
+             "exp_avg_sq": {"k0": jnp.asarray(v)},
+             "per_lr": None}
+
+    p_full, s_full = opt.update(params, grads, state)
+    p_reg, s_reg = opt.update(
+        params, grads, state,
+        regions={"k0": (jnp.asarray(offs, jnp.int32), sizes)})
+    assert np.array_equal(np.asarray(p_full["k0"]), np.asarray(p_reg["k0"]))
+    for key in ("exp_avg", "exp_avg_sq"):
+        assert np.array_equal(np.asarray(s_full[key]["k0"]),
+                              np.asarray(s_reg[key]["k0"]))

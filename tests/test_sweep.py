@@ -38,7 +38,8 @@ def test_sweep_matches_trilinear_at_stations(axis):
     out = sweep_ops.sweep_samples(grid, None, jnp.asarray(o), jnp.asarray(d),
                                   xyz_min, xyz_max, axis, stepsize=0.5,
                                   interp_dtype=F32)
-    vals, t = np.asarray(out["vals"]), np.asarray(out["t"])
+    vals = np.moveaxis(np.asarray(out["vals"]), 0, -1)  # [C,N,S]->[N,S,C]
+    t = np.asarray(out["t"])
     pts = o[:, None, :] + t[..., None] * d[:, None, :]
     inb = np.all((pts >= np.array(xyz_min)) & (pts <= np.array(xyz_max)), -1)
     ref = np.asarray(trilinear_sample_world(
@@ -61,7 +62,8 @@ def test_sweep_vjp_matches_gather_autodiff(axis):
     pts = o[:, None, :] + t[..., None] * d[:, None, :]
     inb = np.all((pts >= np.array(xyz_min)) & (pts <= np.array(xyz_max)),
                  -1, keepdims=True)
-    cot = rng.normal(size=out["vals"].shape).astype(np.float32) * inb
+    cot = rng.normal(size=out["vals"].shape).astype(np.float32) \
+        * np.moveaxis(inb, -1, 0)  # [C, N, S] layout
 
     def loss_sweep(g):
         r = sweep_ops.sweep_samples(g, None, jnp.asarray(o), jnp.asarray(d),
@@ -73,7 +75,7 @@ def test_sweep_vjp_matches_gather_autodiff(axis):
         r = trilinear_sample_world(
             g, jnp.asarray(pts[..., 0]), jnp.asarray(pts[..., 1]),
             jnp.asarray(pts[..., 2]), xyz_min, xyz_max)
-        return jnp.sum(r * cot)
+        return jnp.sum(r * np.moveaxis(cot, 0, -1))
 
     g_sweep = np.asarray(jax.grad(loss_sweep)(grid))
     g_gather = np.asarray(jax.grad(loss_gather)(grid))
@@ -95,7 +97,7 @@ def test_sweep_custom_vjp_matches_autodiff_of_fwd_impl():
     d = tuple(jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
               for _ in range(3))
     cot = jnp.asarray(
-        rng.normal(size=(n, k * (gp - 1) + 1, c)).astype(np.float32))
+        rng.normal(size=(c, n, k * (gp - 1) + 1)).astype(np.float32))
 
     def loss_custom(g):
         vals, _ = sweep_ops.station_sweep(g, (o, d), c, k, (gu, gv),
@@ -152,6 +154,70 @@ def test_forward_sweep_matches_gather_forward():
     dep_corr = np.corrcoef(np.asarray(ret_g["depth"]),
                            np.asarray(ret_s["depth"]))[0, 1]
     assert dep_corr > 0.99
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_forward_sweep_clip_equivalence(axis):
+    """Occupancy-bbox clipping must not change forward_sweep outputs or
+    grads: samples outside the (padded) mask bbox have interpolated mask 0,
+    so alpha2weight zeroes their contribution either way."""
+    rng = np.random.default_rng(4)
+    model = DirectVoxGO(xyz_min=[-1, -1, -1], xyz_max=[1, 1, 1],
+                        num_voxels=48 ** 3, num_voxels_base=48 ** 3,
+                        alpha_init=1e-2, fast_color_thres=1e-4,
+                        rgbnet_dim=6, rgbnet_direct=True,
+                        k_density=None, k_color=0)
+    pts = np.asarray(model.grid_points())
+    # off-center compact blob -> tight mask bbox away from grid edges
+    r2 = (((pts - np.array([0.25, -0.2, 0.1])) / 0.4) ** 2).sum(-1)
+    model.params["density"] = jnp.asarray(
+        (18 * np.exp(-2 * r2) - 9).astype(np.float32))
+    model.params["k0"] = jnp.asarray(
+        rng.normal(0, 0.5, model.params["k0"].shape).astype(np.float32))
+    model.update_occupancy_cache()
+
+    clip_sizes, clip_off = model.sweep_clip_for_axis(axis, quantum=8)
+    assert clip_sizes is not None, "blob fixture should produce a real clip"
+    assert any(s < g for s, g in zip(
+        clip_sizes, [model.world_size[a] for a in
+                     sweep_ops._PERMS[axis]]))
+
+    N = 128
+    o = np.tile([[0.0, 0.0, 3.0]], (N, 1)).astype(np.float32)
+    ang = rng.uniform(-0.3, 0.3, (N, 2))
+    d3 = np.stack([np.tan(ang[:, 0]), np.tan(ang[:, 1]),
+                   -np.ones(N)], -1).astype(np.float32)
+    # rotate so the batch is dominant along `axis`
+    d3 = np.roll(d3, axis - 2, axis=1)
+    o = np.roll(o, axis - 2, axis=1)
+    vd = (d3 / np.linalg.norm(d3, axis=-1, keepdims=True)).astype(np.float32)
+    kw = dict(near=0.5, far=6.0, bg=1.0, stepsize=0.5, render_depth=True)
+
+    def run(params, clip_s, clip_o):
+        return model.forward_sweep(
+            params, model.mask, jnp.asarray(o), jnp.asarray(d3),
+            jnp.asarray(vd), axis, clip_sizes=clip_s,
+            clip_offsets=None if clip_o is None else jnp.asarray(clip_o),
+            **kw)
+
+    ret_full = run(model.params, None, None)
+    ret_clip = run(model.params, clip_sizes, clip_off)
+    for key in ("rgb_marched", "alphainv_last", "depth"):
+        a, b = np.asarray(ret_full[key]), np.asarray(ret_clip[key])
+        assert np.allclose(a, b, atol=2e-5), (key, np.abs(a - b).max())
+
+    def loss(params, clip_s, clip_o):
+        ret = run(params, clip_s, clip_o)
+        return jnp.mean(ret["rgb_marched"] ** 2) \
+            + jnp.mean(ret["alphainv_last"])
+
+    g_full = jax.grad(loss)(model.params, None, None)
+    g_clip = jax.grad(loss)(model.params, clip_sizes, clip_off)
+    for name in ("density", "k0"):
+        a, b = np.asarray(g_full[name]), np.asarray(g_clip[name])
+        scale = max(1.0, np.abs(a).max())
+        assert np.abs(a - b).max() < 1e-5 * scale, (name,
+                                                    np.abs(a - b).max())
 
 
 def test_dominant_axis_grouping():
