@@ -72,21 +72,36 @@ def bench_render(model, H=800, W=800):
 
     def frame(th):
         c2w = np.asarray(pose_spherical(float(th), -30.0, 4.0))[:3, :4]
-        return render_sweep.render_frame_sweep(model, H, W, K, c2w, rk)
+        return render_sweep.render_frame_sweep(model, H, W, K, c2w, rk,
+                                               output="device_compact")
 
     t0 = time.time()
-    n_fallback = sum(frame(th) is None for th in thetas)
+    cams = [(H, W, K, np.asarray(pose_spherical(float(th), -30.0, 4.0))[:3, :4])
+            for th in thetas]
+    n_prog = render_sweep.precompile_frames(model, cams, rk,
+                                            output='device_compact')
     log(f"bench: render warmup/compile {time.time()-t0:.1f}s "
-        f"({n_fallback} poses fell back)")
-    times = []
+        f"({n_prog} programs, concurrent)")
+    # Steady-state orbit: dispatch frame i, then pull frame i-1 — the host
+    # fetch (uint8 rgb + f16 depth over the dev tunnel) overlaps the next
+    # frame's device compute, like a display pipeline would.
+    marks = []
+    pending = None
+    t_start = time.time()
     for th in thetas:
-        t0 = time.time()
         out = frame(th)
-        if out is not None:
-            times.append(time.time() - t0)
-    sec = float(np.median(times))
-    log(f"bench: render {H}x{W} median {sec*1000:.1f} ms/frame "
-        f"(times: {[f'{t*1000:.0f}' for t in times]})")
+        if pending is not None:
+            np.asarray(pending[0]), np.asarray(pending[1])
+            marks.append(time.time())
+        pending = out
+    if pending is not None:
+        np.asarray(pending[0]), np.asarray(pending[1])
+        marks.append(time.time())
+    n = len(marks)
+    deltas = np.diff([t_start] + marks) * 1000
+    sec = float(np.median(deltas)) / 1000  # steady-state frame time
+    log(f"bench: render {H}x{W} median {sec*1000:.1f} ms/frame over {n} "
+        f"frames (times: {[f'{t:.0f}' for t in deltas]})")
     return sec
 
 

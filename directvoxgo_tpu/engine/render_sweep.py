@@ -80,20 +80,40 @@ def _active_bbox_vox(model):
     return box
 
 
+def _rays_at_pixels(H, W, K, c2w, pix_ji, inverse_y, flip_x, flip_y):
+    """Ray directions at selected (row, col) pixels — rays.get_rays 'center'
+    mode semantics without materializing the full H x W grid (planning only
+    needs corners/center, and the full grid costs ~45 ms per 800^2 frame)."""
+    c2w = np.asarray(c2w, np.float64)
+    K = np.asarray(K, np.float64)
+    jj = np.asarray([p[0] for p in pix_ji], np.float64) + 0.5
+    ii = np.asarray([p[1] for p in pix_ji], np.float64) + 0.5
+    if flip_x:
+        ii = W - ii
+    if flip_y:
+        jj = H - jj
+    if inverse_y:
+        dirs = np.stack([(ii - K[0][2]) / K[0][0],
+                         (jj - K[1][2]) / K[1][1], np.ones_like(ii)], -1)
+    else:
+        dirs = np.stack([(ii - K[0][2]) / K[0][0],
+                         -(jj - K[1][2]) / K[1][1], -np.ones_like(ii)], -1)
+    return dirs @ c2w[:3, :3].T
+
+
 def plan_camera_sweep(model, H, W, K, c2w, near, far, inverse_y=False,
                       flip_x=False, flip_y=False, stepsize=0.5):
     """Host-side geometry for one camera. Returns None when the separable
     sweep does not apply (rays disagree on the dominant axis)."""
-    rays_o, rays_d, _ = ray_lib.get_rays_of_a_view(
-        H, W, K, c2w, ndc=False, inverse_y=inverse_y,
-        flip_x=flip_x, flip_y=flip_y)
-    rays_o = np.asarray(rays_o)
-    rays_d = np.asarray(rays_d)
+    pix = [(0, 0), (0, W - 1), (H - 1, 0), (H - 1, W - 1),
+           (H // 2, W // 2), (H // 2, W // 2 + 1), (H // 2 + 1, W // 2)]
+    d7 = _rays_at_pixels(H, W, K, c2w, pix, inverse_y, flip_x, flip_y)
+    rays_o00 = np.asarray(c2w, np.float64)[:3, 3]
     ws = np.asarray(model.world_size, np.float64)
     scale = (ws - 1.0) / (np.asarray(model.xyz_max, np.float64)
                           - np.asarray(model.xyz_min, np.float64))
-    d_vox_corners = rays_d[[0, 0, -1, -1], [0, -1, 0, -1]] * scale
-    d_vox_center = rays_d[H // 2, W // 2] * scale
+    d_vox_corners = d7[:4] * scale
+    d_vox_center = d7[4] * scale
     axis = int(np.argmax(np.abs(d_vox_center)))
     # all corner rays must march the same way along the axis, away from zero
     dp = np.concatenate([d_vox_corners[:, axis:axis + 1].ravel(),
@@ -106,7 +126,7 @@ def plan_camera_sweep(model, H, W, K, c2w, near, far, inverse_y=False,
         return None
 
     perm = sweep_ops._PERMS[axis]
-    o_vox = (rays_o[0, 0] - np.asarray(model.xyz_min)) * scale
+    o_vox = (rays_o00 - np.asarray(model.xyz_min)) * scale
     op = float(o_vox[axis])
     gp = int(ws[axis])
     sign = 1.0 if dp[0] > 0 else -1.0
@@ -134,11 +154,11 @@ def plan_camera_sweep(model, H, W, K, c2w, near, far, inverse_y=False,
 
     # Screen-pixel density on the reference plane: how far apart adjacent
     # pixel rays land on it (take the center pixel's spacing).
-    d_pv = rays_d[H // 2, W // 2] * scale
+    d_pv = d7[4] * scale
     d_pv = d_pv[list(perm)]
     t_ref = (p_ref - o_pv[0]) / d_pv[0]
-    du_px = rays_d[H // 2, W // 2 + 1] * scale - rays_d[H // 2, W // 2] * scale
-    dv_px = rays_d[H // 2 + 1, W // 2] * scale - rays_d[H // 2, W // 2] * scale
+    du_px = (d7[5] - d7[4]) * scale
+    dv_px = (d7[6] - d7[4]) * scale
     spacing = min(
         np.linalg.norm((du_px[list(perm)] * t_ref)[1:]),
         np.linalg.norm((dv_px[list(perm)] * t_ref)[1:]))
@@ -169,13 +189,16 @@ def _interp_matrix(coords, g, dtype):
 @functools.partial(jax.jit, static_argnames=(
     "c", "k", "guv", "sign", "rgb_mode"))
 def _sweep_frame_core(grid_perm, rgbnet_params, vd_emb_map, dnorm_map,
-                      ur_grid, vr_grid, sc, *, c, k, guv, sign, rgb_mode):
+                      dclip_map, ur_grid, vr_grid, sc, *, c, k, guv, sign,
+                      rgb_mode):
     """Jitted streaming composite over stations.
 
     grid_perm: [Gp, Gu, Gv*C] (bf16) permuted stacked grid
     vd_emb_map: [Hi, Wi, E] per-intermediate-pixel view embedding (or None)
     dnorm_map:  [Hi, Wi] world-space |d| for the ray of each pixel, with d
                 normalized so t=lam (the station fraction along o->ref).
+    dclip_map:  [Hi, Wi] |d . f_cam| — lam * dclip is the reference ray
+                parameter; near/far clip in it (matches the per-ray paths).
     ur_grid/vr_grid: [Hi], [Wi] reference-plane coordinates.
     sc: [10] f32 runtime scalars (op, ou, ov, p_ref, act_shift,
         voxel_size_base, fast_thres, near, far, bg) — runtime, not static,
@@ -232,9 +255,10 @@ def _sweep_frame_core(grid_perm, rgbnet_params, vd_emb_map, dnorm_map,
         density = warped[..., 0]
         mask_s = warped[..., 1]
         dist = lam * dnorm_map                      # world distance along ray
+        t_px = lam * dclip_map                      # reference ray parameter
         interval = (dnorm_map * (inv_span / k)) / interval_base
         alpha = rm.raw2alpha(density, act_shift, jnp.abs(interval))
-        valid = (dist >= near) & (dist <= far) & (mask_s > 0) \
+        valid = (t_px >= near) & (t_px <= far) & (mask_s > 0) \
             & (alpha > fast_thres)
         active = t_cum >= rm.T_TERMINATE
         alpha = jnp.where(valid & active, alpha, 0.0)
@@ -288,10 +312,12 @@ def _build_slabs(density, mask, k0, *, axis, sign, k, s_lo, s_hi, s_pad,
         k)[s_lo:s_hi + 1]
     d_k0 = None
     if has_k0:
-        # [Gp, F, Gu, Gv]: per-channel slabs (v1 kernel layout)
+        # [Gp, F*Gu, Gv]: transposed channel-major slabs (v3 kernel layout;
+        # row c*Gu+U, col V — one matmul warps all channels at once).
         perm = sweep_ops._PERMS[axis]
         k0p = jnp.transpose(k0.astype(sdt), (*perm, 3))
-        k0p = jnp.transpose(k0p, (0, 3, 1, 2))
+        gp, gu_, gv_, c_ = k0p.shape
+        k0p = jnp.transpose(k0p, (0, 3, 1, 2)).reshape(gp, c_ * gu_, gv_)
         d_k0 = sweep_ops._station_slabs(k0p, k)[s_lo:s_hi + 1]
     if sign < 0:
         d_geo = d_geo[::-1]
@@ -307,33 +333,36 @@ def _build_slabs(density, mask, k0, *, axis, sign, k, s_lo, s_hi, s_pad,
 
 
 def _get_render_slabs(model, axis, sign, k, s_lo, s_hi, s_pad):
-    """Per-(params, axis) cache: slabs are pose-independent, so an orbit
-    rebuilds them only when the sweep axis (or the model state) changes."""
-    key = (axis, float(sign), k, s_lo, s_hi, s_pad,
-           id(model.params["density"]), id(model.params.get("k0")),
-           id(model.mask))
+    """Per-(params, axis, sign) cache: slabs are pose-independent, and an
+    orbit alternates between a handful of (axis, sign) combinations, so all
+    of them stay resident; the whole cache is dropped when the model arrays
+    change (otherwise stale grids would be retained)."""
+    key = (axis, float(sign), k, s_lo, s_hi, s_pad)
+    arrs = (model.params["density"], model.params.get("k0"), model.mask)
     cache = getattr(model, "_render_slab_cache", None)
-    if cache is not None and cache[0] == key:
-        return cache[1]
-    slabs = _build_slabs(model.params["density"], model.mask,
-                         model.params.get("k0"), axis=axis,
-                         sign=float(sign), k=k, s_lo=s_lo, s_hi=s_hi,
-                         s_pad=s_pad, has_k0=model.k0_dim > 0)
-    model._render_slab_cache = (key, slabs)
-    return slabs
+    if cache is None or not all(a is b for a, b in zip(cache[0], arrs)):
+        cache = (arrs, {})
+        model._render_slab_cache = cache
+    if key not in cache[1]:
+        cache[1][key] = _build_slabs(
+            model.params["density"], model.mask, model.params.get("k0"),
+            axis=axis, sign=float(sign), k=k, s_lo=s_lo, s_hi=s_hi,
+            s_pad=s_pad, has_k0=model.k0_dim > 0)
+    return cache[1][key]
 
 
 @functools.partial(jax.jit, static_argnames=(
     "hw", "hiwi", "guv", "perm", "has_mlp", "rgb_mode", "viewbase_pe",
-    "f_mlp", "inverse_y", "flip_x", "flip_y", "interpret"))
+    "f_mlp", "inverse_y", "flip_x", "flip_y", "interpret", "compact"))
 def _render_frame_fused(d_geo, d_k0, rgbnet_params, km, c2w, sc, *, hw,
                         hiwi, guv, perm, has_mlp, rgb_mode, viewbase_pe,
-                        f_mlp, inverse_y, flip_x, flip_y, interpret):
+                        f_mlp, inverse_y, flip_x, flip_y, interpret,
+                        compact=False):
     """One dispatch per frame: intermediate grids, view embeddings, the
     fused Pallas composite, and the homography warp to screen — everything
     pose-dependent is a runtime scalar/array so orbit poses share one
     compiled program per (shape, axis) pair."""
-    from ..ops.pallas_render import render_frame_pallas
+    from ..ops.pallas_render3 import render_frame_pallas3
     from ..ops.grid import bilinear_sample_parts
     h_px, w_px = hw
     hi, wi = hiwi
@@ -349,6 +378,14 @@ def _render_frame_fused(d_geo, d_k0, rgbnet_params, km, c2w, sc, *, hw,
     du = (ur_grid - ou) * inv_su
     dv = (vr_grid - ov) * inv_sv
     dnorm = jnp.sqrt(w_dp ** 2 + du[:, None] ** 2 + dv[None, :] ** 2)
+    # |d . f_cam|: the reference ray parameter of a station is
+    # t = lam * dclip (pixel dirs are z-normalized in get_rays, so
+    # |rays_d| = |d| / |d . f_cam|); near/far clip in t like the per-ray
+    # paths (ADVICE round 1: the two paths previously disagreed by |rays_d|).
+    fwd_axis = c2w[:3, 2]
+    dclip = jnp.abs(w_dp * fwd_axis[axis]
+                    + du[:, None] * fwd_axis[perm[1]]
+                    + dv[None, :] * fwd_axis[perm[2]])
 
     shared1 = None
     mlp_params = None
@@ -369,10 +406,11 @@ def _render_frame_fused(d_geo, d_k0, rgbnet_params, km, c2w, sc, *, hw,
                       "b2": layers[1]["b"], "w3": layers[2]["w"],
                       "b3": layers[2]["b"]}
 
-    inter_rgb, inter_depth, inter_ainv = render_frame_pallas(
-        d_geo, d_k0, shared1, dnorm, ur_grid, vr_grid, mlp_params,
+    rgb_cl, inter_depth, inter_ainv = render_frame_pallas3(
+        d_geo, d_k0, shared1, dnorm, dclip, ur_grid, vr_grid, mlp_params,
         sc[:12], guv=guv, has_mlp=has_mlp, rgb_mode=rgb_mode,
         interpret=interpret)
+    inter_rgb = jnp.transpose(rgb_cl, (1, 2, 0))
 
     # Homography warp to screen (ray convention of rays.get_rays).
     ii = jnp.arange(w_px, dtype=jnp.float32) + 0.5
@@ -408,6 +446,11 @@ def _render_frame_fused(d_geo, d_k0, rgbnet_params, km, c2w, sc, *, hw,
     out = bilinear_sample_parts(packed, ur_l, vr_l)
     rgb = jnp.where(valid[..., None], out[..., :3], bg)
     depth = jnp.where(valid, out[..., 3], 0.0)
+    if compact:
+        # Compact host-pull dtypes (the dev tunnel moves ~30 MB/s; a frame
+        # of f32 rgb costs ~240 ms to fetch): to8b rgb + f16 depth.
+        rgb = jnp.round(jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        depth = depth.astype(jnp.float16)
     return rgb, depth
 
 
@@ -426,6 +469,53 @@ def _warp_to_screen(inter_rgb, inter_depth, inter_alphainv, ur_px, vr_px,
     return rgb, depth, alphainv
 
 
+def precompile_frames(model, cams, render_kwargs, max_workers=4,
+                      backend=None, output="numpy"):
+    """Compile every distinct frame-sweep program for ``cams`` concurrently.
+
+    ``cams`` is a sequence of (H, W, K, c2w). Pose parameters are runtime
+    scalars, so an orbit needs at most one compiled program per
+    (axis, intermediate-shape, station-count) signature — usually two. The
+    XLA service on this stack compiles remotely (~1-2 min per program,
+    cold); overlapping the requests in threads makes warmup cost the max,
+    not the sum. Returns the number of programs compiled.
+    """
+    import concurrent.futures as cf
+
+    near = float(render_kwargs["near"])
+    far = float(render_kwargs["far"])
+    stepsize = float(render_kwargs["stepsize"])
+    inverse_y = bool(render_kwargs.get("inverse_y", False))
+    flip_x = bool(render_kwargs.get("flip_x", False))
+    flip_y = bool(render_kwargs.get("flip_y", False))
+    k = sweep_ops.substeps_for_stepsize(stepsize)
+    seen = {}
+    for (H, W, K, c2w) in cams:
+        plan = plan_camera_sweep(model, int(H), int(W), np.asarray(K),
+                                 np.asarray(c2w), near, far,
+                                 inverse_y=inverse_y, flip_x=flip_x,
+                                 flip_y=flip_y, stepsize=stepsize)
+        if plan is None:
+            continue
+        p_lo, p_hi = plan["p_active"]
+        s_n = int(np.ceil(p_hi * k)) - int(np.floor(p_lo * k)) + 1
+        sig = (plan["axis"], plan["sign"], plan["hi"], plan["wi"],
+               plan["gu"], plan["gv"],
+            _round_up(s_n, S_QUANTUM))
+        seen.setdefault(sig, (int(H), int(W), np.asarray(K),
+                              np.asarray(c2w), plan))
+    if not seen:
+        return 0
+    with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
+        futs = [ex.submit(render_frame_sweep, model, H, W, K, c2w,
+                          render_kwargs, plan=plan, backend=backend,
+                          output=output)
+                for (H, W, K, c2w, plan) in seen.values()]
+        for f in futs:
+            f.result()
+    return len(seen)
+
+
 def _use_pallas():
     import os
     if os.environ.get("DVGO_NO_PALLAS"):
@@ -434,15 +524,21 @@ def _use_pallas():
 
 
 def render_frame_sweep(model, H, W, K, c2w, render_kwargs, plan=None,
-                       backend=None):
+                       backend=None, output="numpy"):
     """Render one camera frame with the separable station sweep.
 
     ``backend``: 'pallas' (fused TPU kernel, default on accelerators),
     'pallas_interpret' (the same kernel interpreted — CPU tests), or 'xla'
     (scan-of-matmuls fallback, default on CPU).
 
-    Returns (rgb [H,W,3], depth [H,W]) as numpy, or None when the camera
-    geometry rules the sweep out (caller falls back to per-ray rendering).
+    ``output``: 'numpy' (default) pulls f32 results to the host;
+    'device' returns the jax arrays without syncing (callers can pipeline
+    pulls against the next frame's dispatch); 'device_compact' additionally
+    converts rgb to uint8 and depth to f16 in-kernel to shrink the pull
+    (pallas backend only).
+
+    Returns (rgb [H,W,3], depth [H,W]), or None when the camera geometry
+    rules the sweep out (caller falls back to per-ray rendering).
     """
     near = float(render_kwargs["near"])
     far = float(render_kwargs["far"])
@@ -477,7 +573,7 @@ def render_frame_sweep(model, H, W, K, c2w, render_kwargs, plan=None,
         p_lo, p_hi = plan["p_active"]
         s_lo = int(np.floor(p_lo * k))
         s_hi = int(np.ceil(p_hi * k))
-        from ..ops.pallas_render import S_BLK
+        from ..ops.pallas_render3 import S_BLK
         s_pad = (-(s_hi - s_lo + 1)) % max(S_QUANTUM, S_BLK)
         d_geo, d_k0 = _get_render_slabs(model, plan["axis"], sign, k,
                                         s_lo, s_hi, s_pad)
@@ -514,7 +610,10 @@ def render_frame_sweep(model, H, W, K, c2w, render_kwargs, plan=None,
             has_mlp=model.has_rgbnet, rgb_mode=rgb_mode,
             viewbase_pe=int(model.viewbase_pe), f_mlp=f_mlp,
             inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y,
-            interpret=(backend == "pallas_interpret"))
+            interpret=(backend == "pallas_interpret"),
+            compact=(output == "device_compact"))
+        if output.startswith("device"):
+            return rgb, depth
         return np.asarray(rgb), np.asarray(depth)
 
     # ------------------------------------------------- XLA fallback path
@@ -548,6 +647,8 @@ def render_frame_sweep(model, H, W, K, c2w, render_kwargs, plan=None,
     d_world[..., perm[2]] = d_v
     dnorm = np.linalg.norm(d_world, axis=-1)
     viewdirs = d_world / np.maximum(dnorm[..., None], 1e-12)
+    dclip = np.abs(d_world @ np.asarray(c2w[:3, 2], np.float64)
+                   ).astype(np.float32)
 
     vd_emb = None
     rgbnet_params = None
@@ -561,7 +662,7 @@ def render_frame_sweep(model, H, W, K, c2w, render_kwargs, plan=None,
                       near, far, bg], jnp.float32)
     inter_rgb, inter_depth, inter_ainv = _sweep_frame_core(
         grid_perm, rgbnet_params, vd_emb, jnp.asarray(dnorm),
-        jnp.asarray(ur_grid), jnp.asarray(vr_grid), sc,
+        jnp.asarray(dclip), jnp.asarray(ur_grid), jnp.asarray(vr_grid), sc,
         c=c, k=k, guv=(plan["gu"], plan["gv"]), sign=plan["sign"],
         rgb_mode=rgb_mode)
 

@@ -95,6 +95,40 @@ def conditioned_loss_terms(ret, target, cfg_train, n_rand):
     return loss, mse
 
 
+def resume_latest_checkpoint(args, cfg, model, optimizer, stage):
+    """Reload the newest ``{stage}_*.tar`` if one exists
+    (run_tri_multiscene_v2.py:258-266 scan: ft_path > {stage}_last.tar >
+    latest numbered ckpt). Returns (opt_state_or_None, start_step)."""
+    from . import checkpoint as ckpt_lib
+    expdir = os.path.join(cfg.basedir, cfg.expname)
+    path = None
+    if getattr(args, "ft_path", ""):
+        path = args.ft_path
+    elif not getattr(args, "no_reload", False):
+        last = os.path.join(expdir, f"{stage}_last.tar")
+        if os.path.isfile(last):
+            path = last
+        elif os.path.isdir(expdir):
+            cands = sorted(f for f in os.listdir(expdir)
+                           if f.startswith(f"{stage}_")
+                           and f.endswith(".tar"))
+            if cands:
+                path = os.path.join(expdir, cands[-1])
+    if path is None or not os.path.isfile(path):
+        print(f"train_conditioned ({stage}): train from scratch")
+        return None, 0
+    st = ckpt_lib.load_checkpoint_file(path)
+    ckpt_lib.load_model_state(model, st["model_state_dict"])
+    start = int(st.get("global_step", 0))
+    opt_state = None
+    if not getattr(args, "no_reload_optimizer", False) \
+            and st.get("optimizer_state_dict") is not None:
+        opt_state = jax.tree_util.tree_map(jnp.asarray,
+                                           st["optimizer_state_dict"])
+    print(f"train_conditioned ({stage}): resumed {path} at step {start}")
+    return opt_state, start
+
+
 def train_conditioned_stage(args, cfg, cfg_train, model, optimizer,
                             opt_state, scene_ray_pools, cond_source,
                             render_kwargs, stage, start=0,
@@ -110,6 +144,10 @@ def train_conditioned_stage(args, cfg, cfg_train, model, optimizer,
       aux_weights: dict with weight_consistency/weight_cosine/
         weight_distillation (v2:495-501); None for models without aux
         losses (SR).
+
+    Supports ``cfg_train.pg_scale`` for models with explicit grids
+    (run_tri.py:389-400: upscale grids at the listed steps, fresh optimizer)
+    and auto-resume from the latest stage checkpoint (v2:258-266).
     """
     n_scene = len(scene_ray_pools)
     n_rand = int(cfg_train.N_rand)
@@ -121,6 +159,14 @@ def train_conditioned_stage(args, cfg, cfg_train, model, optimizer,
     trainable = [n for n in optimizer.group_cfg if n in model.params]
     frozen = [n for n in model.params if n not in trainable]
     has_aux = hasattr(model, "encode_feat") and multiscene
+
+    if start == 0:
+        resumed_opt, start = resume_latest_checkpoint(args, cfg, model,
+                                                      optimizer, stage)
+        if resumed_opt is not None:
+            opt_state = resumed_opt
+
+    pg_scale = list(cfg_train.get("pg_scale", ()) or ())
 
     @jax.jit
     def train_step(params, mask, opt_state, pool, sel, rgb_lr, pose_lr,
@@ -157,6 +203,7 @@ def train_conditioned_stage(args, cfg, cfg_train, model, optimizer,
 
     psnr_lst = []
     time0 = time.time()
+    os.makedirs(os.path.join(cfg.basedir, cfg.expname), exist_ok=True)
     last_ckpt_path = os.path.join(cfg.basedir, cfg.expname,
                                   f"{stage}_last.tar")
     global_step = -1
@@ -164,6 +211,17 @@ def train_conditioned_stage(args, cfg, cfg_train, model, optimizer,
         if (global_step + 500) % 1000 == 0 and \
                 hasattr(model, "update_occupancy_cache"):
             model.update_occupancy_cache()
+
+        # Progressive grid scaling (run_tri.py:389-400): upscale explicit
+        # grids, then a fresh optimizer over the new shapes.
+        if global_step in pg_scale and hasattr(model, "scale_volume_grid"):
+            n_rest = len(pg_scale) - pg_scale.index(global_step) - 1
+            cur_voxels = int(cfg.fine_model_and_render.num_voxels
+                             / (2 ** n_rest))
+            model.scale_volume_grid(cur_voxels)
+            optimizer = create_optimizer_or_freeze_model(model, cfg_train)
+            opt_state = optimizer.init(
+                {n: model.params[n] for n in trainable})
 
         scene_id = int(rng.integers(n_scene)) if n_scene > 1 else 0
         pool = scene_ray_pools[scene_id]

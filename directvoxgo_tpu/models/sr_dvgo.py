@@ -96,14 +96,21 @@ class SRDVGO(DirectVoxGO):
         return feats[0, :, :, :self.rgbnet_dim]
 
     def forward(self, params, mask, rgb_lr, rays_o, rays_d, viewdirs,
-                global_step=None, *, near, far, bg, stepsize,
-                render_depth=False, **_):
+                global_step=None, **render_kwargs):
+        plane = self.encode_feat(params, rgb_lr)
+        return self.render(params, mask, plane, rays_o, rays_d, viewdirs,
+                           global_step, **render_kwargs)
+
+    def render(self, params, mask, plane, rays_o, rays_d, viewdirs,
+               global_step=None, *, near, far, bg, stepsize,
+               render_depth=False, **_):
+        """Render against an already-encoded LR feature plane (the eval path
+        encodes once per view — run_sr.py:605-660)."""
         bbox_min = tuple(float(x) for x in self.xyz_min)
         bbox_max = tuple(float(x) for x in self.xyz_max)
         stepdist = stepsize * self.voxel_size
         interval = stepsize * self.voxel_size_ratio
         n_cap = rm.max_samples_for_bbox(self.xyz_min, self.xyz_max, stepdist)
-        plane = self.encode_feat(params, rgb_lr)
 
         (px, py, pz), valid, step_sl = rm.sample_points_dense_parts(
             rays_o, rays_d, bbox_min, bbox_max, near, far, stepdist, n_cap)

@@ -46,8 +46,8 @@ def _hat(coords, g, dtype):
                        ).astype(dtype)
 
 
-def render_frame_pallas(d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params,
-                        scalars, *, guv, has_mlp, rgb_mode,
+def render_frame_pallas(d_geo, d_k0, shared1, dnorm, dclip, ur, vr,
+                        mlp_params, scalars, *, guv, has_mlp, rgb_mode,
                         interpret=False):
     """Launch the fused frame kernel.
 
@@ -61,6 +61,8 @@ def render_frame_pallas(d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params,
       shared1: [Hi, Wi, width] bf16 hoisted first-layer view contribution
         (``vd_emb @ W1b + b1``), or None when has_mlp=False.
       dnorm: [Hi, Wi] f32 world |d| per intermediate pixel.
+      dclip: [Hi, Wi] f32 |d . f_cam| — ``lam * dclip`` is the reference
+        ray parameter t; near/far clipping uses it (see pallas_render3).
       ur, vr: [Hi], [Wi] reference-plane coordinates.
       mlp_params: dict with w1a [F_mlp, width], w2, b2, w3, b3, or None.
       scalars: [1, 12] f32 runtime pose/model scalars (op, ou, ov,
@@ -83,7 +85,8 @@ def render_frame_pallas(d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params,
     f_mlp = f_k0 - (3 if rgb_mode == "logit_plus_k0" else 0)
     width = mlp_params["w2"].shape[0] if has_mlp else 0
 
-    def kernel(sc_ref, ur_ref, vr_ref, dnorm_ref, dgeo_ref, *rest):
+    def kernel(sc_ref, ur_ref, vr_ref, dnorm_ref, dclip_ref, dgeo_ref,
+               *rest):
         if d_k0 is not None:
             dk0_ref = rest[0]
             rest = rest[1:]
@@ -109,6 +112,7 @@ def render_frame_pallas(d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params,
             tcum_ref[:] = jnp.ones_like(tcum_ref)
 
         dn = dnorm_ref[:]
+        dc = dclip_ref[:]
         interval = dn * interval_scale
 
         for j in range(S_BLK):
@@ -136,8 +140,9 @@ def render_frame_pallas(d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params,
             alpha = 1.0 - jnp.exp(
                 -jax.nn.softplus(density + act_shift) * interval)
             dist = lam * dn
+            t_px = lam * dc
             t_cum = tcum_ref[:]
-            ok = (dist >= near) & (dist <= far) & (maskv > 0.0) \
+            ok = (t_px >= near) & (t_px <= far) & (maskv > 0.0) \
                 & (alpha > fast_thres) & (t_cum >= rm.T_TERMINATE)
             alpha = jnp.where(ok, alpha, 0.0)
             w = t_cum * alpha
@@ -193,11 +198,13 @@ def render_frame_pallas(d_geo, d_k0, shared1, dnorm, ur, vr, mlp_params,
                      memory_space=pltpu.VMEM),          # vr [1,Wi]
         pl.BlockSpec((TILE, TILE), lambda i, j, s: (i, j),
                      memory_space=pltpu.VMEM),          # dnorm
+        pl.BlockSpec((TILE, TILE), lambda i, j, s: (i, j),
+                     memory_space=pltpu.VMEM),          # dclip
         pl.BlockSpec((S_BLK, gu, 2 * gv), lambda i, j, s: (s, 0, 0),
                      memory_space=pltpu.VMEM),          # d_geo
     ]
     inputs = [scalars.reshape(1, 12), ur.reshape(hi, 1),
-              vr.reshape(1, wi), dnorm, d_geo]
+              vr.reshape(1, wi), dnorm, dclip, d_geo]
     if d_k0 is not None:
         in_specs.append(pl.BlockSpec((S_BLK, f_k0, gu, gv),
                                      lambda i, j, s: (s, 0, 0, 0),

@@ -28,6 +28,12 @@ def config_parser():
     parser.add_argument('--ft_path', type=str, default='')
     parser.add_argument('--render_only', action='store_true')
     parser.add_argument('--render_test', action='store_true')
+    parser.add_argument('--render_train', action='store_true')
+    parser.add_argument('--render_video', action='store_true')
+    parser.add_argument('--render_video_factor', type=int, default=0)
+    parser.add_argument('--eval_ssim', action='store_true')
+    parser.add_argument('--eval_lpips_alex', action='store_true')
+    parser.add_argument('--eval_lpips_vgg', action='store_true')
     parser.add_argument('--i_print', type=int, default=500)
     parser.add_argument('--i_weights', type=int, default=100000)
     return parser
@@ -41,6 +47,10 @@ def main():
     data_dict = load_everything(args=args, cfg=cfg)
     os.makedirs(os.path.join(cfg.basedir, cfg.expname), exist_ok=True)
     if args.render_only:
+        # Eval path: encode fixed conditioning views once, render test
+        # views per chunk (reference run_multiscene.py:60-143, 706-726).
+        from run_tri import eval_stage
+        eval_stage(args, cfg, data_dict, model_class=MultiSceneImplicitDVGO)
         print('Done')
         return
 
@@ -94,6 +104,9 @@ def main():
     cond_lib.train_conditioned_stage(
         args, cfg, cfg_train, model, optimizer, opt_state, [pool],
         cond_source, render_kwargs, stage='fine')
+    if args.render_test or args.render_train or args.render_video:
+        from run_tri import eval_stage
+        eval_stage(args, cfg, data_dict, model_class=MultiSceneImplicitDVGO)
     print('Done')
 
 

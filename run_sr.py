@@ -31,9 +31,70 @@ def config_parser():
     parser.add_argument('--ft_path', type=str, default='')
     parser.add_argument('--render_only', action='store_true')
     parser.add_argument('--render_test', action='store_true')
+    parser.add_argument('--render_train', action='store_true')
+    parser.add_argument('--render_video', action='store_true')
+    parser.add_argument('--render_video_factor', type=int, default=0)
+    parser.add_argument('--eval_ssim', action='store_true')
+    parser.add_argument('--eval_lpips_alex', action='store_true')
+    parser.add_argument('--eval_lpips_vgg', action='store_true')
     parser.add_argument('--i_print', type=int, default=500)
     parser.add_argument('--i_weights', type=int, default=100000)
     return parser
+
+
+def eval_stage(args, cfg, data_dict):
+    """Render/eval with per-view LR conditioning (run_sr.py:605-660)."""
+    import jax.numpy as jnp
+    import jax
+    from directvoxgo_tpu.engine import checkpoint as ckpt_lib
+    from directvoxgo_tpu.engine import render_conditioned as rc
+
+    ckpt_path = args.ft_path or os.path.join(cfg.basedir, cfg.expname,
+                                             'fine_last.tar')
+    ckpt_name = os.path.basename(ckpt_path)[:-4]
+    model = ckpt_lib.load_model(SRDVGO, ckpt_path)
+    render_kwargs = {
+        'near': float(data_dict['near']), 'far': float(data_dict['far']),
+        'bg': 1 if cfg.data.white_bkgd else 0,
+        'stepsize': cfg.fine_model_and_render.stepsize,
+        'inverse_y': cfg.data.inverse_y,
+        'flip_x': cfg.data.flip_x, 'flip_y': cfg.data.flip_y,
+    }
+    encode = jax.jit(model.encode_feat)
+
+    def run_split(split_name, idx, savedir, render_factor=0, gt=True):
+        os.makedirs(savedir, exist_ok=True)
+        lr_feats = []
+        for i in idx:
+            lr = np.asarray(data_dict['images_lr'][i], np.float32)
+            lr_feats.append(encode(model.params,
+                                   jnp.asarray(((lr - 0.5) / 0.5)[None])))
+        rgbs, depths, _ = rc.render_viewpoints_conditioned(
+            model, model.params, model.mask, lambda i: lr_feats[i],
+            render_poses=data_dict['poses'][idx],
+            HW=data_dict['HW'][idx], Ks=data_dict['Ks'][idx],
+            render_kwargs=render_kwargs,
+            gt_imgs=[np.asarray(data_dict['images'][i]) for i in idx]
+            if gt else None,
+            savedir=savedir, render_factor=render_factor,
+            eval_ssim=args.eval_ssim, eval_lpips_alex=args.eval_lpips_alex,
+            eval_lpips_vgg=args.eval_lpips_vgg)
+        rc.save_videos(savedir, rgbs, depths)
+
+    if args.render_train:
+        run_split('train', data_dict['i_train'],
+                  os.path.join(cfg.basedir, cfg.expname,
+                               f'render_train_{ckpt_name}'))
+    if args.render_test:
+        run_split('test', data_dict['i_test'],
+                  os.path.join(cfg.basedir, cfg.expname,
+                               f'render_test_{ckpt_name}'))
+    if args.render_video:
+        # video path reuses test views' LR conditioning round-robin
+        run_split('video', data_dict['i_test'],
+                  os.path.join(cfg.basedir, cfg.expname,
+                               f'render_video_{ckpt_name}'),
+                  render_factor=args.render_video_factor, gt=False)
 
 
 def coarse_on_lr(args, cfg, data_dict):
@@ -113,6 +174,8 @@ def main():
         if cfg.coarse_train.N_iters > 0:
             coarse_ckpt = coarse_on_lr(args, cfg, data_dict)
         fine_stage(args, cfg, data_dict, coarse_ckpt)
+    if args.render_test or args.render_train or args.render_video:
+        eval_stage(args, cfg, data_dict)
     print('Done')
 
 

@@ -30,6 +30,9 @@ def config_parser():
     parser.add_argument('--ft_path', type=str, default='')
     parser.add_argument('--render_only', action='store_true')
     parser.add_argument('--render_test', action='store_true')
+    parser.add_argument('--render_train', action='store_true')
+    parser.add_argument('--render_video', action='store_true')
+    parser.add_argument('--render_video_factor', type=int, default=0)
     parser.add_argument('--eval_ssim', action='store_true')
     parser.add_argument('--eval_lpips_alex', action='store_true')
     parser.add_argument('--eval_lpips_vgg', action='store_true')
@@ -92,6 +95,62 @@ def fine_stage(args, cfg, data_dict, coarse_ckpt_path):
     return model
 
 
+def eval_stage(args, cfg, data_dict, model_class=TriDVGO):
+    """Render/eval the test split with fixed conditioning views encoded
+    once (reference run_tri.py eval; run_multiscene.py:60-143 shape)."""
+    from directvoxgo_tpu.engine import render_conditioned as rc
+
+    ckpt_path = args.ft_path or os.path.join(cfg.basedir, cfg.expname,
+                                             'fine_last.tar')
+    ckpt_name = os.path.basename(ckpt_path)[:-4]
+    model = ckpt_lib.load_model(model_class, ckpt_path)
+    render_kwargs = {
+        'near': float(data_dict['near']), 'far': float(data_dict['far']),
+        'bg': 1 if cfg.data.white_bkgd else 0,
+        'stepsize': cfg.fine_model_and_render.stepsize,
+        'inverse_y': cfg.data.inverse_y,
+        'flip_x': cfg.data.flip_x, 'flip_y': cfg.data.flip_y,
+    }
+    i_train = data_dict['i_train']
+    view_ids = rc.eval_view_ids(cfg.fine_train, i_train, render=True)
+    cond_views = [i_train[v] for v in view_ids]
+    feats = rc.encode_conditioning(
+        model, model.params,
+        [data_dict['images'][i] for i in cond_views],
+        data_dict['poses'][cond_views], data_dict['HW'][cond_views],
+        data_dict['Ks'][cond_views], list(range(len(cond_views))),
+        cfg.data)
+
+    def run_split(idx, savedir, render_factor=0, gt=True):
+        os.makedirs(savedir, exist_ok=True)
+        rgbs, depths, _ = rc.render_viewpoints_conditioned(
+            model, model.params, model.mask, lambda i: feats,
+            render_poses=data_dict['poses'][idx],
+            HW=data_dict['HW'][idx], Ks=data_dict['Ks'][idx],
+            render_kwargs=render_kwargs,
+            gt_imgs=[np.asarray(data_dict['images'][i]) for i in idx]
+            if gt else None,
+            savedir=savedir, render_factor=render_factor,
+            eval_ssim=args.eval_ssim, eval_lpips_alex=args.eval_lpips_alex,
+            eval_lpips_vgg=args.eval_lpips_vgg)
+        rc.save_videos(savedir, rgbs, depths)
+
+    if getattr(args, 'render_train', False):
+        run_split(data_dict['i_train'],
+                  os.path.join(cfg.basedir, cfg.expname,
+                               f'render_train_{ckpt_name}'))
+    if args.render_test:
+        run_split(data_dict['i_test'],
+                  os.path.join(cfg.basedir, cfg.expname,
+                               f'render_test_{ckpt_name}'))
+    if getattr(args, 'render_video', False):
+        run_split(data_dict['i_test'],
+                  os.path.join(cfg.basedir, cfg.expname,
+                               f'render_video_{ckpt_name}'),
+                  render_factor=getattr(args, 'render_video_factor', 0),
+                  gt=False)
+
+
 def main():
     args = config_parser().parse_args()
     cfg = Config.fromfile(args.config)
@@ -112,6 +171,9 @@ def main():
             coarse_ckpt_path = os.path.join(cfg.basedir, cfg.expname,
                                             'coarse_last.tar')
         fine_stage(args, cfg, data_dict, coarse_ckpt_path)
+    if args.render_test or getattr(args, 'render_train', False) \
+            or getattr(args, 'render_video', False):
+        eval_stage(args, cfg, data_dict)
     print('Done')
 
 

@@ -38,9 +38,65 @@ def config_parser():
     parser.add_argument('--ft_path', type=str, default='')
     parser.add_argument('--render_only', action='store_true')
     parser.add_argument('--render_test', action='store_true')
+    parser.add_argument('--render_train', action='store_true')
+    parser.add_argument('--render_video', action='store_true')
+    parser.add_argument('--render_video_factor', type=int, default=0)
+    parser.add_argument('--eval_ssim', action='store_true')
+    parser.add_argument('--eval_lpips_alex', action='store_true')
+    parser.add_argument('--eval_lpips_vgg', action='store_true')
     parser.add_argument('--i_print', type=int, default=500)
     parser.add_argument('--i_weights', type=int, default=100000)
     return parser
+
+
+def eval_stage(args, cfg, train_dataset):
+    """Per-scene render/eval: encode each scene's fixed conditioning views
+    once, then chunk-render its test views (reference v2:678-760 — one
+    render_test_{ckpt}/{scene} directory per scene)."""
+    from directvoxgo_tpu.engine import render_conditioned as rc
+
+    ckpt_path = args.ft_path or os.path.join(cfg.basedir, cfg.expname,
+                                             'fine_last.tar')
+    ckpt_name = os.path.basename(ckpt_path)[:-4]
+    model = ckpt_lib.load_model(TriDVGOMultiScene, ckpt_path)
+    kind = cfg.data.get('multiscene_dataset', 'multiscene_blender')
+    kw = dict(basedir=cfg.data.datadir, down=cfg.data.get('down', 1),
+              test_scenes=tuple(cfg.data.get('test_scenes', ())),
+              white_bkgd=cfg.data.white_bkgd)
+    cls = (MultisceneNSVFDataset if kind == 'multiscene_nsvf'
+           else MultisceneBlenderDataset)
+    test_dataset = cls(split='test', **kw)
+
+    for s in range(min(train_dataset.n_scene, test_dataset.n_scene)):
+        tr = train_dataset.scene_data(s)
+        te = test_dataset.scene_data(s)
+        render_kwargs = {
+            'near': float(te['near']), 'far': float(te['far']),
+            'bg': 1 if cfg.data.white_bkgd else 0,
+            'stepsize': cfg.fine_model_and_render.stepsize,
+            'inverse_y': cfg.data.inverse_y,
+            'flip_x': cfg.data.flip_x, 'flip_y': cfg.data.flip_y,
+        }
+        view_ids = rc.eval_view_ids(cfg.fine_train,
+                                    np.arange(len(tr['poses'])),
+                                    render=True)
+        feats = rc.encode_conditioning(
+            model, model.params, tr['images'], tr['poses'], tr['HW'],
+            tr['Ks'], view_ids, cfg.data, scene_id=s)
+        name = train_dataset.scenes[s] if hasattr(train_dataset, 'scenes') \
+            else str(s)
+        savedir = os.path.join(cfg.basedir, cfg.expname,
+                               f'render_test_{ckpt_name}', str(name))
+        os.makedirs(savedir, exist_ok=True)
+        rgbs, depths, _ = rc.render_viewpoints_conditioned(
+            model, model.params, model.mask, lambda i: feats,
+            render_poses=te['poses'], HW=te['HW'], Ks=te['Ks'],
+            render_kwargs=render_kwargs, gt_imgs=te['images'],
+            savedir=savedir, scene_id=s,
+            eval_ssim=args.eval_ssim,
+            eval_lpips_alex=args.eval_lpips_alex,
+            eval_lpips_vgg=args.eval_lpips_vgg)
+        rc.save_videos(savedir, rgbs, depths)
 
 
 def load_multiscene(cfg):
@@ -148,6 +204,11 @@ def main():
     dataset = load_multiscene(cfg)
     print(f"multiscene dataset: {dataset.n_scene} scenes: {dataset.scenes}")
     xyz_min, xyz_max = union_bbox(cfg, dataset)
+    if args.render_only:
+        if args.render_test:
+            eval_stage(args, cfg, dataset)
+        print('Done')
+        return
 
     coarse_ckpt_path = None
     if cfg.coarse_train.N_iters > 0:
@@ -195,8 +256,10 @@ def main():
 
     cond_lib.train_conditioned_stage(
         args, cfg, cfg_train, model, optimizer, opt_state, pools,
-        cond_source, render_kwargs, stage='fine', aux_weights=aux_weights,
-        multiscene=True)
+        cond_source, render_kwargs, stage='fine',
+        aux_weights=aux_weights, multiscene=True)
+    if args.render_test:
+        eval_stage(args, cfg, dataset)
     print('Done')
 
 
