@@ -97,18 +97,27 @@ def render_viewpoints(model, render_poses, HW, Ks, ndc, render_kwargs,
     return np.array(rgbs), np.array(depths), stats
 
 
-def make_render_fn(model, render_kwargs):
+def make_render_fn(model, render_kwargs, mesh=None):
     """One jitted forward over (params, mask, ray chunk) -> (rgb, depth).
 
     For sweep-mode models the chunk's static dominant ``axis`` selects the
     station-sweep fast path (rays are grouped by axis in
-    :func:`render_rays_chunked`)."""
+    :func:`render_rays_chunked`). ``mesh`` (1-D 'data' mesh or None) shards
+    the ray chunk across devices with grids/params replicated — same SPMD
+    contract as the train step (engine/train.py make_train_step)."""
     kwargs = {k: v for k, v in render_kwargs.items()
               if k in ("near", "far", "bg", "stepsize")}
     use_sweep = (getattr(model, "query_mode", "gather") == "sweep"
                  and hasattr(model, "forward_sweep"))
 
-    @functools.partial(jax.jit, static_argnums=(5, 6))
+    jit_kw = {}
+    if mesh is not None:
+        from ..parallel import replicate, shard_rays
+        rep, rs = replicate(mesh), shard_rays(mesh)
+        jit_kw = dict(in_shardings=(rep, rep, rs, rs, rs, rep),
+                      out_shardings=(rs, shard_rays(mesh, ndim=1)))
+
+    @functools.partial(jax.jit, static_argnums=(5, 6), **jit_kw)
     def render_chunk(params, mask, ro, rd, vd, axis, clip_sizes, clip_off):
         if axis is None:
             ret = model.forward(params, mask, ro, rd, vd,

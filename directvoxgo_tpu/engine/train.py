@@ -105,7 +105,8 @@ def create_optimizer_or_freeze_model(model, cfg_train):
 
 
 def make_train_step(model, optimizer, cfg_train, render_kwargs,
-                    apply_tv, tv_dense, axis=None, clip_sizes=None):
+                    apply_tv, tv_dense, axis=None, clip_sizes=None,
+                    mesh=None):
     """Build the jitted full train step for the current phase.
 
     ``apply_tv``/``tv_dense`` are baked in statically; the host flips them at
@@ -116,6 +117,15 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
     the sweep to the occupancy bbox; the runtime offsets travel as the
     ``clip_off`` step argument so mask renewals that keep the same quantized
     size don't recompile.
+
+    ``mesh`` (a 1-D ``jax.sharding.Mesh`` over the 'data' axis, or None)
+    turns the step SPMD: the per-step ray-index batch ``sel`` is sharded
+    across chips, grids/MLP params/optimizer state/pool stay replicated,
+    and the replicated out_shardings make XLA insert the gradient
+    all-reduce over ICI. The math is bit-for-bit the single-chip step
+    (same rays, same reduction semantics) — only the batch dimension is
+    split. This is a new capability over the strictly single-GPU reference
+    (SURVEY.md §2.2: no torch.distributed anywhere).
     """
     kwargs = {k: render_kwargs[k] for k in ("near", "far", "bg", "stepsize")}
     w_main = float(cfg_train.weight_main)
@@ -127,7 +137,6 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
     frozen_names = [n for n in model.params if n not in trainable_names]
     n_rand = int(cfg_train.N_rand)
 
-    @jax.jit
     def train_step(params, mask, opt_state, pool, sel, clip_off):
         target = jnp.take(pool["rgb"], sel, axis=0)
         rays_o = jnp.take(pool["rays_o"], sel, axis=0)
@@ -199,7 +208,14 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
         psnr = -10.0 * jnp.log10(mse)
         return new_params, new_opt_state, loss, psnr
 
-    return train_step
+    if mesh is None:
+        return jax.jit(train_step)
+    from ..parallel import replicate, shard_rays
+    rep = replicate(mesh)
+    return jax.jit(train_step,
+                   in_shardings=(rep, rep, rep, rep,
+                                 shard_rays(mesh, ndim=1), rep),
+                   out_shardings=(rep, rep, rep, rep))
 
 
 def gather_training_rays(model, cfg, cfg_train, data_dict, render_kwargs):
@@ -311,6 +327,21 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     rgb_tr, rays_o_tr, rays_d_tr, viewdirs_tr, imsz = gather_training_rays(
         model, cfg, cfg_train, data_dict, render_kwargs)
 
+    # SPMD data parallelism over a 1-D 'data' mesh (opt-in via
+    # --data_parallel): ray batches shard across chips, everything else is
+    # replicated; jit's explicit in_shardings reshard the step inputs, so
+    # the host loop below is unchanged.
+    mesh = None
+    if getattr(args, "data_parallel", False) and len(jax.devices()) > 1:
+        from ..parallel import make_mesh
+        if cfg_train.N_rand % len(jax.devices()) != 0:
+            print(f"data_parallel: N_rand={cfg_train.N_rand} not divisible "
+                  f"by {len(jax.devices())} devices; running single-chip")
+        else:
+            mesh = make_mesh()
+            print(f"data_parallel: sharding ray batches over "
+                  f"{len(mesh.devices.ravel())} devices")
+
     # Device-resident ray pool (flat [N, 3] each); batches are gathered on
     # device by index, so the per-step host->device transfer is just the
     # int32 index vector. (This is the TPU counterpart of the reference's
@@ -321,6 +352,9 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         "rays_d": jnp.asarray(np.asarray(rays_d_tr).reshape(-1, 3)),
         "viewdirs": jnp.asarray(np.asarray(viewdirs_tr).reshape(-1, 3)),
     }
+    if mesh is not None:
+        from ..parallel import replicate
+        pool = jax.device_put(pool, replicate(mesh))
     n_pool = pool["rgb"].shape[0]
     rng = np.random.default_rng(getattr(args, "seed", 777))
 
@@ -433,7 +467,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         if axis not in train_steps:
             train_steps[axis] = make_train_step(
                 model, optimizer, cfg_train, render_kwargs, apply_tv,
-                tv_dense, axis=axis, clip_sizes=clip_sizes)
+                tv_dense, axis=axis, clip_sizes=clip_sizes, mesh=mesh)
         sel = jnp.asarray(sel, jnp.int32)
         model.params, opt_state, loss, psnr = train_steps[axis](
             model.params, model.mask, opt_state, pool, sel,

@@ -1,1 +1,1 @@
-from .mesh import make_mesh, shard_rays, replicate
+from .mesh import make_mesh, shard_rays, replicate, shard_batch_tree

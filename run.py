@@ -28,6 +28,10 @@ def config_parser():
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     parser.add_argument('--config', required=True, help='config file path')
     parser.add_argument('--seed', type=int, default=777, help='random seed')
+    parser.add_argument('--data_parallel', action='store_true',
+                        help='SPMD: shard ray batches over all devices '
+                             '(grids/params replicated; TPU-native '
+                             'capability, no reference analogue)')
     parser.add_argument('--no_reload', action='store_true',
                         help='do not reload weights from saved ckpt')
     parser.add_argument('--no_reload_optimizer', action='store_true',
