@@ -143,6 +143,12 @@ def load_data(args):
         from .synthetic import make_synthetic_dataset
         return make_synthetic_dataset(white_bkgd=args.white_bkgd)
 
+    elif args.dataset_type == "ndc_fixture":
+        # Forward-facing procedural fixture for the NDC/DMPIGO (LLFF-style)
+        # pipeline (TPU rebuild addition).
+        from .synthetic import make_ndc_fixture_dataset
+        return make_ndc_fixture_dataset()
+
     else:
         raise NotImplementedError(
             f"Unknown dataset type {args.dataset_type} exiting")

@@ -42,8 +42,16 @@ def teacher_grids(resolution=64):
     return density, rgb
 
 
-def _render_view(density, rgb, H, W, K, c2w, near, far, bg, n_samples=192):
-    """Reference-math volume render of the teacher grids (numpy)."""
+def _render_view(density, rgb, H, W, K, c2w, near, far, bg, n_samples=192,
+                 scene_box=None):
+    """Reference-math volume render of the teacher grids (numpy).
+
+    ``scene_box`` ((min3, max3)) places the teacher volume in world space
+    (default [-1, 1]^3)."""
+    box_min, box_max = scene_box if scene_box is not None \
+        else (np.full(3, -1.0), np.full(3, 1.0))
+    box_min = np.asarray(box_min, np.float32)
+    box_max = np.asarray(box_max, np.float32)
     rays_o, rays_d, viewdirs = ray_lib.get_rays_of_a_view(
         H, W, K, c2w, ndc=False, inverse_y=False, flip_x=False, flip_y=False)
     ro = rays_o.reshape(-1, 3)
@@ -52,13 +60,14 @@ def _render_view(density, rgb, H, W, K, c2w, near, far, bg, n_samples=192):
     pts = ro[:, None, :] + vd[:, None, :] * t[None, :, None]
 
     res = density.shape[0]
-    idx = (pts + 1.0) / 2.0 * (res - 1)
-    inb = np.all((pts >= -1.0) & (pts <= 1.0), -1)
+    idx = (pts - box_min) / (box_max - box_min) * (res - 1)
+    inb = np.all((pts >= box_min) & (pts <= box_max), -1)
     ijk = np.clip(np.round(idx).astype(np.int64), 0, res - 1)
     d = density[ijk[..., 0], ijk[..., 1], ijk[..., 2]]
     c = rgb[ijk[..., 0], ijk[..., 1], ijk[..., 2]]
 
-    interval = (far - near) / n_samples / (2.0 / res)  # in voxel units
+    voxel = float(box_max[0] - box_min[0]) / res
+    interval = (far - near) / n_samples / voxel  # in voxel units
     alpha = 1.0 - np.exp(-np.log1p(np.exp(d)) * interval)
     alpha = np.where(inb, alpha, 0.0)
     one_minus = 1.0 - alpha + 1e-10
@@ -67,6 +76,62 @@ def _render_view(density, rgb, H, W, K, c2w, near, far, bg, n_samples=192):
     alphainv_last = np.prod(one_minus, -1)
     img = (weights[..., None] * c).sum(1) + alphainv_last[..., None] * bg
     return img.reshape(H, W, 3).astype(np.float32)
+
+
+def make_ndc_fixture_dataset(n_train=12, n_val=2, n_test=3, H=64, W=64,
+                             teacher_res=64, seed=0):
+    """Forward-facing (LLFF-style) procedural fixture for the NDC/DMPIGO
+    pipeline. ``ndc_rays`` puts the near plane at world z = -1 (the LLFF
+    convention: cameras near z = 0 looking down -z, content beyond the near
+    plane), so cameras sit on the z≈0 plane with small x/y offsets and the
+    teacher blobs live in [-1.2, 1.2]^2 x [-3.4, -1.0]. ``near``/``far``
+    are the NDC 0/1 (load_data.py:119-121); the training pipeline
+    reparameterizes rays via ``ndc_rays`` itself."""
+    rng = np.random.default_rng(seed)
+    density, rgb = teacher_grids(teacher_res)
+    scene_box = (np.array([-1.2, -1.2, -3.4], np.float32),
+                 np.array([1.2, 1.2, -1.0], np.float32))
+    focal = 0.8 * W
+    K = np.array([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]],
+                 np.float32)
+
+    n_total = n_train + n_val + n_test
+    poses = []
+    for i in range(n_total):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[0, 3] = rng.uniform(-0.25, 0.25)
+        c2w[1, 3] = rng.uniform(-0.25, 0.25)
+        c2w[2, 3] = rng.uniform(-0.05, 0.05)
+        poses.append(c2w)
+    poses = np.stack(poses, 0)
+
+    # GT images are WORLD-space renders (NDC is a model-side ray
+    # reparameterization, not a scene change).
+    images = np.stack([
+        _render_view(density, rgb, H, W, K, c2w[:3, :4], 0.5, 4.5, 0.0,
+                     n_samples=256, scene_box=scene_box)
+        for c2w in poses], 0)
+
+    idx = np.arange(n_total)
+    render_poses = []
+    for t in np.linspace(-0.2, 0.2, 8):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[0, 3] = t
+        render_poses.append(c2w)
+    render_poses = np.stack(render_poses, 0)
+    return {
+        "hwf": [H, W, focal],
+        "HW": np.array([[H, W]] * n_total),
+        "Ks": np.repeat(K[None], n_total, 0),
+        "near": 0.0, "far": 1.0,
+        "i_train": idx[:n_train],
+        "i_val": idx[n_train:n_train + n_val],
+        "i_test": idx[n_train + n_val:],
+        "poses": poses[:, :3, :4].astype(np.float32),
+        "render_poses": render_poses[:, :3, :4].astype(np.float32),
+        "images": images,
+        "irregular_shape": False,
+    }
 
 
 def make_synthetic_dataset(n_train=16, n_val=2, n_test=4, H=64, W=64,

@@ -145,11 +145,16 @@ def render_rays_chunked(render_fn, model, rays_o, rays_d, viewdirs, chunk):
     rgb_out = np.empty((n, 3), np.float32)
     dep_out = np.empty((n,), np.float32)
     if getattr(render_fn, "use_sweep", False):
-        from ..ops import sweep as sweep_ops
-        groups = sweep_ops.dominant_axis(rays_d, model.xyz_min,
-                                         model.xyz_max, model.world_size)
-        parts = [(int(ax), np.flatnonzero(groups == ax)) for ax in range(3)]
-        parts = [(ax, idx) for ax, idx in parts if len(idx)]
+        forced = getattr(model, "forced_sweep_axis", None)
+        if forced is not None:
+            parts = [(int(forced), np.arange(n))]
+        else:
+            from ..ops import sweep as sweep_ops
+            groups = sweep_ops.dominant_axis(rays_d, model.xyz_min,
+                                             model.xyz_max, model.world_size)
+            parts = [(int(ax), np.flatnonzero(groups == ax))
+                     for ax in range(3)]
+            parts = [(ax, idx) for ax, idx in parts if len(idx)]
     else:
         parts = [(None, np.arange(n))]
     for axis, idx in parts:

@@ -364,9 +364,15 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                  and hasattr(model, "forward_sweep"))
     if use_sweep:
         from ..ops import sweep as sweep_ops
-        groups = sweep_ops.dominant_axis(
-            np.asarray(pool["rays_d"]), model.xyz_min, model.xyz_max,
-            model.world_size)
+        forced = getattr(model, "forced_sweep_axis", None)
+        if forced is not None:
+            # MPI grids sweep along z regardless of ray direction (the NDC
+            # sampler is a z-station sweep; models/dmpigo.py forward_sweep).
+            groups = np.full(int(pool["rays_d"].shape[0]), forced, np.int64)
+        else:
+            groups = sweep_ops.dominant_axis(
+                np.asarray(pool["rays_d"]), model.xyz_min, model.xyz_max,
+                model.world_size)
         group_idx = [np.flatnonzero(groups == ax) for ax in range(3)]
         group_p = np.array([len(g) for g in group_idx], np.float64)
         group_p = group_p / group_p.sum()

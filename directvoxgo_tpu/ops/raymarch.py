@@ -174,9 +174,14 @@ def alpha2weight_dense(alpha, valid):
     """
     alpha = jnp.where(valid, alpha, 0.0)
     one_minus = jnp.where(valid, 1.0 - alpha + T_EPS, 1.0)
-    # T_excl[i] = transmittance entering sample i (exclusive product).
-    t_incl = jnp.cumprod(one_minus, axis=-1)
-    t_excl = t_incl / one_minus  # safe: one_minus >= 1e-10
+    # T_excl[i] = transmittance entering sample i: exclusive product via a
+    # SHIFTED cumprod, not cumprod/one_minus — the division form's backward
+    # produces inf*0 under XLA fusion when a sample saturates (alpha == 1 in
+    # f32, e.g. DMPIGO's opaque last plane) and the whole gradient NaNs out.
+    # The shift form's AD gradient matches float64 central differences at
+    # saturated entries to ~1e-9 (see tests/test_ops.py saturation test).
+    t_excl = jnp.cumprod(jnp.concatenate(
+        [jnp.ones_like(one_minus[..., :1]), one_minus[..., :-1]], -1), -1)
     live = t_excl >= T_TERMINATE
     weights = jnp.where(valid & live, t_excl * alpha, 0.0)
     # Transmittance after the last composited sample: product of one_minus
@@ -201,9 +206,15 @@ def alpha2weight_dense_bidir(alpha, valid, forward):
     """
     alpha = jnp.where(valid, alpha, 0.0)
     one_minus = jnp.where(valid, 1.0 - alpha + T_EPS, 1.0)
-    t_excl_f = jnp.cumprod(one_minus, axis=-1) / one_minus
-    t_incl_b = jnp.cumprod(one_minus[..., ::-1], axis=-1)[..., ::-1]
-    t_excl_b = t_incl_b / one_minus
+    # Exclusive products via shifted cumprods (NOT cumprod/one_minus): see
+    # :func:`alpha2weight_dense` on the saturated-alpha NaN the division
+    # form produces under jit.
+    ones = jnp.ones_like(one_minus[..., :1])
+    t_excl_f = jnp.cumprod(
+        jnp.concatenate([ones, one_minus[..., :-1]], -1), -1)
+    t_excl_b = jnp.cumprod(
+        jnp.concatenate([one_minus[..., 1:], ones], -1)[..., ::-1],
+        -1)[..., ::-1]
     t_excl = jnp.where(forward[:, None], t_excl_f, t_excl_b)
     live = t_excl >= T_TERMINATE
     weights = jnp.where(valid & live, t_excl * alpha, 0.0)

@@ -79,3 +79,71 @@ class TestDMPIGO:
         out = model.density_total_variation_grad(p, g, 0.1, True)
         assert out.shape == p.shape
         assert np.isfinite(np.asarray(out)).all()
+
+
+def _blob_model(rng, **kw):
+    """DMPIGO with a smooth off-center density blob and random colors."""
+    model = make_model(**kw)
+    pts = np.asarray(model.grid_points())
+    r2 = (((pts - np.array([0.2, -0.15, 0.45])) / 0.35) ** 2).sum(-1)
+    model.params["density"] = jnp.asarray(
+        (10 * np.exp(-2 * r2) - 4).astype(np.float32))
+    model.params["density"] = model.params["density"].at[..., -1].set(10.0)
+    model.params["k0"] = jnp.asarray(rng.normal(
+        0, 0.5, model.params["k0"].shape).astype(np.float32))
+    return model
+
+
+class TestDMPIGOSweep:
+    """forward_sweep: the NDC sampler expressed as a z-station sweep
+    (models/dmpigo.py forward_sweep; render_utils_kernel.cu:238-264)."""
+
+    @pytest.mark.parametrize("stepsize,rgbnet_dim",
+                             [(1.0, 0), (0.5, 0), (1.0, 6)])
+    def test_sweep_matches_gather_forward(self, stepsize, rgbnet_dim):
+        rng = np.random.default_rng(0)
+        kw = dict(rgbnet_dim=rgbnet_dim)
+        if rgbnet_dim:
+            kw.update(rgbnet_width=32, viewbase_pe=4, k_color=0)
+        model = _blob_model(rng, **kw)
+        o, d, vd = _ndc_rays(128, seed=1)
+        rk = dict(near=0.0, far=1.0, bg=1.0, stepsize=stepsize,
+                  render_depth=True)
+        ret_g = model.forward(model.params, model.mask, o, d, vd, **rk)
+        ret_s = model.forward_sweep(model.params, model.mask, o, d, vd, 2,
+                                    **rk)
+        a = np.asarray(ret_g["rgb_marched"])
+        b = np.asarray(ret_s["rgb_marched"])
+        # Stations coincide EXACTLY with the reference sampler's points
+        # (o_z == zmin, d_z == zmax-zmin for these rays), so only the
+        # sweep's bf16 grid cast separates the two paths.
+        assert np.abs(a - b).max() < 3e-2, np.abs(a - b).max()
+        ai = np.abs(np.asarray(ret_g["alphainv_last"])
+                    - np.asarray(ret_s["alphainv_last"]))
+        assert ai.max() < 2e-2
+        # depth is in sample-index units in both paths
+        dg, ds = np.asarray(ret_g["depth"]), np.asarray(ret_s["depth"])
+        assert np.abs(dg - ds).max() < 0.5
+
+    def test_sweep_clip_equivalence(self):
+        rng = np.random.default_rng(2)
+        model = _blob_model(rng)
+        # carve the mask to the blob so the clip actually shrinks
+        model.mask = model.activate_density(model.params["density"]) > 1e-3
+        clip_sizes, clip_off = model.sweep_clip_for_axis(2)
+        o, d, vd = _ndc_rays(64, seed=3)
+        rk = dict(near=0.0, far=1.0, bg=1.0, stepsize=1.0)
+        full = model.forward_sweep(model.params, model.mask, o, d, vd, 2,
+                                   **rk)
+        clip = model.forward_sweep(model.params, model.mask, o, d, vd, 2,
+                                   clip_sizes=clip_sizes,
+                                   clip_offsets=jnp.asarray(clip_off), **rk)
+        np.testing.assert_allclose(np.asarray(full["rgb_marched"]),
+                                   np.asarray(clip["rgb_marched"]),
+                                   atol=2e-3)
+
+    def test_engine_routes_all_rays_to_z(self):
+        assert DirectMPIGO.forced_sweep_axis == 2
+        model = make_model()
+        assert model.query_mode == "sweep"
+        assert "query_mode" in model.get_kwargs()

@@ -381,3 +381,30 @@ class TestTV:
                            grad.astype(np.float64), 0.3, 0.5, 0.7,
                            dense, bug_compat)
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("bidir", [False, True])
+def test_alpha2weight_saturated_alpha_grad_finite(bidir):
+    """alpha == 1.0 in f32 (DMPIGO's opaque last plane) must not NaN the
+    jitted backward: the old cumprod/one_minus exclusive product produced
+    inf*0 under XLA fusion. AD of the shift-form matches float64 central
+    differences at saturated entries (see ops/raymarch.py)."""
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 0.5, (8, 24)).astype(np.float32)
+    a[2, 10] = 1.0
+    a[5, 0] = 1.0
+    valid = rng.uniform(size=(8, 24)) > 0.2
+    ct_w = jnp.asarray(rng.normal(size=(8, 24)).astype(np.float32))
+    ct_a = jnp.asarray(rng.normal(size=8).astype(np.float32))
+    fwd = jnp.asarray(rng.uniform(size=8) > 0.5)
+
+    def f(alpha):
+        if bidir:
+            w, ainv, _ = rm.alpha2weight_dense_bidir(alpha,
+                                                     jnp.asarray(valid), fwd)
+        else:
+            w, ainv, _ = rm.alpha2weight_dense(alpha, jnp.asarray(valid))
+        return jnp.sum(w * ct_w) + jnp.sum(ainv * ct_a)
+
+    g = jax.jit(jax.grad(f))(jnp.asarray(a))
+    assert bool(jnp.isfinite(g).all())
