@@ -48,6 +48,8 @@ class DirectVoxGO:
                  rgbnet_dim=0, rgbnet_direct=False, rgbnet_full_implicit=False,
                  rgbnet_depth=3, rgbnet_width=128,
                  viewbase_pe=4, posbase_pe=0,
+                 implicit_voxel_feat=False, feat_unfold=False,
+                 local_ensemble=True, cell_decode=True,
                  k_density=None, k_color=64,
                  query_mode="sweep",
                  seed=0,
@@ -84,7 +86,17 @@ class DirectVoxGO:
             "rgbnet_full_implicit": rgbnet_full_implicit,
             "rgbnet_depth": rgbnet_depth, "rgbnet_width": rgbnet_width,
             "viewbase_pe": viewbase_pe, "posbase_pe": posbase_pe,
+            "implicit_voxel_feat": implicit_voxel_feat,
+            "feat_unfold": feat_unfold, "local_ensemble": local_ensemble,
+            "cell_decode": cell_decode,
         }
+        self.implicit_voxel_feat = implicit_voxel_feat
+        self.feat_unfold = feat_unfold
+        self.local_ensemble = local_ensemble
+        self.cell_decode = cell_decode
+        if implicit_voxel_feat:
+            # Reference-parity mode; only the gather forward implements it.
+            self.query_mode = "gather"
         self.rgbnet_full_implicit = rgbnet_full_implicit
         self.rgbnet_direct = rgbnet_direct
         self.rgbnet_depth = rgbnet_depth
@@ -111,6 +123,14 @@ class DirectVoxGO:
                 dim0 += self.k0_dim
             else:
                 dim0 += self.k0_dim - 3
+            if implicit_voxel_feat:
+                # Grid-LIIF color: per-corner decoder input = (possibly
+                # 27-unfolded) feature + rel_coord(3) [+ cell(3)] + view
+                # embedding (lib/dvgo.py:109-118).
+                imnet_in = self.k0_dim * (27 if feat_unfold else 1) + 3 \
+                    + (3 if cell_decode else 0)
+                dim0 = imnet_in + 3 + 3 * viewbase_pe * 2
+                print("dvgo: implicit_voxel_feat dim0", dim0)
             self.rgbnet_dim0 = dim0
             self.params["rgbnet"] = mlp_lib.init_mlp(
                 key, dim0, rgbnet_width, rgbnet_depth, 3)
@@ -387,6 +407,25 @@ class DirectVoxGO:
                 -w_eff, k_c, w_eff, px, py, pz, step_f, alpha, wmask)
 
         # 5. color.
+        if self.has_rgbnet and self.implicit_voxel_feat:
+            vd_emb = mlp_lib.positional_encoding(viewdirs, self.viewbase_pe)
+            vd_emb = jnp.broadcast_to(vd_emb[:, None, :],
+                                      (*px.shape, vd_emb.shape[-1]))
+            rgb = self._implicit_color(k0_grid, rgbnet_params, px, py, pz,
+                                       vd_emb, stepsize,
+                                       bbox_min, bbox_max)
+            rgb_marched = jnp.sum(w_eff[..., None] * rgb, axis=1) \
+                + alphainv_last[..., None] * bg
+            ret = {
+                "alphainv_last": alphainv_last, "weights": w_eff,
+                "rgb_marched": rgb_marched,
+                "raw_alpha": jnp.where(wmask, alpha, 0.0),
+                "raw_rgb": rgb, "wmask": wmask,
+            }
+            if render_depth:
+                ret["depth"] = jax.lax.stop_gradient(
+                    jnp.sum(w_eff * step_f, axis=1))
+            return ret
         if not self.rgbnet_full_implicit:
             k0 = grid_ops.trilinear_sample_world(
                 k0_grid, px, py, pz, bbox_min, bbox_max)
@@ -428,6 +467,71 @@ class DirectVoxGO:
             ret["depth"] = jax.lax.stop_gradient(
                 jnp.sum(w_eff * step_f, axis=1))
         return ret
+
+    # ------------------------------------------------- grid-LIIF color
+
+    @staticmethod
+    def _unfold_grid_3x3x3(grid):
+        """3x3x3 replicate-padded neighborhood concat, position-outer
+        layout: out[..., (di*9+dj*3+dk)*C + c] — reference ``unfold_feat``
+        (lib/dvgo.py:186-198: F.pad(mode='replicate') then cat(dim=1) per
+        window position)."""
+        nx, ny, nz, c = grid.shape
+        padded = jnp.pad(grid, ((1, 1), (1, 1), (1, 1), (0, 0)),
+                         mode="edge")
+        shifts = [padded[i:i + nx, j:j + ny, k:k + nz]
+                  for i in range(3) for j in range(3) for k in range(3)]
+        return jnp.concatenate(shifts, axis=-1)
+
+    def _implicit_color(self, k0_grid, rgbnet_params, px, py, pz, vd_emb,
+                        stepsize, bbox_min, bbox_max):
+        """LIIF interpolation on the voxel feature grid (lib/dvgo.py:329-410,
+        502-551): 8 corner taps via half-voxel-shifted nearest lookup, the
+        color MLP decodes [feat, rel_coord(, cell), viewdir emb] per corner,
+        and the sigmoided predictions are volume-weighted.
+
+        Reference quirks preserved: NO diagonal volume swap (the "TODO swap
+        volume ???" branch, :550), and ``cell`` is the un-rescaled
+        ``2*stepsize/world_size`` vector (:352-355). ``rel_coord`` uses the
+        reference's normalized-delta-times-world_size scale (~2x voxel
+        units, :394-397).
+        """
+        nx, ny, nz = k0_grid.shape[:3]
+        c = k0_grid.shape[-1]
+        grid = self._unfold_grid_3x3x3(k0_grid) if self.feat_unfold \
+            else k0_grid
+        grid_flat = grid.reshape(-1, grid.shape[-1])
+        ix, iy, iz = grid_ops.world_to_grid_parts(
+            px, py, pz, bbox_min, bbox_max, (nx, ny, nz))
+
+        shifts = [(sx, sy, sz) for sx in (-1, 1) for sy in (-1, 1)
+                  for sz in (-1, 1)] if self.local_ensemble else [(0, 0, 0)]
+        cell = [2.0 * stepsize / nx, 2.0 * stepsize / ny,
+                2.0 * stepsize / nz] if self.cell_decode else None
+
+        preds, volumes = [], []
+        for sx, sy, sz in shifts:
+            cx = jnp.clip(jnp.floor(ix) + (sx > 0), 0, nx - 1)
+            cy = jnp.clip(jnp.floor(iy) + (sy > 0), 0, ny - 1)
+            cz = jnp.clip(jnp.floor(iz) + (sz > 0), 0, nz - 1)
+            lin = ((cx.astype(jnp.int32) * ny + cy.astype(jnp.int32)) * nz
+                   + cz.astype(jnp.int32))
+            q_feat = jnp.take(grid_flat, lin, axis=0)
+            # ~2x voxel-unit deltas (reference rel_coord scale)
+            rx, ry, rz = [2.0 * (i - q) for i, q in
+                          ((ix, cx), (iy, cy), (iz, cz))]
+            inp = [q_feat, rx[..., None], ry[..., None], rz[..., None]]
+            if cell is not None:
+                inp += [jnp.full_like(rx[..., None], v) for v in cell]
+            feat = jnp.concatenate(inp + [vd_emb], -1)
+            logit = mlp_lib.mlp_apply(rgbnet_params, feat)
+            preds.append(jax.nn.sigmoid(logit))
+            volumes.append(jnp.abs(rx * ry * rz) + 1e-9)
+        tot = sum(volumes)
+        rgb = 0.0
+        for p, v in zip(preds, volumes):
+            rgb = rgb + p * (v / tot)[..., None]
+        return rgb
 
     # ----------------------------------------------------- sweep forward
 

@@ -75,6 +75,7 @@ class TriDVGO(DirectVoxGO):
         self.liif = bool(liif or implicit_voxel_feat)
         self.local_ensemble = local_ensemble
         self.cell_decode = cell_decode
+        self.feat_unfold = feat_unfold
         self.rgbnet_dim = rgbnet_dim
         self.rgbnet_direct = rgbnet_direct
         self.viewbase_pe = viewbase_pe
@@ -90,6 +91,7 @@ class TriDVGO(DirectVoxGO):
             "viewbase_pe": viewbase_pe, "posbase_pe": posbase_pe,
             "tri_aggregation": tri_aggregation, "liif": self.liif,
             "local_ensemble": local_ensemble, "cell_decode": cell_decode,
+            "feat_unfold": feat_unfold,
             "interp_width": interp_width, "interp_depth": interp_depth,
             "map_depth": map_depth, "map_width": map_width,
             "n_feats": n_feats, "n_resblocks": n_resblocks,
@@ -194,12 +196,27 @@ class TriDVGO(DirectVoxGO):
             return jnp.concatenate(outs, -1)
         return outs[0] + outs[1] + outs[2]
 
+    @staticmethod
+    def _unfold_plane_3x3(plane):
+        """3x3 zero-padded neighborhood concat, channel-outer layout:
+        out[..., c*9 + (di*3 + dj)] — exactly ``F.unfold(feat, 3,
+        padding=1).view(_, c*9, h, w)`` (reference tri_dvgo.py:734-737)."""
+        nu, nv, c = plane.shape
+        padded = jnp.pad(plane, ((1, 1), (1, 1), (0, 0)))
+        shifts = [padded[di:di + nu, dj:dj + nv] for di in range(3)
+                  for dj in range(3)]
+        return jnp.stack(shifts, axis=-1).reshape(nu, nv, c * 9)
+
     def _liif_plane(self, params, name, plane, u, v):
         """LIIF local-ensemble interpolation on one plane
         (tri_dvgo.py:481-567): 4 nearest-cell taps, per-tap decoder over
         [feat, rel_coord(, rel_cell)], area-weighted with the diagonal swap.
+        With ``feat_unfold`` each tap reads the 3x3-unfolded feature
+        (tri_dvgo.py:734-737).
         """
         nu, nv = plane.shape[:2]
+        if self.feat_unfold:
+            plane = self._unfold_plane_3x3(plane)
         interp = params[f"interp_{name}"]
         taps = [(-0.5, -0.5), (-0.5, 0.5), (0.5, -0.5), (0.5, 0.5)] \
             if self.local_ensemble else [(0.0, 0.0)]

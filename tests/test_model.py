@@ -175,3 +175,78 @@ class TestOverfit:
             params, opt_state, loss = step(params, opt_state)
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+class TestImplicitVoxelFeat:
+    """Grid-LIIF color (lib/dvgo.py:329-410, 502-551)."""
+
+    def _model(self, **kw):
+        from directvoxgo_tpu.models.dvgo import DirectVoxGO
+        return DirectVoxGO(
+            xyz_min=[-1, -1, -1], xyz_max=[1, 1, 1],
+            num_voxels=16 ** 3, num_voxels_base=16 ** 3, alpha_init=1e-2,
+            fast_color_thres=1e-4, rgbnet_dim=6, rgbnet_direct=True,
+            rgbnet_width=32, k_density=32, k_color=16,
+            implicit_voxel_feat=True, **kw)
+
+    @pytest.mark.parametrize("feat_unfold,cell_decode",
+                             [(False, True), (True, False), (True, True)])
+    def test_forward_and_grads(self, feat_unfold, cell_decode):
+        model = self._model(feat_unfold=feat_unfold, cell_decode=cell_decode)
+        assert model.query_mode == "gather"  # sweep path doesn't implement it
+        rng = np.random.default_rng(0)
+        model.params["k0"] = jnp.asarray(rng.normal(
+            0, 0.3, model.params["k0"].shape).astype(np.float32))
+        model.params["density"] = jnp.asarray(rng.normal(
+            0, 2.0, model.params["density"].shape).astype(np.float32))
+        n = 32
+        o = np.tile([[0.0, 0.0, 2.5]], (n, 1)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d[:, 2] = -np.abs(d[:, 2]) - 1
+        vd = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        kw = dict(near=0.2, far=6.0, bg=1.0, stepsize=0.5)
+
+        def loss(p):
+            r = model.forward(p, model.mask, jnp.asarray(o), jnp.asarray(d),
+                              jnp.asarray(vd), **kw)
+            return jnp.mean(r["rgb_marched"] ** 2)
+        l, g = jax.jit(jax.value_and_grad(loss))(model.params)
+        assert np.isfinite(float(l))
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert bool(jnp.isfinite(leaf).all())
+
+    def test_volume_weights_sum_to_one(self):
+        model = self._model()
+        rng = np.random.default_rng(1)
+        model.params["k0"] = jnp.asarray(rng.normal(
+            0, 0.3, model.params["k0"].shape).astype(np.float32))
+        px = jnp.asarray(rng.uniform(-0.9, 0.9, (4, 8)).astype(np.float32))
+        py = jnp.asarray(rng.uniform(-0.9, 0.9, (4, 8)).astype(np.float32))
+        pz = jnp.asarray(rng.uniform(-0.9, 0.9, (4, 8)).astype(np.float32))
+        vd_emb = jnp.zeros((4, 8, 3 + 3 * model.viewbase_pe * 2))
+        rgb = model._implicit_color(
+            model.params["k0"], model.params["rgbnet"], px, py, pz, vd_emb,
+            0.5, (-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))
+        r = np.asarray(rgb)
+        assert r.shape == (4, 8, 3)
+        assert (r >= 0).all() and (r <= 1).all()  # convex blend of sigmoids
+
+    def test_unfold_grid_layout(self):
+        """Position-outer channel order (di*9+dj*3+dk)*C + c, replicate
+        padding (reference unfold_feat, lib/dvgo.py:186-198)."""
+        from directvoxgo_tpu.models.dvgo import DirectVoxGO
+        rng = np.random.default_rng(2)
+        g = rng.normal(size=(4, 5, 6, 2)).astype(np.float32)
+        out = np.asarray(DirectVoxGO._unfold_grid_3x3x3(jnp.asarray(g)))
+        assert out.shape == (4, 5, 6, 2 * 27)
+        # interior voxel: window position (di,dj,dk) block holds the
+        # (x+di-1, y+dj-1, z+dk-1) neighbor
+        x, y, z = 2, 2, 3
+        for wi, (di, dj, dk) in enumerate(
+                (i, j, k) for i in range(3) for j in range(3)
+                for k in range(3)):
+            np.testing.assert_array_equal(
+                out[x, y, z, wi * 2:(wi + 1) * 2],
+                g[x + di - 1, y + dj - 1, z + dk - 1])
+        # replicate padding at the corner
+        np.testing.assert_array_equal(out[0, 0, 0, :2], g[0, 0, 0])

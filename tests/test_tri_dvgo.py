@@ -70,6 +70,31 @@ class TestTriDVGO:
         ret = model(rgb_lr, pose_lr, o, d, vd, **RK)
         assert np.isfinite(np.asarray(ret["rgb_marched"])).all()
 
+    def test_liif_feat_unfold(self):
+        """3x3 zero-padded unfold feeds the 9x-wide decoder
+        (reference tri_dvgo.py:734-737); the flag used to shape-error."""
+        model = make_model(liif=True, feat_unfold=True,
+                           interp_width=16, interp_depth=3)
+        rgb_lr, pose_lr = _cond_inputs()
+        o, d, vd = _rays(4)
+        ret = model(rgb_lr, pose_lr, o, d, vd, **RK)
+        assert np.isfinite(np.asarray(ret["rgb_marched"])).all()
+
+    def test_unfold_plane_layout(self):
+        """c-outer channel order c*9 + (di*3+dj), zero padding — exactly
+        F.unfold(feat, 3, padding=1).view(_, c*9, h, w)."""
+        rng = np.random.default_rng(0)
+        p = rng.normal(size=(5, 6, 2)).astype(np.float32)
+        out = np.asarray(TriDVGO._unfold_plane_3x3(jnp.asarray(p)))
+        assert out.shape == (5, 6, 18)
+        u, v = 2, 3
+        for c in range(2):
+            for wi, (di, dj) in enumerate(
+                    (i, j) for i in range(3) for j in range(3)):
+                assert out[u, v, c * 9 + wi] == p[u + di - 1, v + dj - 1, c]
+        # zero padding at the corner: the (-1,-1) neighbor of (0,0)
+        assert out[0, 0, 0] == 0.0
+
     def test_conditioning_changes_color_not_geometry(self):
         model = make_model()
         model.params["density"] = jnp.full_like(model.params["density"], 5.0)
