@@ -4,18 +4,54 @@ Keeps the reference's self-describing layout (run.py:420-437): a dict
 ``{global_step, model_kwargs, model_state_dict, optimizer_state_dict}``, where
 ``model_kwargs`` lets :func:`load_model` reconstruct the model class without
 the original config (lib/utils.py:63-79). Files keep the reference's ``.tar``
-names (``{stage}_last.tar``) but contain a pickled dict of numpy arrays. The
-coarse checkpoint doubles as an input artifact for the fine stage (mask cache
-+ bbox shrink), so the cross-stage contract is preserved.
+names (``{stage}_last.tar``) but contain a pickled dict of numpy arrays —
+NOT torch checkpoints: reference ``.tar`` files cannot be loaded here (and
+vice versa) despite the identical naming/layout convention.
+
+Loading goes through a **restricted unpickler** that only reconstructs
+numpy arrays/dtypes and plain containers, so pointing ``mask_cache_path`` /
+``--ft_path`` at an untrusted file cannot execute code (plain
+``pickle.load`` runs arbitrary ``__reduce__`` payloads).
 """
 
 from __future__ import annotations
 
+import io
 import pickle
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+_SAFE_GLOBALS = {
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "_reconstruct"),   # pre-numpy-2 pickles
+    ("numpy._core.multiarray", "scalar"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.numeric", "_frombuffer"),
+    ("numpy.core.numeric", "_frombuffer"),
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+    ("numpy.dtypes", "Float32DType"),
+    ("numpy.dtypes", "Float64DType"),
+    ("numpy.dtypes", "Int32DType"),
+    ("numpy.dtypes", "Int64DType"),
+    ("numpy.dtypes", "BoolDType"),
+}
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    """Allows only the numpy-array plumbing our checkpoints actually use."""
+
+    def find_class(self, module, name):
+        if (module, name) in _SAFE_GLOBALS or (
+                module == "numpy.dtypes" and name.endswith("DType")):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"checkpoint contains disallowed global {module}.{name} — "
+            "refusing to unpickle (only numpy arrays and plain containers "
+            "are expected; torch/reference checkpoints are not loadable)")
 
 
 def _to_numpy(tree):
@@ -31,7 +67,7 @@ def save_checkpoint_file(path, payload):
 
 def load_checkpoint_file(path):
     with open(path, "rb") as f:
-        return pickle.load(f)
+        return _RestrictedUnpickler(io.BytesIO(f.read())).load()
 
 
 def model_state_dict(model):

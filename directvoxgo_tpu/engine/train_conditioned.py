@@ -132,24 +132,36 @@ def resume_latest_checkpoint(args, cfg, model, optimizer, stage):
 def train_conditioned_stage(args, cfg, cfg_train, model, optimizer,
                             opt_state, scene_ray_pools, cond_source,
                             render_kwargs, stage, start=0,
-                            aux_weights=None, multiscene=False):
+                            aux_weights=None, multiscene=False,
+                            n_scene=None, scene_sampler=None):
     """Fine-stage loop for conditioned models.
 
     Args:
       scene_ray_pools: list (per scene) of dicts with device arrays
         rgb/rays_o/rays_d/viewdirs (flat [N,3]) — pre-gathered as in
-        run_tri_multiscene_v2.py:367-382.
+        run_tri_multiscene_v2.py:367-382 — OR a callable
+        ``scene_id -> pool`` for lazy per-scene loading (the v1 driver's
+        DataLoader semantics, run_tri_multiscene.py:335-342; pass
+        ``n_scene`` then).
       cond_source: callable (rng, scene_id) -> (rgb_lr [k,H,W,C],
         pose_lr [k,4,4]) conditioning batch on the host.
       aux_weights: dict with weight_consistency/weight_cosine/
         weight_distillation (v2:495-501); None for models without aux
         losses (SR).
+      scene_sampler: callable (rng, step) -> scene_id overriding the
+        default uniform draw (the v1 driver passes a shuffled-epoch
+        schedule so lazy loading stays sequential).
 
     Supports ``cfg_train.pg_scale`` for models with explicit grids
     (run_tri.py:389-400: upscale grids at the listed steps, fresh optimizer)
     and auto-resume from the latest stage checkpoint (v2:258-266).
     """
-    n_scene = len(scene_ray_pools)
+    if callable(scene_ray_pools):
+        get_pool = scene_ray_pools
+        assert n_scene is not None, "n_scene required with a pool provider"
+    else:
+        get_pool = scene_ray_pools.__getitem__
+        n_scene = len(scene_ray_pools)
     n_rand = int(cfg_train.N_rand)
     rng = np.random.default_rng(getattr(args, "seed", 777))
     aux = aux_weights or {}
@@ -223,8 +235,11 @@ def train_conditioned_stage(args, cfg, cfg_train, model, optimizer,
             opt_state = optimizer.init(
                 {n: model.params[n] for n in trainable})
 
-        scene_id = int(rng.integers(n_scene)) if n_scene > 1 else 0
-        pool = scene_ray_pools[scene_id]
+        if scene_sampler is not None:
+            scene_id = int(scene_sampler(rng, global_step))
+        else:
+            scene_id = int(rng.integers(n_scene)) if n_scene > 1 else 0
+        pool = get_pool(scene_id)
         sel = jnp.asarray(rng.integers(0, pool["rgb"].shape[0], n_rand),
                           jnp.int32)
         rgb_lr, pose_lr = cond_source(rng, scene_id)

@@ -260,10 +260,15 @@ class DirectMPIGO:
             wmask = live
         w_eff = jnp.where(wmask, weights, 0.0)
 
+        # Dropped weight is returned to the background term (see
+        # models/dvgo.py step 4 and the PERF_LOG.md capacity sweep).
         k_c = self.k_color if (self.has_rgbnet and self.k_color) else 0
         if k_c and k_c < w_eff.shape[-1]:
+            w_total = jnp.sum(w_eff, axis=-1)
             _, w_eff, px, py, pz, step_f, alpha, wmask = rm.compact_by_key(
                 -w_eff, k_c, w_eff, px, py, pz, step_f, alpha, wmask)
+            alphainv_last = alphainv_last + jax.lax.stop_gradient(
+                w_total - jnp.sum(w_eff, axis=-1))
 
         vox_emb = grid_ops.trilinear_sample_world(
             params["k0"], px, py, pz, bbox_min, bbox_max)

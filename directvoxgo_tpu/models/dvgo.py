@@ -400,11 +400,20 @@ class DirectVoxGO:
             wmask = live
         w_eff = jnp.where(wmask, weights, 0.0)
 
-        # 4. top-k-by-weight compaction before the color query.
+        # 4. top-k-by-weight compaction before the color query. Weight that
+        # the cap drops is returned to the background term so
+        # sum(weights) + alphainv_last stays 1 — without this, truncated
+        # rays (translucent content with > k_color significant samples)
+        # darken relative to the reference, which keeps ALL above-threshold
+        # samples (lib/dvgo.py:478-494). Quantified in PERF_LOG.md
+        # (capacity sweep); the shipping sweep path has no compaction.
         k_c = self.k_color if (self.has_rgbnet and self.k_color) else 0
         if k_c and k_c < w_eff.shape[-1]:
+            w_total = jnp.sum(w_eff, axis=-1)
             _, w_eff, px, py, pz, step_f, alpha, wmask = rm.compact_by_key(
                 -w_eff, k_c, w_eff, px, py, pz, step_f, alpha, wmask)
+            alphainv_last = alphainv_last + jax.lax.stop_gradient(
+                w_total - jnp.sum(w_eff, axis=-1))
 
         # 5. color.
         if self.has_rgbnet and self.implicit_voxel_feat:

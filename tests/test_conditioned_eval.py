@@ -217,3 +217,84 @@ class TestTriMultisceneEval:
         psnr = eval_psnr(model, model.params, data, rk, feats, scene_id=0)
         assert np.isfinite(psnr)
         assert psnr > 5.0
+
+
+class TestLazyV1DataPath:
+    """run_tri_multiscene.py (v1): lazy per-scene pools + shuffled-epoch
+    schedule (reference run_tri_multiscene.py:335-342 DataLoader
+    semantics)."""
+
+    def _pools(self, n_scene=5, max_cached=2):
+        from run_tri_multiscene import LazyScenePools
+
+        calls = []
+
+        class P(LazyScenePools):
+            def __init__(self):
+                LazyScenePools.__init__(
+                    self, dataset=None, model=None, cfg=None,
+                    cfg_train=None, render_kwargs=None,
+                    max_cached=max_cached)
+
+            def _gather(self, sid):
+                calls.append(sid)
+                return {"rgb": jnp.zeros((100 + sid, 3))}
+
+            def scene(self, sid):
+                return {"id": sid}
+
+        return P(), calls
+
+    def test_lru_caching_and_eviction(self):
+        pools, calls = self._pools()
+        pools(0); pools(1)
+        assert calls == [0, 1]
+        pools(0)                      # cached — no re-gather
+        assert calls == [0, 1]
+        pools(2)                      # evicts 1 (0 was refreshed)
+        pools(1)
+        assert calls == [0, 1, 2, 1]
+
+    def test_prefetch_thread(self):
+        pools, calls = self._pools()
+        pools.prefetch(3)
+        p = pools(3)                  # joins the worker, no double gather
+        assert calls == [3]
+        assert p["rgb"].shape[0] == 103
+
+    def test_epoch_schedule_visits_each_scene_once(self):
+        from run_tri_multiscene import EpochSchedule
+        pools, _ = self._pools(max_cached=8)
+        sched = EpochSchedule(4, pools, batch_per_scene=2, seed=0)
+        rng = np.random.default_rng(0)
+        visits = [sched(rng, i) for i in range(16)]
+        # each scene exactly batch_per_scene consecutive times per epoch
+        for epoch in (visits[:8], visits[8:]):
+            assert sorted(set(epoch)) == [0, 1, 2, 3]
+            for i in range(0, 8, 2):
+                assert epoch[i] == epoch[i + 1]
+
+    def test_pow2_padding_preserves_rays(self):
+        from run_tri_multiscene import LazyScenePools, _round_up_pow2
+        assert _round_up_pow2(100) == 128
+        assert _round_up_pow2(128) == 128
+
+        class P(LazyScenePools):
+            def __init__(self):
+                LazyScenePools.__init__(self, None, None, None, None, None)
+
+            def scene(self, sid):
+                return None
+
+        import directvoxgo_tpu.engine.train_conditioned as cond_lib2
+        orig = cond_lib2.gather_scene_ray_pool
+        rows = np.arange(100, dtype=np.float32)[:, None].repeat(3, 1)
+        cond_lib2.gather_scene_ray_pool = \
+            lambda *a, **k: {"rgb": jnp.asarray(rows)}
+        try:
+            pool = P()._gather(0)
+        finally:
+            cond_lib2.gather_scene_ray_pool = orig
+        assert pool["rgb"].shape[0] == 128
+        # wrap-tiling: padded rows repeat real rays
+        np.testing.assert_array_equal(np.asarray(pool["rgb"][100]), rows[0])

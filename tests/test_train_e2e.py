@@ -129,3 +129,21 @@ class TestEndToEnd:
                                           "coarse_last.tar"))
         out = capsys.readouterr().out
         assert "reload from" in out
+
+
+def test_checkpoint_rejects_malicious_pickle(tmp_path):
+    """Untrusted checkpoint paths (mask_cache_path, --ft_path) must not be
+    arbitrary-code-execution vectors: the restricted unpickler only admits
+    numpy plumbing."""
+    import pickle
+
+    class Evil:
+        def __reduce__(self):
+            return (print, ("pwned",))
+
+    bad = tmp_path / "evil.tar"
+    with open(bad, "wb") as f:
+        pickle.dump({"model_kwargs": Evil()}, f)
+    import pytest as _pytest
+    with _pytest.raises(pickle.UnpicklingError, match="disallowed global"):
+        ckpt_lib.load_checkpoint_file(str(bad))
