@@ -106,7 +106,7 @@ def create_optimizer_or_freeze_model(model, cfg_train):
 
 def make_train_step(model, optimizer, cfg_train, render_kwargs,
                     apply_tv, tv_dense, axis=None, clip_sizes=None,
-                    mesh=None):
+                    mesh=None, n_steps=1):
     """Build the jitted full train step for the current phase.
 
     ``apply_tv``/``tv_dense`` are baked in statically; the host flips them at
@@ -126,6 +126,15 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
     (same rays, same reduction semantics) — only the batch dimension is
     split. This is a new capability over the strictly single-GPU reference
     (SURVEY.md §2.2: no torch.distributed anywhere).
+
+    ``n_steps > 1`` returns a **step-batched** variant: ``sel`` becomes
+    ``[n_steps, N_rand]`` and a ``lax.scan`` runs that many optimizer steps
+    in ONE dispatch, returning per-step ``(loss[K], psnr[K])``. On a
+    remote-attached TPU the per-call dispatch latency (~27 ms over the
+    tunnel, PERF_LOG.md) dominates the ~7 ms step compute, so the host
+    can't feed single steps fast enough; batching K steps amortizes the
+    round-trip K-fold. Identical math to K sequential calls (MaskedAdam
+    carries its step counter/lr decay in-state).
     """
     kwargs = {k: render_kwargs[k] for k in ("near", "far", "bg", "stepsize")}
     w_main = float(cfg_train.weight_main)
@@ -208,13 +217,28 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
         psnr = -10.0 * jnp.log10(mse)
         return new_params, new_opt_state, loss, psnr
 
+    if n_steps > 1:
+        single = train_step
+
+        def train_step(params, mask, opt_state, pool, sels, clip_off):
+            def body(carry, sel):
+                p, o = carry
+                p, o, loss, psnr = single(p, mask, o, pool, sel, clip_off)
+                return (p, o), (loss, psnr)
+
+            (params, opt_state), (losses, psnrs) = jax.lax.scan(
+                body, (params, opt_state), sels)
+            return params, opt_state, losses, psnrs
+
     if mesh is None:
         return jax.jit(train_step)
     from ..parallel import replicate, shard_rays
     rep = replicate(mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sel_shard = (NamedSharding(mesh, P(None, "data")) if n_steps > 1
+                 else shard_rays(mesh, ndim=1))
     return jax.jit(train_step,
-                   in_shardings=(rep, rep, rep, rep,
-                                 shard_rays(mesh, ndim=1), rep),
+                   in_shardings=(rep, rep, rep, rep, sel_shard, rep),
                    out_shardings=(rep, rep, rep, rep))
 
 
@@ -430,19 +454,55 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         for ax in range(3):
             new = model.sweep_clip_for_axis(ax)
             if ax in clip_plan and clip_plan[ax][0] != new[0]:
-                train_steps.pop(ax, None)
+                for key in [k for k in train_steps if k[0] == ax]:
+                    train_steps.pop(key)
             clip_plan[ax] = new
 
     refresh_clip()
 
-    for global_step in range(1 + start, 1 + cfg_train.N_iters):
+    # Step batching: up to K optimizer steps per dispatch via lax.scan (see
+    # make_train_step). On a remote-attached chip the per-dispatch latency
+    # (~27 ms over the tunnel) dominates the step compute, so single-step
+    # dispatch caps throughput at the round-trip rate. Chunks never cross
+    # an event boundary (mask renewal, pg_scale, tv-state change) and end
+    # exactly on i_print/i_weights steps, so console/checkpoint cadence is
+    # unchanged; the one behavioral difference is that a chunk's steps
+    # share the sweep axis (axis choice was random per step anyway).
+    n_dispatch = max(int(cfg_train.get("steps_per_dispatch", 8)), 1)
+    pg_set = set(cfg_train.pg_scale)
+
+    def tv_state_of(j):
+        apply_tv = (j < cfg_train.tv_before and j > cfg_train.tv_after
+                    and j % cfg_train.tv_every == 0
+                    and (cfg_train.weight_tv_density > 0
+                         or cfg_train.weight_tv_k0 > 0))
+        return (apply_tv, j < cfg_train.tv_dense_before)
+
+    def chunk_len(i):
+        length = 1
+        while length < n_dispatch:
+            j = i + length
+            if (j > cfg_train.N_iters or j in pg_set
+                    or (j + 500) % 1000 == 0
+                    or tv_state_of(j) != tv_state_of(i)
+                    or (j - 1) % args.i_print == 0
+                    or (j - 1) % args.i_weights == 0):
+                break
+            length += 1
+        return length
+
+    global_step = start
+    ran_any = False
+    while global_step < cfg_train.N_iters:
+        global_step += 1
+        ran_any = True
         # Occupancy cache renewal (run.py:330-332).
         if (global_step + 500) % 1000 == 0:
             model.update_occupancy_cache()
             refresh_clip()
 
         # Progressive scaling (run.py:335-345).
-        if global_step in list(cfg_train.pg_scale):
+        if global_step in pg_set:
             n_rest_scales = len(cfg_train.pg_scale) \
                 - list(cfg_train.pg_scale).index(global_step) - 1
             cur_voxels = int(cfg_model.num_voxels / (2 ** n_rest_scales))
@@ -457,36 +517,40 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             clip_plan.clear()
             refresh_clip()
 
-        apply_tv = (global_step < cfg_train.tv_before
-                    and global_step > cfg_train.tv_after
-                    and global_step % cfg_train.tv_every == 0
-                    and (cfg_train.weight_tv_density > 0
-                         or cfg_train.weight_tv_k0 > 0))
-        tv_dense = global_step < cfg_train.tv_dense_before
+        apply_tv, tv_dense = tv_state_of(global_step)
         if tv_state != (apply_tv, tv_dense):
             train_steps = {}
             tv_state = (apply_tv, tv_dense)
 
-        sel, axis = next_batch()
+        n_sub = chunk_len(global_step)
+        draws = [next_batch() for _ in range(n_sub)]
+        axis = draws[0][1]
+        sels = np.stack([np.asarray(d[0]) for d in draws]) if n_sub > 1 \
+            else draws[0][0]
         clip_sizes, clip_off = clip_plan.get(axis, (None, np.zeros(3,
                                                                    np.int32)))
-        if axis not in train_steps:
-            train_steps[axis] = make_train_step(
+        key = (axis, n_sub)
+        if key not in train_steps:
+            train_steps[key] = make_train_step(
                 model, optimizer, cfg_train, render_kwargs, apply_tv,
-                tv_dense, axis=axis, clip_sizes=clip_sizes, mesh=mesh)
-        sel = jnp.asarray(sel, jnp.int32)
-        model.params, opt_state, loss, psnr = train_steps[axis](
-            model.params, model.mask, opt_state, pool, sel,
+                tv_dense, axis=axis, clip_sizes=clip_sizes, mesh=mesh,
+                n_steps=n_sub)
+        sels = jnp.asarray(sels, jnp.int32)
+        model.params, opt_state, loss, psnr = train_steps[key](
+            model.params, model.mask, opt_state, pool, sels,
             jnp.asarray(clip_off))
-        psnr_lst.append(psnr)
+        psnr_lst.append(psnr)  # scalar (n_sub==1) or [n_sub]
+        global_step += n_sub - 1
 
         if global_step % args.i_print == 0:
             eps_time = time.time() - time0
             eps_str = (f"{eps_time//3600:02.0f}:{eps_time//60%60:02.0f}:"
                        f"{eps_time%60:02.0f}")
-            psnr_avg = float(np.mean([float(p) for p in psnr_lst]))
+            psnr_avg = float(np.mean(np.concatenate(
+                [np.atleast_1d(np.asarray(p)) for p in psnr_lst])))
+            last_loss = float(np.atleast_1d(np.asarray(loss))[-1])
             print(f"scene_rep_reconstruction ({stage}): iter "
-                  f"{global_step:6d} / Loss: {float(loss):.9f} / "
+                  f"{global_step:6d} / Loss: {last_loss:.9f} / "
                   f"PSNR: {psnr_avg:5.2f} / Eps: {eps_str}")
             psnr_lst = []
 
@@ -496,7 +560,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             ckpt_lib.save_model_checkpoint(path, model, global_step,
                                            opt_state)
 
-    if global_step != -1:
+    if ran_any:
         ckpt_lib.save_model_checkpoint(last_ckpt_path, model, global_step,
                                        opt_state)
     return model
