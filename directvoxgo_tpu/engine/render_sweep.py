@@ -406,10 +406,11 @@ def _render_frame_fused(d_geo, d_k0, rgbnet_params, km, c2w, sc, *, hw,
                       "b2": layers[1]["b"], "w3": layers[2]["w"],
                       "b3": layers[2]["b"]}
 
+    activity = _tile_activity(d_geo, ur_grid, vr_grid, sc, guv[0], guv[1])
     rgb_cl, inter_depth, inter_ainv = render_frame_pallas3(
         d_geo, d_k0, shared1, dnorm, dclip, ur_grid, vr_grid, mlp_params,
-        sc[:12], guv=guv, has_mlp=has_mlp, rgb_mode=rgb_mode,
-        interpret=interpret)
+        sc[:12], activity=activity, guv=guv, has_mlp=has_mlp,
+        rgb_mode=rgb_mode, interpret=interpret)
     inter_rgb = jnp.transpose(rgb_cl, (1, 2, 0))
 
     # Homography warp to screen (ray convention of rays.get_rays).
@@ -452,6 +453,60 @@ def _render_frame_fused(d_geo, d_k0, rgbnet_params, km, c2w, sc, *, hw,
         rgb = jnp.round(jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
         depth = depth.astype(jnp.float16)
     return rgb, depth
+
+
+def _tile_activity(d_geo, ur_grid, vr_grid, sc, gu, gv):
+    """Per-(image tile, station block) conservative occupancy test.
+
+    The fused kernel's per-tile early termination only helps BEHIND
+    content; rays crossing empty space never terminate, so every tile
+    otherwise pays the geometry warp for all stations. This computes, per
+    TILE x TILE intermediate tile and S_BLK station block, whether the
+    tile's warped footprint (exact corner bounds — u is bilinear in
+    (lam, ur)) padded by the 1-voxel interpolation support touches any
+    occupied voxel, via a per-block 2D integral image of the slab mask
+    channel. Inactive blocks contribute exactly zero (mask=0 -> alpha=0,
+    transmittance unchanged), so the kernel skips them — the whole-frame
+    analogue of the reference maskcache's per-sample skipping
+    (render_utils_kernel.cu:447-455).
+    """
+    from ..ops.pallas_render3 import TILE, S_BLK
+    nsb = d_geo.shape[0] // S_BLK
+    hi, wi = ur_grid.shape[0], vr_grid.shape[0]
+    nti, ntj = hi // TILE, wi // TILE
+    occ = (d_geo[:, :, gv:] > 0).reshape(nsb, S_BLK, gu, gv).any(1)
+    integ = jnp.cumsum(jnp.cumsum(occ.astype(jnp.int32), axis=1), axis=2)
+    integ = jnp.pad(integ, ((0, 0), (1, 0), (1, 0)))
+    op, ou, ov = sc[0], sc[1], sc[2]
+    inv_span, p_first, p_step = sc[3], sc[4], sc[5]
+    s0 = jnp.arange(nsb, dtype=jnp.float32) * S_BLK
+    lam_a = (p_first + p_step * s0 - op) * inv_span
+    lam_b = (p_first + p_step * (s0 + (S_BLK - 1)) - op) * inv_span
+    urt = ur_grid.reshape(nti, TILE)
+    vrt = vr_grid.reshape(ntj, TILE)
+
+    def axis_range(o, r_lo, r_hi):
+        cs = jnp.stack([o + l[None, :] * (r[:, None] - o)
+                        for l in (lam_a, lam_b) for r in (r_lo, r_hi)])
+        return cs.min(0), cs.max(0)          # [n_tiles, nsb]
+
+    u_lo, u_hi = axis_range(ou, urt.min(1), urt.max(1))
+    v_lo, v_hi = axis_range(ov, vrt.min(1), vrt.max(1))
+    u0 = jnp.clip(jnp.ceil(u_lo - 1.0), 0, gu).astype(jnp.int32)
+    u1 = jnp.clip(jnp.floor(u_hi + 1.0) + 1, 0, gu).astype(jnp.int32)
+    v0 = jnp.clip(jnp.ceil(v_lo - 1.0), 0, gv).astype(jnp.int32)
+    v1 = jnp.clip(jnp.floor(v_hi + 1.0) + 1, 0, gv).astype(jnp.int32)
+    u1 = jnp.maximum(u1, u0)
+    v1 = jnp.maximum(v1, v0)
+    s_idx = jnp.broadcast_to(jnp.arange(nsb)[None, None, :],
+                             (nti, ntj, nsb))
+    U0 = jnp.broadcast_to(u0[:, None, :], (nti, ntj, nsb))
+    U1 = jnp.broadcast_to(u1[:, None, :], (nti, ntj, nsb))
+    V0 = jnp.broadcast_to(v0[None, :, :], (nti, ntj, nsb))
+    V1 = jnp.broadcast_to(v1[None, :, :], (nti, ntj, nsb))
+    cnt = (integ[s_idx, U1, V1] - integ[s_idx, U0, V1]
+           - integ[s_idx, U1, V0] + integ[s_idx, U0, V0])
+    return (cnt > 0).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "bg"))

@@ -43,8 +43,8 @@ S_BLK = 8  # stations per grid step
 
 
 def render_frame_pallas3(d_geo, d_k0t, shared1, dnorm, dclip, ur, vr,
-                         mlp_params, scalars, *, guv, has_mlp, rgb_mode,
-                         interpret=False):
+                         mlp_params, scalars, activity=None, *, guv,
+                         has_mlp, rgb_mode, interpret=False):
     """Launch the v3 fused frame kernel.
 
     Args:
@@ -82,8 +82,8 @@ def render_frame_pallas3(d_geo, d_k0t, shared1, dnorm, dclip, ur, vr,
     width = mlp_params["w2"].shape[0] if has_mlp else 0
     bf16 = jnp.bfloat16
 
-    def kernel(sc_ref, ur_ref, vr_ref, dnorm_ref, dclip_ref, dgeo_ref,
-               *rest):
+    def kernel(sc_ref, act_ref, ur_ref, vr_ref, dnorm_ref, dclip_ref,
+               dgeo_ref, *rest):
         if d_k0t is not None:
             dk0t_ref = rest[0]
             rest = rest[1:]
@@ -106,10 +106,15 @@ def render_frame_pallas3(d_geo, d_k0t, shared1, dnorm, dclip, ur, vr,
             depth_ref[:] = jnp.zeros_like(depth_ref)
             tcum_ref[:] = jnp.ones_like(tcum_ref)
 
-        # Skip the whole station block once every ray has terminated.
+        # Skip the whole station block once every ray has terminated, or
+        # when the tile's footprint has no occupied voxels at this block
+        # (precomputed conservative activity — engine/render_sweep.py
+        # _tile_activity; inactive blocks contribute exactly zero).
         alive = jnp.any(tcum_ref[:] >= rm.T_TERMINATE)
+        active = act_ref[pl.program_id(0), pl.program_id(1),
+                         pl.program_id(2)] != 0
 
-        @pl.when(alive)
+        @pl.when(alive & active)
         def _():
             dn = dnorm_ref[:]                              # [TILE, TILE]
             dc = dclip_ref[:]
@@ -223,9 +228,13 @@ def render_frame_pallas3(d_geo, d_k0t, shared1, dnorm, dclip, ur, vr,
         def _():
             rgb_ref[:] = rgb_ref[:] + tcum_ref[:][None] * bg
 
+    if activity is None:
+        activity = jnp.ones((nti, ntj, nsb), jnp.int32)
     in_specs = [
         pl.BlockSpec((1, 12), lambda i, j, s: (0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),              # activity
+                                                            # (whole table)
         pl.BlockSpec((TILE, 1), lambda i, j, s: (i, 0),
                      memory_space=pltpu.VMEM),              # ur [Hi,1]
         pl.BlockSpec((1, TILE), lambda i, j, s: (0, j),
@@ -237,7 +246,7 @@ def render_frame_pallas3(d_geo, d_k0t, shared1, dnorm, dclip, ur, vr,
         pl.BlockSpec((S_BLK, gu, 2 * gv), lambda i, j, s: (s, 0, 0),
                      memory_space=pltpu.VMEM),              # d_geo
     ]
-    inputs = [scalars.reshape(1, 12), ur.reshape(hi, 1),
+    inputs = [scalars.reshape(1, 12), activity, ur.reshape(hi, 1),
               vr.reshape(1, wi), dnorm, dclip, d_geo]
     if d_k0t is not None:
         in_specs.append(pl.BlockSpec((S_BLK, f_k0 * gu, gv),

@@ -4,8 +4,11 @@
   python tools/bench_framekernel.py check   # CPU interpret-mode numerics
   python tools/bench_framekernel.py perf    # real-TPU timing at bench shape
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -114,7 +117,20 @@ def perf():
                 if isinstance(v, jax.Array) or k == "mlp"]
     static = {k: v for k, v in case.items() if k not in arr_keys}
     arrs = {k: case[k] for k in arr_keys}
-    for name, fn in (("v3", run_v3), ("v1", run_v1)):
+    def run_v3_gated(case, interpret):
+        from directvoxgo_tpu.engine.render_sweep import _tile_activity
+        from directvoxgo_tpu.ops.pallas_render3 import render_frame_pallas3
+        act = _tile_activity(case["d_geo"], case["ur"], case["vr"],
+                             case["sc"], *case["guv"])
+        rgb_cl, depth, tcum = render_frame_pallas3(
+            case["d_geo"], case["d_k0t"], case["shared1"], case["dnorm"],
+            case["dclip"], case["ur"], case["vr"], case["mlp"], case["sc"],
+            activity=act, guv=case["guv"], has_mlp=case["has_mlp"],
+            rgb_mode=case["rgb_mode"], interpret=interpret)
+        return jnp.transpose(rgb_cl, (1, 2, 0)), depth, tcum
+
+    for name, fn in (("v3", run_v3), ("v3+gate", run_v3_gated),
+                     ("v1", run_v1)):
         f = jax.jit(lambda a, fn=fn: fn({**a, **static}, False))
         t0 = time.time()
         out = f(arrs)
