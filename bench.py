@@ -82,9 +82,26 @@ def bench_render(model, H=800, W=800):
                                             output='device_compact')
     log(f"bench: render warmup/compile {time.time()-t0:.1f}s "
         f"({n_prog} programs, concurrent)")
-    # Steady-state orbit: dispatch frame i, then pull frame i-1 — the host
-    # fetch (uint8 rgb + f16 depth over the dev tunnel) overlaps the next
-    # frame's device compute, like a display pipeline would.
+
+    # Headline: DEVICE frame time — dispatch, then sync by pulling a
+    # 4-byte digest (block_until_ready is a no-op on this stack and a bulk
+    # frame fetch would measure the dev tunnel, not the chip; the
+    # reference's published s/frame is likewise GPU compute time).
+    import jax.numpy as jnp
+    marks = []
+    t_start = time.time()
+    for th in thetas:
+        rgb, dep = frame(th)
+        int(jnp.sum(rgb[::97, ::97].astype(jnp.int32)))  # scalar sync
+        marks.append(time.time())
+    deltas = np.diff([t_start] + marks) * 1000
+    sec = float(np.median(deltas)) / 1000
+    log(f"bench: render {H}x{W} DEVICE median {sec*1000:.1f} ms/frame "
+        f"(times: {[f'{t:.0f}' for t in deltas]})")
+
+    # Secondary: display-pipeline throughput — dispatch frame i, pull
+    # frame i-1 (uint8 rgb + f16 depth, ~3.2 MB over the dev tunnel at
+    # ~20-30 MB/s; fetch overlaps the next frame's compute).
     marks = []
     pending = None
     t_start = time.time()
@@ -97,11 +114,10 @@ def bench_render(model, H=800, W=800):
     if pending is not None:
         np.asarray(pending[0]), np.asarray(pending[1])
         marks.append(time.time())
-    n = len(marks)
     deltas = np.diff([t_start] + marks) * 1000
-    sec = float(np.median(deltas)) / 1000  # steady-state frame time
-    log(f"bench: render {H}x{W} median {sec*1000:.1f} ms/frame over {n} "
-        f"frames (times: {[f'{t:.0f}' for t in deltas]})")
+    pipe = float(np.median(deltas)) / 1000
+    log(f"bench: render {H}x{W} pipelined-fetch median {pipe*1000:.1f} "
+        f"ms/frame (times: {[f'{t:.0f}' for t in deltas]})")
     return sec
 
 
