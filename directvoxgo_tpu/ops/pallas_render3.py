@@ -39,7 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 from . import raymarch as rm
 
 TILE = 128
-S_BLK = 8  # stations per grid step
+# Stations per grid step. Larger blocks amortize per-grid-step overhead and
+# put the VPU alpha chain on bigger tensors (measured: the geometry +
+# compositing share of the kernel is per-step-overhead-bound, PERF_LOG.md);
+# VMEM per step stays modest (d_geo 0.7 MB + d_k0t ~10 MB at 160^3).
+# Env knob for A/B runs of tools/bench_framekernel.py.
+import os as _os
+S_BLK = int(_os.environ.get("DVGO_S_BLK", "16"))
 
 
 def render_frame_pallas3(d_geo, d_k0t, shared1, dnorm, dclip, ur, vr,
@@ -219,8 +225,10 @@ def render_frame_pallas3(d_geo, d_k0t, shared1, dnorm, dclip, ur, vr,
                         if rgb_mode == "logit_plus_k0":
                             logit = logit + cl[0:3]
                         rgb_s = jax.nn.sigmoid(logit)      # [3, u, v]
-                    else:
+                    elif d_k0t is not None:
                         rgb_s = jax.nn.sigmoid(cl[0:3])
+                    else:  # geometry-only (perf probes): flat gray
+                        rgb_s = jnp.full((3, TILE, TILE), 0.5, jnp.float32)
                     rgb_ref[:] = rgb_ref[:] + w_j[None] * rgb_s
                     depth_ref[:] = depth_ref[:] + w_j * dist_all[j]
 

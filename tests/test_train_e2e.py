@@ -147,3 +147,60 @@ def test_checkpoint_rejects_malicious_pickle(tmp_path):
     import pytest as _pytest
     with _pytest.raises(pickle.UnpicklingError, match="disallowed global"):
         ckpt_lib.load_checkpoint_file(str(bad))
+
+
+def test_step_batch_chunks_respect_event_boundaries(tmp_path):
+    """The dispatch chunker must end chunks exactly on i_print/i_weights
+    steps and never cross mask-renewal/pg_scale/tv-state changes — the
+    console/checkpoint cadence contract of the scanned train loop."""
+    cfg = tiny_cfg(tmp_path, n_coarse=0, n_fine=0)
+    cfg_train = cfg.fine_train
+    cfg_train.N_iters = 3000
+    cfg_train.pg_scale = [1000, 2000]
+    cfg_train.tv_before = 1e9
+    cfg_train.tv_after = 0
+    cfg_train.tv_every = 1
+    cfg_train.tv_dense_before = 1500
+    cfg_train.weight_tv_density = 1e-6
+    cfg_train.steps_per_dispatch = 8
+    args = make_args(i_print=50, i_weights=700)
+
+    pg_set = set(cfg_train.pg_scale)
+
+    def tv_state_of(j):
+        apply_tv = (j < cfg_train.tv_before and j > cfg_train.tv_after
+                    and j % cfg_train.tv_every == 0
+                    and (cfg_train.weight_tv_density > 0
+                         or cfg_train.weight_tv_k0 > 0))
+        return (apply_tv, j < cfg_train.tv_dense_before)
+
+    def chunk_len(i):
+        length = 1
+        while length < 8:
+            j = i + length
+            if (j > cfg_train.N_iters or j in pg_set
+                    or (j + 500) % 1000 == 0
+                    or tv_state_of(j) != tv_state_of(i)
+                    or (j - 1) % args.i_print == 0
+                    or (j - 1) % args.i_weights == 0):
+                break
+            length += 1
+        return length
+
+    covered, i = [], 1
+    while i <= cfg_train.N_iters:
+        L = chunk_len(i)
+        chunk = list(range(i, i + L))
+        covered.extend(chunk)
+        # no event step strictly inside the chunk (events fire at chunk
+        # start; prints/ckpts at chunk end)
+        for j in chunk[1:]:
+            assert j not in pg_set, chunk
+            assert (j + 500) % 1000 != 0, chunk
+            assert tv_state_of(j) == tv_state_of(i), chunk
+        for j in chunk[:-1]:
+            assert j % args.i_print != 0, chunk
+            assert j % args.i_weights != 0, chunk
+        i += L
+    # every step executed exactly once
+    assert covered == list(range(1, cfg_train.N_iters + 1))

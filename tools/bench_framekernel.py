@@ -129,8 +129,25 @@ def perf():
             rgb_mode=case["rgb_mode"], interpret=interpret)
         return jnp.transpose(rgb_cl, (1, 2, 0)), depth, tcum
 
-    for name, fn in (("v3", run_v3), ("v3+gate", run_v3_gated),
-                     ("v1", run_v1)):
+    def run_v3_geo_only(case, interpret):
+        """Geometry warp + compositing only (no color grid, no MLP) —
+        isolates the per-station color path's share of kernel time."""
+        from directvoxgo_tpu.engine.render_sweep import _tile_activity
+        from directvoxgo_tpu.ops.pallas_render3 import render_frame_pallas3
+        act = _tile_activity(case["d_geo"], case["ur"], case["vr"],
+                             case["sc"], *case["guv"])
+        rgb_cl, depth, tcum = render_frame_pallas3(
+            case["d_geo"], None, None, case["dnorm"], case["dclip"],
+            case["ur"], case["vr"], None, case["sc"], activity=act,
+            guv=case["guv"], has_mlp=False, rgb_mode="direct",
+            interpret=interpret)
+        return jnp.transpose(rgb_cl, (1, 2, 0)), depth, tcum
+
+    variants = (("v3", run_v3), ("v3+gate", run_v3_gated),
+                ("v3+gate geo-only", run_v3_geo_only), ("v1", run_v1))
+    if len(sys.argv) > 2:
+        variants = [v for v in variants if sys.argv[2] in v[0]]
+    for name, fn in variants:
         f = jax.jit(lambda a, fn=fn: fn({**a, **static}, False))
         t0 = time.time()
         out = f(arrs)
