@@ -147,7 +147,8 @@ def bench_train(model, n_rand=8192, iters=50):
     log(f"bench: train sweep clip sizes={clip_sizes} off={list(clip_off)}")
     clip_off = jnp.asarray(clip_off)
 
-    @functools.partial(jax.jit, static_argnums=(7,))
+    @functools.partial(jax.jit, static_argnums=(7,),
+                       donate_argnums=(0, 2))
     def step(params, mask, opt_state, rays_o, rays_d, viewdirs, target,
              axis):
         def loss_fn(params):
@@ -179,7 +180,10 @@ def bench_train(model, n_rand=8192, iters=50):
                                                regions=regions)
         return new_params, new_opt, loss
 
-    params, mask = model.params, model.mask
+    # Train on copies: the step donates params/opt_state and bench_render
+    # still needs model.params afterwards.
+    params = jax.tree_util.tree_map(jnp.copy, model.params)
+    mask = model.mask
     t0 = time.time()
     params, opt_state, loss = step(params, mask, opt_state, *batch, 2)
     log(f"bench: train compile+first step "
@@ -197,7 +201,8 @@ def bench_train(model, n_rand=8192, iters=50):
     # dispatch latency that bounds the single-step loop.
     K = 8
 
-    @functools.partial(jax.jit, static_argnums=(7,))
+    @functools.partial(jax.jit, static_argnums=(7,),
+                       donate_argnums=(0, 2))
     def step_scan(params, mask, opt_state, rays_o, rays_d, viewdirs, target,
                   axis):
         def body(carry, _):

@@ -106,7 +106,7 @@ def create_optimizer_or_freeze_model(model, cfg_train):
 
 def make_train_step(model, optimizer, cfg_train, render_kwargs,
                     apply_tv, tv_dense, axis=None, clip_sizes=None,
-                    mesh=None, n_steps=1):
+                    mesh=None, n_steps=1, donate=False):
     """Build the jitted full train step for the current phase.
 
     ``apply_tv``/``tv_dense`` are baked in statically; the host flips them at
@@ -230,8 +230,14 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
                 body, (params, opt_state), sels)
             return params, opt_state, losses, psnrs
 
+    # ``donate`` aliases params + optimizer state into the outputs, saving
+    # the copy XLA must otherwise insert around the region-sliced
+    # dynamic-update-slices (~3 ms at 160^3). Opt-in: the engine loop
+    # reassigns model.params/opt_state from the return so donation is safe
+    # there, but direct callers (tests, dryruns) may reuse the inputs.
+    donate_kw = {"donate_argnums": (0, 2)} if donate else {}
     if mesh is None:
-        return jax.jit(train_step)
+        return jax.jit(train_step, **donate_kw)
     from ..parallel import replicate, shard_rays
     rep = replicate(mesh)
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -239,7 +245,8 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
                  else shard_rays(mesh, ndim=1))
     return jax.jit(train_step,
                    in_shardings=(rep, rep, rep, rep, sel_shard, rep),
-                   out_shardings=(rep, rep, rep, rep))
+                   out_shardings=(rep, rep, rep, rep),
+                   **donate_kw)
 
 
 def gather_training_rays(model, cfg, cfg_train, data_dict, render_kwargs):
@@ -468,7 +475,14 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     # exactly on i_print/i_weights steps, so console/checkpoint cadence is
     # unchanged; the one behavioral difference is that a chunk's steps
     # share the sweep axis (axis choice was random per step anyway).
-    n_dispatch = max(int(cfg_train.get("steps_per_dispatch", 8)), 1)
+    # Default: batch dispatches only while the step is dispatch-bound
+    # (small grids; the fixture coarse stage runs 1.7x faster at K=8). At
+    # 160^3 the step is device-bound and scanning measurably HURTS (31 ->
+    # 40 ms/step: the scan body can't alias the region-sliced updates as
+    # well); cfg_train.steps_per_dispatch overrides either way.
+    small_grid = int(np.prod(model.world_size)) <= 96 ** 3
+    n_dispatch = max(int(cfg_train.get("steps_per_dispatch",
+                                       8 if small_grid else 1)), 1)
     pg_set = set(cfg_train.pg_scale)
 
     def tv_state_of(j):
@@ -534,7 +548,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             train_steps[key] = make_train_step(
                 model, optimizer, cfg_train, render_kwargs, apply_tv,
                 tv_dense, axis=axis, clip_sizes=clip_sizes, mesh=mesh,
-                n_steps=n_sub)
+                n_steps=n_sub, donate=True)
         sels = jnp.asarray(sels, jnp.int32)
         model.params, opt_state, loss, psnr = train_steps[key](
             model.params, model.mask, opt_state, pool, sels,
