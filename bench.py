@@ -83,21 +83,25 @@ def bench_render(model, H=800, W=800):
     log(f"bench: render warmup/compile {time.time()-t0:.1f}s "
         f"({n_prog} programs, concurrent)")
 
-    # Headline: DEVICE frame time — dispatch, then sync by pulling a
-    # 4-byte digest (block_until_ready is a no-op on this stack and a bulk
-    # frame fetch would measure the dev tunnel, not the chip; the
-    # reference's published s/frame is likewise GPU compute time).
+    # Headline: DEVICE frame throughput — dispatch the whole orbit
+    # back-to-back, sync ONCE on the last frame's 4-byte digest (frames
+    # execute in stream order, so the last digest implies all done). A
+    # per-frame sync would bake the ~27 ms tunnel round-trip into every
+    # frame; a bulk fetch would measure tunnel bandwidth. The reference's
+    # published s/frame is likewise GPU compute time.
     import jax.numpy as jnp
-    marks = []
+    digest = None
+    for th in thetas:  # warm pass so timing starts device-hot
+        rgb, dep = frame(thetas[0])
+    int(jnp.sum(rgb[::97, ::97].astype(jnp.int32)))
     t_start = time.time()
     for th in thetas:
         rgb, dep = frame(th)
-        int(jnp.sum(rgb[::97, ::97].astype(jnp.int32)))  # scalar sync
-        marks.append(time.time())
-    deltas = np.diff([t_start] + marks) * 1000
-    sec = float(np.median(deltas)) / 1000
-    log(f"bench: render {H}x{W} DEVICE median {sec*1000:.1f} ms/frame "
-        f"(times: {[f'{t:.0f}' for t in deltas]})")
+        digest = jnp.sum(rgb[::97, ::97].astype(jnp.int32))
+    int(digest)  # one round-trip for the whole orbit
+    sec = (time.time() - t_start) / len(thetas)
+    log(f"bench: render {H}x{W} DEVICE {sec*1000:.1f} ms/frame "
+        f"(back-to-back over {len(thetas)} frames, single sync)")
 
     # Secondary: display-pipeline throughput — dispatch frame i, pull
     # frame i-1 (uint8 rgb + f16 depth, ~3.2 MB over the dev tunnel at
