@@ -616,11 +616,18 @@ class DirectVoxGO:
         w_eff = jnp.where(wmask, weights, 0.0)
 
         mlp_dtype = self.mlp_dtype
-        # Rematerialize the color MLP in the backward pass: its [N, S, width]
-        # hidden activations are the largest tensors in the train step, and
-        # recomputing them (a few MXU matmuls) is far cheaper than the HBM
-        # round-trip of storing them as residuals.
-        mlp_split_cl = jax.checkpoint(functools.partial(
+        # Rematerialize the color MLP in the backward pass only when its
+        # [N, S, width] hidden activations are big enough to pressure HBM
+        # (>4M samples ~ >1 GB of bf16 residuals per layer). Below that,
+        # storing residuals is 2.8 ms/step FASTER than recomputing
+        # (measured at 8192x159, PERF_LOG.md).
+        n_samples_est = rays_o.shape[0] * (
+            (clip_sizes[0] if clip_sizes is not None
+             else self.world_size[axis]) *
+            sweep_ops.substeps_for_stepsize(stepsize))
+        maybe_remat = jax.checkpoint if n_samples_est > 4_000_000 \
+            else (lambda f, **kw: f)
+        mlp_split_cl = maybe_remat(functools.partial(
             mlp_lib.mlp_apply_split_cl, compute_dtype=mlp_dtype))
         if not self.has_rgbnet:
             rgb_cl = jax.nn.sigmoid(k0_cl)          # [3, N, S]
