@@ -54,6 +54,12 @@ def config_parser():
     # logging/saving options
     parser.add_argument('--i_print', type=int, default=500)
     parser.add_argument('--i_weights', type=int, default=100000)
+    parser.add_argument('--profile_dir', type=str, default='',
+                        help='capture a jax.profiler trace of training '
+                             'into this directory (view with '
+                             'tensorboard/xprof; host-side events always '
+                             'record, device events where the runtime '
+                             'supports them)')
     return parser
 
 
@@ -111,7 +117,13 @@ def main():
         sys.exit()
 
     if not args.render_only:
-        train_lib.train(args, cfg, data_dict)
+        if args.profile_dir:
+            import jax
+            with jax.profiler.trace(args.profile_dir):
+                train_lib.train(args, cfg, data_dict)
+            print(f'profile: trace written to {args.profile_dir}')
+        else:
+            train_lib.train(args, cfg, data_dict)
 
     if args.render_test or args.render_train or args.render_video:
         if args.ft_path:
