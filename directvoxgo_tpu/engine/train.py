@@ -421,17 +421,26 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             else:
                 group_gens.append(None)
 
-        def next_batch():
+        def next_chunk(n_sub):
+            # The axis is chosen ONCE per chunk and all n_sub batches are
+            # drawn from that axis group: each sel is coupled to its group's
+            # sweep axis (spacing 0.5*voxel/|d_axis| assumes the dominant
+            # axis), so mixing draws from different groups under one static
+            # axis would march mismatched rays with blown-up spacing.
             ax = int(rng.choice(3, p=group_p))
-            return group_gens[ax](), ax
+            sels = [group_gens[ax]() for _ in range(n_sub)]
+            return sels, ax
     elif cfg_train.ray_sampler in ("flatten", "in_maskcache") \
             and n_pool >= cfg_train.N_rand:
         index_gen = ray_lib.batch_indices_generator(
             n_pool, cfg_train.N_rand, rng=rng)
-        next_batch = lambda: (np.asarray(next(index_gen)), None)  # noqa: E731
+
+        def next_chunk(n_sub):
+            return [np.asarray(next(index_gen)) for _ in range(n_sub)], None
     else:
-        next_batch = lambda: (rng.integers(  # noqa: E731
-            0, n_pool, cfg_train.N_rand), None)
+        def next_chunk(n_sub):
+            return [rng.integers(0, n_pool, cfg_train.N_rand)
+                    for _ in range(n_sub)], None
 
     # View-count-based per-voxel lr (run.py:311-320).
     if cfg_train.pervoxel_lr:
@@ -474,7 +483,8 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     # an event boundary (mask renewal, pg_scale, tv-state change) and end
     # exactly on i_print/i_weights steps, so console/checkpoint cadence is
     # unchanged; the one behavioral difference is that a chunk's steps
-    # share the sweep axis (axis choice was random per step anyway).
+    # share the sweep axis — chosen once per chunk, with every batch in
+    # the chunk drawn from that axis group (see next_chunk).
     # Default: batch dispatches only while the step is dispatch-bound
     # (small grids; the fixture coarse stage runs 1.7x faster at K=8). At
     # 160^3 the step is device-bound and scanning measurably HURTS (31 ->
@@ -537,10 +547,9 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             tv_state = (apply_tv, tv_dense)
 
         n_sub = chunk_len(global_step)
-        draws = [next_batch() for _ in range(n_sub)]
-        axis = draws[0][1]
-        sels = np.stack([np.asarray(d[0]) for d in draws]) if n_sub > 1 \
-            else draws[0][0]
+        chunk_sels, axis = next_chunk(n_sub)
+        sels = np.stack([np.asarray(s) for s in chunk_sels]) if n_sub > 1 \
+            else chunk_sels[0]
         clip_sizes, clip_off = clip_plan.get(axis, (None, np.zeros(3,
                                                                    np.int32)))
         key = (axis, n_sub)

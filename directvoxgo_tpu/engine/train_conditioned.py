@@ -95,11 +95,10 @@ def conditioned_loss_terms(ret, target, cfg_train, n_rand):
     return loss, mse
 
 
-def resume_latest_checkpoint(args, cfg, model, optimizer, stage):
-    """Reload the newest ``{stage}_*.tar`` if one exists
+def find_resume_checkpoint(args, cfg, stage):
+    """Path of the checkpoint a resume would load, or None
     (run_tri_multiscene_v2.py:258-266 scan: ft_path > {stage}_last.tar >
-    latest numbered ckpt). Returns (opt_state_or_None, start_step)."""
-    from . import checkpoint as ckpt_lib
+    latest numbered ckpt)."""
     expdir = os.path.join(cfg.basedir, cfg.expname)
     path = None
     if getattr(args, "ft_path", ""):
@@ -115,6 +114,34 @@ def resume_latest_checkpoint(args, cfg, model, optimizer, stage):
             if cands:
                 path = os.path.join(expdir, cands[-1])
     if path is None or not os.path.isfile(path):
+        return None
+    return path
+
+
+def initial_num_voxels(args, cfg, cfg_model, cfg_train, stage):
+    """Grid resolution to construct the fine model at.
+
+    Reference semantics (run_tri.py:255-267): training from scratch with
+    ``pg_scale`` starts the grid at ``num_voxels / 2^len(pg_scale)`` and
+    doubles at each pg event; resuming constructs at the checkpoint's own
+    resolution (its kwargs manifest) so the loaded state matches and an
+    already-upscaled grid is never downscaled by the first pg event.
+    """
+    path = find_resume_checkpoint(args, cfg, stage)
+    if path is not None:
+        st = ckpt_lib.load_checkpoint_file(path)
+        nv = st.get("model_kwargs", {}).get("num_voxels")
+        if nv:
+            return int(nv)
+    pg = list(cfg_train.get("pg_scale", ()) or ())
+    return int(cfg_model.num_voxels / (2 ** len(pg)))
+
+
+def resume_latest_checkpoint(args, cfg, model, optimizer, stage):
+    """Reload the newest ``{stage}_*.tar`` if one exists (see
+    ``find_resume_checkpoint``). Returns (opt_state_or_None, start_step)."""
+    path = find_resume_checkpoint(args, cfg, stage)
+    if path is None:
         print(f"train_conditioned ({stage}): train from scratch")
         return None, 0
     st = ckpt_lib.load_checkpoint_file(path)
@@ -168,6 +195,14 @@ def train_conditioned_stage(args, cfg, cfg_train, model, optimizer,
     w_cons = float(aux.get("weight_consistency", 0.0))
     w_cos = float(aux.get("weight_cosine", 0.0))
     w_dist = float(aux.get("weight_distillation", 0.0))
+    if w_dist > 0 and not getattr(model, "use_anchor_liif", False):
+        # The reference's distillation needs the frozen anchor-LIIF teacher
+        # (lib/tri_dvgo_multiscene.py:314-322, 769-775); without it the
+        # loss term would silently be 0 every step.
+        raise ValueError(
+            "weight_distillation > 0 but the model has no anchor-LIIF "
+            "teacher; set use_anchor_liif=True (+ liif_state_dict) in "
+            "fine_model_and_render, or zero the weight")
     trainable = [n for n in optimizer.group_cfg if n in model.params]
     frozen = [n for n in model.params if n not in trainable]
     has_aux = hasattr(model, "encode_feat") and multiscene

@@ -56,7 +56,8 @@ def fine_stage(args, cfg, data_dict, coarse_ckpt_path):
                                  'world_bound_scale', 'stepsize',
                                  'use_coarse_geo', 'bbox_thres')}
     model = TriDVGO(xyz_min=xyz_min, xyz_max=xyz_max,
-                    num_voxels=cfg_model.num_voxels,
+                    num_voxels=cond_lib.initial_num_voxels(
+                        args, cfg, cfg_model, cfg_train, 'fine'),
                     mask_cache_path=coarse_ckpt_path, **model_kwargs)
     optimizer = train_lib.create_optimizer_or_freeze_model(model, cfg_train)
     opt_state = optimizer.init(model.params)

@@ -224,7 +224,8 @@ def main():
                                  'use_coarse_geo', 'bbox_thres')}
     model = TriDVGOMultiScene(
         xyz_min=xyz_min, xyz_max=xyz_max, n_scene=dataset.n_scene,
-        num_voxels=cfg_model.num_voxels,
+        num_voxels=cond_lib.initial_num_voxels(
+            args, cfg, cfg_model, cfg_train, 'fine'),
         mask_cache_path=None, **model_kwargs)
     optimizer = train_lib.create_optimizer_or_freeze_model(model, cfg_train)
     opt_state = optimizer.init(model.params)
