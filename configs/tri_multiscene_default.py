@@ -13,6 +13,9 @@ fine_train = {
     'weight_consistency': 0.0,
     'weight_cosine': 0.0,
     'weight_distillation': 0.0,
+    # Trains the shared distillation projection head when use_anchor_liif
+    # (reference configs/tri_multiscene_default.py:70).
+    'lrate_distillation_head': 1e-4,
 }
 
 fine_model_and_render = {
@@ -22,4 +25,10 @@ fine_model_and_render = {
     'use_nl': False,
     'compute_consistency': False,
     'compute_cosine': False,
+    # Anchor-LIIF distillation teacher (reference :153-154, :178): a frozen
+    # Interp_MLP loaded from the pretrained LIIF checkpoint; weight the loss
+    # with fine_train.weight_distillation.
+    'use_anchor_liif': False,
+    'load_liif_sd': False,
+    'liif_state_dict': '',
 }

@@ -123,6 +123,46 @@ def interp_mlp_apply(params, x, rng=None):
     return _linear(layers[-1], x)
 
 
+def load_liif_state_dict(liif_path):
+    """Pretrained-LIIF linear layers from a torch checkpoint.
+
+    The reference maps the LIIF imnet's 4 hidden linears into its
+    Interp_MLP, leaving the output layer as initialized
+    (``load_liif_state_dict``, lib/tri_dvgo_multiscene.py:33-52: imnet
+    layers 0/2/4/6 -> model 0/2.0/3.0/4.0). Returns a list of 4
+    ``{"w","b"}`` dicts in this repo's [in, out] weight convention.
+    """
+    import torch
+    sd = torch.load(liif_path, map_location="cpu",
+                    weights_only=False)["model"]["sd"]
+    out = []
+    for i in (0, 2, 4, 6):
+        w = np.asarray(sd[f"imnet.layers.{i}.weight"].detach().cpu(),
+                       np.float32)
+        b = np.asarray(sd[f"imnet.layers.{i}.bias"].detach().cpu(),
+                       np.float32)
+        out.append({"w": jnp.asarray(w.T), "b": jnp.asarray(b)})
+    return out
+
+
+def apply_liif_sd_to_interp(interp_params, liif_layers):
+    """Overwrite an Interp_MLP's first ``len(liif_layers)`` linears with the
+    pretrained LIIF layers (shape-checked); the output layer keeps its
+    random init, as in the reference (the LIIF imnet's final layer has a
+    different output width)."""
+    layers = list(interp_params["layers"])
+    for i, ll in enumerate(liif_layers):
+        if i >= len(layers) - 1:
+            break
+        if layers[i]["w"].shape != ll["w"].shape:
+            raise ValueError(
+                f"LIIF layer {i} shape {ll['w'].shape} does not match "
+                f"interp layer {layers[i]['w'].shape}; check in_dim "
+                f"(feat_unfold/cell_decode) and interp_width")
+        layers[i] = {"w": ll["w"], "b": ll["b"]}
+    return {**interp_params, "layers": layers}
+
+
 # -------------------------------------------------------------- ConvMapping
 
 def init_conv_mapping(key, in_dim, out_dim=12, ksize=3, n_resblocks=5,

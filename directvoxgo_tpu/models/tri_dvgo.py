@@ -179,9 +179,11 @@ class TriDVGO(DirectVoxGO):
         lo, hi = float(self.xyz_min[axis]), float(self.xyz_max[axis])
         return (v - lo) / (hi - lo) * (n - 1.0)
 
-    def query_triplane(self, params, feats, px, py, pz):
+    def query_triplane(self, params, feats, px, py, pz, aux=None):
         """Bilinear triplane feature query + aggregation
-        (grid_sampler2D, tri_dvgo.py:456-479)."""
+        (grid_sampler2D, tri_dvgo.py:456-479). ``aux`` (a dict) collects the
+        anchor-LIIF distillation loss when the model carries a teacher
+        (tri_dvgo_multiscene.py:769-775)."""
         outs = []
         for name in ("xy", "yz", "zx"):
             a, b = PLANE_AXES[name]
@@ -189,7 +191,8 @@ class TriDVGO(DirectVoxGO):
             u = self._norm_to_plane((px, py, pz)[a], a, plane.shape[0])
             v = self._norm_to_plane((px, py, pz)[b], b, plane.shape[1])
             if self.liif:
-                outs.append(self._liif_plane(params, name, plane, u, v))
+                outs.append(self._liif_plane(params, name, plane, u, v,
+                                             aux=aux))
             else:
                 outs.append(grid_ops.bilinear_sample_parts(plane, u, v))
         if self.tri_aggregation == "concat":
@@ -207,12 +210,19 @@ class TriDVGO(DirectVoxGO):
                   for dj in range(3)]
         return jnp.stack(shifts, axis=-1).reshape(nu, nv, c * 9)
 
-    def _liif_plane(self, params, name, plane, u, v):
+    def _liif_plane(self, params, name, plane, u, v, aux=None):
         """LIIF local-ensemble interpolation on one plane
         (tri_dvgo.py:481-567): 4 nearest-cell taps, per-tap decoder over
         [feat, rel_coord(, rel_cell)], area-weighted with the diagonal swap.
         With ``feat_unfold`` each tap reads the 3x3-unfolded feature
         (tri_dvgo.py:734-737).
+
+        When the model carries a frozen anchor-LIIF teacher
+        (``use_anchor_liif``) and ``aux`` is given, each tap also runs the
+        teacher on the same input and accumulates
+        ``mse(head(pred), head(anchor_pred)) / n_avg`` into
+        ``aux['distillation']`` (tri_dvgo_multiscene.py:769-775; n_avg =
+        taps x planes, :722).
         """
         nu, nv = plane.shape[:2]
         if self.feat_unfold:
@@ -220,6 +230,8 @@ class TriDVGO(DirectVoxGO):
         interp = params[f"interp_{name}"]
         taps = [(-0.5, -0.5), (-0.5, 0.5), (0.5, -0.5), (0.5, 0.5)] \
             if self.local_ensemble else [(0.0, 0.0)]
+        distill = getattr(self, "use_anchor_liif", False) and aux is not None
+        n_avg = float(len(taps) * 3)
         preds, areas = [], []
         for du, dv in taps:
             cu = jnp.clip(jnp.round(u + du), 0, nu - 1)
@@ -232,8 +244,16 @@ class TriDVGO(DirectVoxGO):
                 cell_u = jnp.full_like(rel_u, 1.0)
                 cell_v = jnp.full_like(rel_v, 1.0)
                 inp += [cell_u[..., None], cell_v[..., None]]
-            pred = nets.interp_mlp_apply(
-                interp, jnp.concatenate(inp, -1))
+            inp_cat = jnp.concatenate(inp, -1)
+            pred = nets.interp_mlp_apply(interp, inp_cat)
+            if distill:
+                anchor_pred = jax.lax.stop_gradient(
+                    nets.interp_mlp_apply(params["anchor_liif"], inp_cat))
+                head = params["distillation_head"]
+                pd = jax.nn.relu(jnp.dot(pred, head["w"]) + head["b"])
+                ad = jax.nn.relu(jnp.dot(anchor_pred, head["w"]) + head["b"])
+                aux["distillation"] = aux.get("distillation", 0.0) \
+                    + jnp.mean((pd - ad) ** 2) / n_avg
             preds.append(pred)
             areas.append(jnp.abs(rel_u * rel_v) + 1e-9)
         if self.local_ensemble:
@@ -286,7 +306,8 @@ class TriDVGO(DirectVoxGO):
             _, w_eff, px, py, pz, step_f, alpha, wmask = rm.compact_by_key(
                 -w_eff, k_c, w_eff, px, py, pz, step_f, alpha, wmask)
 
-        k0 = self.query_triplane(params, feats, px, py, pz)
+        aux = {}
+        k0 = self.query_triplane(params, feats, px, py, pz, aux=aux)
         vd_emb = mlp_lib.positional_encoding(viewdirs, self.viewbase_pe)
         vd_emb = jnp.broadcast_to(vd_emb[:, None, :],
                                   (*px.shape, vd_emb.shape[-1]))
@@ -309,6 +330,8 @@ class TriDVGO(DirectVoxGO):
             "raw_rgb": rgb,
             "wmask": wmask,
         }
+        if "distillation" in aux:
+            ret["distillation"] = aux["distillation"]
         if render_depth:
             ret["depth"] = jax.lax.stop_gradient(
                 jnp.sum(w_eff * step_f, axis=1))

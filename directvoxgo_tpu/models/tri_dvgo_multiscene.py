@@ -57,6 +57,8 @@ class TriDVGOMultiScene(TriDVGO):
                  use_nl=False,
                  compute_consistency=False, compute_cosine=False,
                  cosine_v1=False, cosine_v2=True,
+                 use_anchor_liif=False, load_liif_sd=False,
+                 liif_state_dict="",
                  **kwargs):
         self.n_scene = int(n_scene)
         super().__init__(xyz_min, xyz_max, **kwargs)
@@ -71,12 +73,16 @@ class TriDVGOMultiScene(TriDVGO):
         self.compute_cosine = compute_cosine
         self.cosine_v1 = cosine_v1
         self.cosine_v2 = cosine_v2
+        self.use_anchor_liif = bool(use_anchor_liif)
         self.rgbnet_kwargs.update({
             "n_scene": self.n_scene, "mlp_map": mlp_map,
             "conv_map": conv_map, "closed_map": closed_map,
             "use_nl": use_nl, "compute_consistency": compute_consistency,
             "compute_cosine": compute_cosine, "cosine_v1": cosine_v1,
             "cosine_v2": cosine_v2,
+            "use_anchor_liif": self.use_anchor_liif,
+            "load_liif_sd": bool(load_liif_sd),
+            "liif_state_dict": liif_state_dict,
         })
         n_feats = self.encoder_kwargs["n_feats"]
         key = jax.random.PRNGKey(kwargs.get("seed", 0) + 11)
@@ -91,6 +97,44 @@ class TriDVGOMultiScene(TriDVGO):
             from .mlp import init_linear
             self.params["plane_proj"] = init_linear(
                 jax.random.fold_in(key, 1), n_feats, self.rgbnet_dim)
+
+        # Anchor-LIIF distillation teacher (tri_dvgo_multiscene.py:314-322):
+        # a frozen Interp_MLP initialized from pretrained LIIF weights, plus
+        # a trained shared projection head (Linear+ReLU) whose outputs the
+        # distillation MSE compares. The teacher lives in ``params`` so it
+        # checkpoints, but no ``lrate_anchor_liif`` key exists, so the
+        # ``lrate_`` convention never trains it; the head trains under
+        # ``lrate_distillation_head``.
+        if (self.use_anchor_liif or load_liif_sd) and not self.liif:
+            raise ValueError("use_anchor_liif/load_liif_sd require liif=True "
+                             "(the teacher distills the LIIF decoders)")
+        if self.use_anchor_liif or load_liif_sd:
+            liif_layers = None
+            if liif_state_dict:
+                if not __import__("os").path.isfile(liif_state_dict):
+                    raise FileNotFoundError(
+                        f"liif_state_dict not found: {liif_state_dict!r} "
+                        "(use_anchor_liif/load_liif_sd need the pretrained "
+                        "LIIF checkpoint)")
+                liif_layers = nets.load_liif_state_dict(liif_state_dict)
+            if load_liif_sd and liif_layers is not None:
+                for nm in ("interp_xy", "interp_yz", "interp_zx"):
+                    self.params[nm] = nets.apply_liif_sd_to_interp(
+                        self.params[nm], liif_layers)
+        if self.use_anchor_liif:
+            from .mlp import init_linear
+            k_anchor = jax.random.fold_in(key, 2)
+            in_dim = self.params["interp_xy"]["layers"][0]["w"].shape[0]
+            iw = self.params["interp_xy"]["layers"][0]["w"].shape[1]
+            idepth = len(self.params["interp_xy"]["layers"])
+            anchor = nets.init_interp_mlp(k_anchor, in_dim, self.rgbnet_dim,
+                                          iw, idepth)
+            if liif_layers is not None:
+                anchor = nets.apply_liif_sd_to_interp(anchor, liif_layers)
+            self.params["anchor_liif"] = anchor
+            self.params["distillation_head"] = init_linear(
+                jax.random.fold_in(key, 3), self.rgbnet_dim,
+                self.rgbnet_dim)
 
     def get_kwargs(self):
         kw = super().get_kwargs()
@@ -215,7 +259,7 @@ class TriDVGOMultiScene(TriDVGO):
         ret = self.render(scene_params, mask[scene_id], feats,
                           rays_o, rays_d, viewdirs, global_step,
                           **render_kwargs)
-        distillation = 0.0
+        distillation = ret.pop("distillation", 0.0)
         if teacher_apply is not None:
             # Distill plane features toward a frozen anchor-LIIF teacher
             # (tri_dvgo_multiscene.py:769-775): MSE between mapped planes

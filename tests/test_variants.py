@@ -150,3 +150,86 @@ class TestTriMultiScene:
         ret, cons, cos, dist = model(rgb_lr, pose_lr, o, d, vd, scene_id=0,
                                      teacher_apply=teacher, **RK)
         assert float(dist) > 0
+
+    def test_anchor_liif_distillation(self):
+        """The in-model anchor-LIIF teacher (tri_dvgo_multiscene.py:314-322,
+        769-775): forward returns a nonzero distillation loss, and a
+        positive weight_distillation changes the interp-net gradients."""
+        model = self._model(liif=True, use_anchor_liif=True)
+        assert "anchor_liif" in model.params
+        assert "distillation_head" in model.params
+        # teacher resolution must not touch geometry: make rays hit content
+        model.params["density"] = model.params["density"].at[0].set(5.0)
+        rgb_lr, pose_lr = self._inputs()
+        o, d, vd = _rays(4)
+        ret, cons, cos, dist = model(rgb_lr, pose_lr, o, d, vd, scene_id=0,
+                                     **RK)
+        assert np.isfinite(float(dist)) and float(dist) > 0
+
+        def loss(interp, w_dist):
+            p = dict(model.params)
+            p["interp_xy"] = interp
+            ret, _, _, dist = model.forward(
+                p, model.mask, rgb_lr, pose_lr, o, d, vd, scene_id=0, **RK)
+            mse = jnp.mean((ret["rgb_marched"] - 0.5) ** 2)
+            return mse + w_dist * dist
+
+        g0 = jax.grad(loss)(model.params["interp_xy"], 0.0)
+        g1 = jax.grad(loss)(model.params["interp_xy"], 1.0)
+        d0 = np.asarray(g0["layers"][0]["w"])
+        d1 = np.asarray(g1["layers"][0]["w"])
+        assert not np.allclose(d0, d1, atol=1e-8)
+
+    def test_anchor_liif_requires_liif(self):
+        with pytest.raises(ValueError):
+            self._model(liif=False, use_anchor_liif=True)
+
+    def test_liif_sd_import(self, tmp_path):
+        """load_liif_state_dict maps a torch LIIF checkpoint
+        (imnet.layers.{0,2,4,6}) into our Interp_MLP layer convention."""
+        torch = pytest.importorskip("torch")
+        from directvoxgo_tpu.models import nets
+        in_dim = 4 + 2 + 2  # rgbnet_dim + rel_coord + rel_cell
+        width = 16
+        sd = {}
+        gen = np.random.default_rng(0)
+        dims = [(in_dim, width), (width, width), (width, width),
+                (width, width)]
+        for i, (a, b) in zip((0, 2, 4, 6), dims):
+            sd[f"imnet.layers.{i}.weight"] = torch.tensor(
+                gen.normal(size=(b, a)).astype(np.float32))
+            sd[f"imnet.layers.{i}.bias"] = torch.tensor(
+                gen.normal(size=(b,)).astype(np.float32))
+        path = str(tmp_path / "liif.pth")
+        torch.save({"model": {"sd": sd}}, path)
+
+        layers = nets.load_liif_state_dict(path)
+        assert layers[0]["w"].shape == (in_dim, width)
+        np.testing.assert_allclose(
+            np.asarray(layers[1]["w"]),
+            sd["imnet.layers.2.weight"].numpy().T)
+
+        model = self._model(liif=True, use_anchor_liif=True,
+                            interp_width=width, interp_depth=5,
+                            liif_state_dict=path, load_liif_sd=True)
+        np.testing.assert_allclose(
+            np.asarray(model.params["interp_xy"]["layers"][0]["w"]),
+            sd["imnet.layers.0.weight"].numpy().T)
+        np.testing.assert_allclose(
+            np.asarray(model.params["anchor_liif"]["layers"][3]["w"]),
+            sd["imnet.layers.6.weight"].numpy().T)
+
+    def test_weight_distillation_without_teacher_raises(self):
+        from directvoxgo_tpu.engine import train_conditioned as cond_lib
+
+        class Args:
+            seed = 0
+
+        class CfgTrain(dict):
+            __getattr__ = dict.get
+        model = self._model()
+        with pytest.raises(ValueError, match="anchor-LIIF"):
+            cond_lib.train_conditioned_stage(
+                Args(), None, CfgTrain(N_rand=4, N_iters=0), model, None,
+                None, [None], None, {}, "fine", start=1,
+                aux_weights={"weight_distillation": 0.5}, multiscene=True)
