@@ -140,8 +140,13 @@ def load_data(args):
 
     elif args.dataset_type == "synthetic_fixture":
         # Procedural test/benchmark fixture (TPU rebuild addition).
+        # data.fixture_kwargs overrides resolution/view count/teacher res
+        # (e.g. a lego-shaped 400^2 x 24-view variant for full-length
+        # wall-clock measurement, configs/synthetic/fixture_lego.py).
         from .synthetic import make_synthetic_dataset
-        return make_synthetic_dataset(white_bkgd=args.white_bkgd)
+        return make_synthetic_dataset(
+            white_bkgd=args.white_bkgd,
+            **dict(getattr(args, "fixture_kwargs", None) or {}))
 
     elif args.dataset_type == "ndc_fixture":
         # Forward-facing procedural fixture for the NDC/DMPIGO (LLFF-style)

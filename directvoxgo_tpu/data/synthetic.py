@@ -13,6 +13,8 @@ blender-style orbit (radius 4, near 2, far 6, white or black background).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .. import rays as ray_lib
@@ -54,28 +56,38 @@ def _render_view(density, rgb, H, W, K, c2w, near, far, bg, n_samples=192,
     box_max = np.asarray(box_max, np.float32)
     rays_o, rays_d, viewdirs = ray_lib.get_rays_of_a_view(
         H, W, K, c2w, ndc=False, inverse_y=False, flip_x=False, flip_y=False)
-    ro = rays_o.reshape(-1, 3)
-    vd = viewdirs.reshape(-1, 3)
+    ro_all = rays_o.reshape(-1, 3).astype(np.float32)
+    vd_all = viewdirs.reshape(-1, 3).astype(np.float32)
     t = np.linspace(near, far, n_samples, dtype=np.float32)
-    pts = ro[:, None, :] + vd[:, None, :] * t[None, :, None]
 
     res = density.shape[0]
-    idx = (pts - box_min) / (box_max - box_min) * (res - 1)
-    inb = np.all((pts >= box_min) & (pts <= box_max), -1)
-    ijk = np.clip(np.round(idx).astype(np.int64), 0, res - 1)
-    d = density[ijk[..., 0], ijk[..., 1], ijk[..., 2]]
-    c = rgb[ijk[..., 0], ijk[..., 1], ijk[..., 2]]
-
     voxel = float(box_max[0] - box_min[0]) / res
     interval = (far - near) / n_samples / voxel  # in voxel units
-    alpha = 1.0 - np.exp(-np.log1p(np.exp(d)) * interval)
-    alpha = np.where(inb, alpha, 0.0)
-    one_minus = 1.0 - alpha + 1e-10
-    t_excl = np.cumprod(one_minus, -1) / one_minus
-    weights = t_excl * alpha
-    alphainv_last = np.prod(one_minus, -1)
-    img = (weights[..., None] * c).sum(1) + alphainv_last[..., None] * bg
-    return img.reshape(H, W, 3).astype(np.float32)
+    scale = (res - 1) / (box_max - box_min)
+
+    # Chunked over rays: the [N, S, 3] point tensors at high resolutions
+    # would otherwise allocate multiple GB and thrash (measured 129 s for
+    # one 400^2 view unchunked vs ~2 s chunked).
+    out = np.empty((ro_all.shape[0], 3), np.float32)
+    chunk = 16384
+    for lo in range(0, ro_all.shape[0], chunk):
+        ro = ro_all[lo:lo + chunk]
+        vd = vd_all[lo:lo + chunk]
+        pts = ro[:, None, :] + vd[:, None, :] * t[None, :, None]
+        idx = (pts - box_min) * scale
+        inb = np.all((pts >= box_min) & (pts <= box_max), -1)
+        ijk = np.clip(np.round(idx).astype(np.int32), 0, res - 1)
+        d = density[ijk[..., 0], ijk[..., 1], ijk[..., 2]]
+        c = rgb[ijk[..., 0], ijk[..., 1], ijk[..., 2]]
+        alpha = 1.0 - np.exp(-np.log1p(np.exp(d)) * interval)
+        alpha = np.where(inb, alpha, 0.0)
+        one_minus = 1.0 - alpha + 1e-10
+        t_excl = np.cumprod(one_minus, -1) / one_minus
+        weights = t_excl * alpha
+        alphainv_last = np.prod(one_minus, -1)
+        out[lo:lo + chunk] = (weights[..., None] * c).sum(1) \
+            + alphainv_last[..., None] * bg
+    return out.reshape(H, W, 3)
 
 
 def make_ndc_fixture_dataset(n_train=12, n_val=2, n_test=3, H=64, W=64,
@@ -135,11 +147,16 @@ def make_ndc_fixture_dataset(n_train=12, n_val=2, n_test=3, H=64, W=64,
 
 
 def make_synthetic_dataset(n_train=16, n_val=2, n_test=4, H=64, W=64,
-                           teacher_res=64, white_bkgd=True, seed=0):
+                           teacher_res=64, white_bkgd=True, seed=0,
+                           cache_dir="/tmp/dvgo_fixture_cache"):
     """Build a data_dict with the same keys as load_everything
-    (lib/load_data.py:188-218)."""
+    (lib/load_data.py:188-218).
+
+    Rendered GT images are cached on disk keyed by all generation params
+    (the reference's loaders cache derived data the same way: the lrsr
+    pickle cache lib/load_blender.py:110-117, the LLFF _minify image cache)
+    — a 400^2 x 30-view fixture costs minutes of host raymarching."""
     rng = np.random.default_rng(seed)
-    density, rgb = teacher_grids(teacher_res)
     near, far = 2.0, 6.0
     bg = 1.0 if white_bkgd else 0.0
     focal = 0.8 * W
@@ -154,9 +171,22 @@ def make_synthetic_dataset(n_train=16, n_val=2, n_test=4, H=64, W=64,
     poses = np.stack([pose_spherical(t, p, 4.0)
                       for t, p in zip(thetas, phis)], 0)
 
-    images = np.stack([
-        _render_view(density, rgb, H, W, K, c2w[:3, :4], near, far, bg)
-        for c2w in poses], 0)
+    cache_path = None
+    if cache_dir:
+        key = f"{n_train}_{n_val}_{n_test}_{H}_{W}_{teacher_res}_" \
+              f"{int(white_bkgd)}_{seed}_v1"
+        cache_path = os.path.join(cache_dir, f"fixture_{key}.npz")
+    if cache_path and os.path.isfile(cache_path):
+        with np.load(cache_path) as z:
+            images = z["images"]
+    else:
+        density, rgb = teacher_grids(teacher_res)
+        images = np.stack([
+            _render_view(density, rgb, H, W, K, c2w[:3, :4], near, far, bg)
+            for c2w in poses], 0)
+        if cache_path:
+            os.makedirs(cache_dir, exist_ok=True)
+            np.savez_compressed(cache_path, images=images)
 
     idx = np.arange(n_total)
     render_poses = np.stack([pose_spherical(t, -30.0, 4.0)
