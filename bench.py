@@ -91,17 +91,39 @@ def bench_render(model, H=800, W=800):
     # published s/frame is likewise GPU compute time.
     import jax.numpy as jnp
     digest = None
+    n_fallback = 0
+    frames = []
     for th in thetas:  # warm pass so timing starts device-hot
-        rgb, dep = frame(thetas[0])
+        out = frame(th)
+        if out is None:  # plan_camera_sweep ruled the pose out
+            n_fallback += 1
+            continue
+        frames.append(th)
+        rgb, dep = out
+    if n_fallback:
+        log(f"bench: {n_fallback}/{len(thetas)} poses fell back (no sweep "
+            "plan) — excluded from the headline")
+    if not frames:
+        raise RuntimeError("no pose had a sweep plan; cannot bench render")
     int(jnp.sum(rgb[::97, ::97].astype(jnp.int32)))
     t_start = time.time()
-    for th in thetas:
+    for th in frames:
         rgb, dep = frame(th)
         digest = jnp.sum(rgb[::97, ::97].astype(jnp.int32))
     int(digest)  # one round-trip for the whole orbit
-    sec = (time.time() - t_start) / len(thetas)
+    sec = (time.time() - t_start) / len(frames)
     log(f"bench: render {H}x{W} DEVICE {sec*1000:.1f} ms/frame "
-        f"(back-to-back over {len(thetas)} frames, single sync)")
+        f"(back-to-back over {len(frames)} frames, single sync)")
+
+    # Per-frame-sync latency (what a caller who syncs every frame sees:
+    # includes one ~27 ms tunnel round-trip per frame). Reported alongside
+    # the throughput headline so BENCH json carries both.
+    t_start = time.time()
+    for th in frames[:6]:
+        rgb, dep = frame(th)
+        int(jnp.sum(rgb[::97, ::97].astype(jnp.int32)))
+    sec_sync = (time.time() - t_start) / len(frames[:6])
+    log(f"bench: render {H}x{W} per-frame-sync {sec_sync*1000:.1f} ms/frame")
 
     # Secondary: display-pipeline throughput — dispatch frame i, pull
     # frame i-1 (uint8 rgb + f16 depth, ~3.2 MB over the dev tunnel at
@@ -109,7 +131,7 @@ def bench_render(model, H=800, W=800):
     marks = []
     pending = None
     t_start = time.time()
-    for th in thetas:
+    for th in frames:
         out = frame(th)
         if pending is not None:
             np.asarray(pending[0]), np.asarray(pending[1])
@@ -122,10 +144,36 @@ def bench_render(model, H=800, W=800):
     pipe = float(np.median(deltas)) / 1000
     log(f"bench: render {H}x{W} pipelined-fetch median {pipe*1000:.1f} "
         f"ms/frame (times: {[f'{t:.0f}' for t in deltas]})")
-    return sec
+    return sec, sec_sync
 
 
-def bench_train(model, n_rand=8192, iters=50):
+def _make_batches(n_rand, axis, n_batches, seed):
+    """Fresh random ray batches whose dominant voxel axis is ``axis``:
+    cameras on the -axis side looking along +axis with a +-17deg fan (so the
+    engine's dominant-axis grouping would route them to this axis group)."""
+    rng = np.random.default_rng(seed * 7 + axis)
+    out = []
+    for _ in range(n_batches):
+        ang = rng.uniform(-0.3, 0.3, (n_rand, 2))
+        d3 = np.stack([np.tan(ang[:, 0]), np.tan(ang[:, 1]),
+                       -np.ones(n_rand)], -1).astype(np.float32)
+        o3 = np.tile([[0.0, 0.0, 3.5]], (n_rand, 1)).astype(np.float32)
+        o3[:, :2] += rng.uniform(-0.2, 0.2, (n_rand, 2))
+        perm = {0: (2, 0, 1), 1: (1, 2, 0), 2: (0, 1, 2)}[axis]
+        rays_o = o3[:, perm]
+        rays_d = d3[:, perm]
+        viewdirs = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+        target = rng.uniform(0, 1, (n_rand, 3)).astype(np.float32)
+        out.append(tuple(map(np.asarray, (rays_o, rays_d, viewdirs,
+                                          target))))
+    return out
+
+
+def bench_train(model, n_rand=8192, iters=30, n_batches=4):
+    """Train-step timing the way run.py would run it: per-axis compiled
+    steps, fresh batches rotating within each axis group, engine-default
+    dispatch mode (single-step above 96^3 — engine/train.py), region-sliced
+    MaskedAdam inside the step."""
     import jax
     import jax.numpy as jnp
     from directvoxgo_tpu.optim import MaskedAdam
@@ -135,117 +183,94 @@ def bench_train(model, n_rand=8192, iters=50):
         "k0": {"lr": 1e-1, "skip_zero_grad": True},
         "rgbnet": {"lr": 1e-3},
     }, lr_decay_factor=0.1 ** (1 / 20000))
-    opt_state = optimizer.init(model.params)
 
-    rng = np.random.default_rng(0)
-    rays_o = np.tile([[0.0, 0.0, 3.5]], (n_rand, 1)).astype(np.float32)
-    ang = rng.uniform(-0.3, 0.3, (n_rand, 2))
-    rays_d = np.stack([np.tan(ang[:, 0]), np.tan(ang[:, 1]),
-                       -np.ones(n_rand)], -1).astype(np.float32)
-    viewdirs = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
-    target = rng.uniform(0, 1, (n_rand, 3)).astype(np.float32)
-    batch = tuple(jnp.asarray(x) for x in (rays_o, rays_d, viewdirs, target))
-
-    # Occupancy-bbox clipping, as the train engine applies it.
-    clip_sizes, clip_off = model.sweep_clip_for_axis(2)
-    log(f"bench: train sweep clip sizes={clip_sizes} off={list(clip_off)}")
-    clip_off = jnp.asarray(clip_off)
-
-    @functools.partial(jax.jit, static_argnums=(7,),
-                       donate_argnums=(0, 2))
-    def step(params, mask, opt_state, rays_o, rays_d, viewdirs, target,
-             axis):
-        def loss_fn(params):
-            ret = model.forward_sweep(params, mask, rays_o, rays_d,
-                                      viewdirs, axis, near=2.0, far=6.0,
-                                      bg=1.0, stepsize=0.5,
-                                      clip_sizes=clip_sizes,
-                                      clip_offsets=clip_off)
-            mse = jnp.mean((ret["rgb_marched"] - target) ** 2)
-            pout = jnp.clip(ret["alphainv_last"], 1e-6, 1 - 1e-6)
-            ent = -jnp.mean(pout * jnp.log(pout)
-                            + (1 - pout) * jnp.log(1 - pout))
-            if "raw_rgb_cl" in ret:  # sweep path: [3, N, S]
+    def make_step(axis, clip_sizes):
+        @functools.partial(jax.jit, donate_argnums=(0, 2))
+        def step(params, mask, opt_state, rays_o, rays_d, viewdirs, target,
+                 clip_off):
+            def loss_fn(params):
+                ret = model.forward_sweep(params, mask, rays_o, rays_d,
+                                          viewdirs, axis, near=2.0, far=6.0,
+                                          bg=1.0, stepsize=0.5,
+                                          clip_sizes=clip_sizes,
+                                          clip_offsets=clip_off)
+                mse = jnp.mean((ret["rgb_marched"] - target) ** 2)
+                pout = jnp.clip(ret["alphainv_last"], 1e-6, 1 - 1e-6)
+                ent = -jnp.mean(pout * jnp.log(pout)
+                                + (1 - pout) * jnp.log(1 - pout))
                 rgbper = jnp.sum(
                     (ret["raw_rgb_cl"] - target.T[:, :, None]) ** 2, axis=0)
-            else:
-                rgbper = jnp.sum(
-                    (ret["raw_rgb"] - target[:, None, :]) ** 2, -1)
-            rl = jnp.sum(rgbper * jax.lax.stop_gradient(ret["weights"])) \
-                / n_rand
-            return mse + 0.001 * ent + 0.01 * rl
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        # region-sliced Adam, as the train engine applies it (axis=2:
-        # permuted (p,u,v) = (z,x,y) -> xyz order)
-        offs = (clip_off[1], clip_off[2], clip_off[0])
-        sizes = (clip_sizes[1], clip_sizes[2], clip_sizes[0])
-        regions = {n: (offs, sizes) for n in ("density", "k0")}
-        new_params, new_opt = optimizer.update(params, grads, opt_state,
-                                               regions=regions)
-        return new_params, new_opt, loss
+                rl = jnp.sum(rgbper
+                             * jax.lax.stop_gradient(ret["weights"])) \
+                    / n_rand
+                return mse + 0.001 * ent + 0.01 * rl
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            # region-sliced Adam, as the train engine applies it (permuted
+            # (p,u,v) -> xyz order; engine/train.py make_train_step)
+            from directvoxgo_tpu.ops import sweep as sweep_ops
+            perm = sweep_ops._PERMS[axis]
+            inv = {ax: i for i, ax in enumerate(perm)}
+            offs = tuple(clip_off[inv[a]] for a in range(3))
+            sizes = tuple(clip_sizes[inv[a]] for a in range(3))
+            regions = {n: (offs, sizes) for n in ("density", "k0")}
+            new_params, new_opt = optimizer.update(params, grads, opt_state,
+                                                   regions=regions)
+            return new_params, new_opt, loss
+        return step
 
     # Train on copies: the step donates params/opt_state and bench_render
     # still needs model.params afterwards.
-    params = jax.tree_util.tree_map(jnp.copy, model.params)
     mask = model.mask
-    t0 = time.time()
-    params, opt_state, loss = step(params, mask, opt_state, *batch, 2)
-    log(f"bench: train compile+first step "
-        f"{time.time()-t0:.2f}s (loss={float(jnp.sum(loss)):.4f})")
-    t0 = time.time()
-    for _ in range(iters):
-        params, opt_state, loss = step(params, mask, opt_state, *batch, 2)
-    float(jnp.sum(loss))  # device->host transfer = real sync on this stack
-    dt = (time.time() - t0) / iters
-    log(f"bench: train step {dt*1000:.2f} ms/iter ({1/dt:.1f} it/s, "
-        f"N_rand={n_rand}) [single-step dispatch]")
+    per_axis = {}
+    for axis in range(3):
+        clip_sizes, clip_off = model.sweep_clip_for_axis(axis)
+        log(f"bench: axis {axis} clip sizes={clip_sizes} "
+            f"off={list(clip_off)}")
+        clip_off = jnp.asarray(clip_off)
+        batches = [tuple(jnp.asarray(x) for x in b)
+                   for b in _make_batches(n_rand, axis, n_batches, seed=1)]
+        step = make_step(axis, clip_sizes)
+        params = jax.tree_util.tree_map(jnp.copy, model.params)
+        opt_state = optimizer.init(model.params)
+        t0 = time.time()
+        params, opt_state, loss = step(params, mask, opt_state,
+                                       *batches[0], clip_off)
+        log(f"bench: axis {axis} compile+first step {time.time()-t0:.2f}s "
+            f"(loss={float(jnp.sum(loss)):.4f})")
+        t0 = time.time()
+        for i in range(iters):
+            params, opt_state, loss = step(params, mask, opt_state,
+                                           *batches[i % n_batches], clip_off)
+        float(jnp.sum(loss))  # host pull = the only real sync on this stack
+        per_axis[axis] = (time.time() - t0) / iters
+        log(f"bench: axis {axis} train step {per_axis[axis]*1000:.2f} "
+            f"ms/iter [single-step dispatch, engine default at 160^3]")
 
-    # Step-batched dispatch (engine default, steps_per_dispatch=8): K
-    # optimizer steps per call via lax.scan — amortizes the ~27 ms tunnel
-    # dispatch latency that bounds the single-step loop.
-    K = 8
-
-    @functools.partial(jax.jit, static_argnums=(7,),
-                       donate_argnums=(0, 2))
-    def step_scan(params, mask, opt_state, rays_o, rays_d, viewdirs, target,
-                  axis):
-        def body(carry, _):
-            p, o = carry
-            p, o, loss = _one(p, mask, o, rays_o, rays_d, viewdirs, target,
-                              axis)
-            return (p, o), loss
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), None, length=K)
-        return params, opt_state, losses
-
-    _one = step.__wrapped__
-    t0 = time.time()
-    params, opt_state, losses = step_scan(params, mask, opt_state, *batch, 2)
-    log(f"bench: scan-step compile+first {time.time()-t0:.2f}s")
-    t0 = time.time()
-    for _ in range(max(iters // K, 8)):
-        params, opt_state, losses = step_scan(params, mask, opt_state,
-                                              *batch, 2)
-    float(jnp.sum(losses))
-    dt_scan = (time.time() - t0) / (max(iters // K, 8) * K)
-    log(f"bench: train step {dt_scan*1000:.2f} ms/iter "
-        f"({1/dt_scan:.1f} it/s) [K={K} steps/dispatch]")
-    log(f"bench: projected 20k-iter fine stage: {dt_scan*20000/60:.2f} min")
-    return min(dt, dt_scan)
+    dt = float(np.mean(list(per_axis.values())))
+    proj_min = dt * 20000 / 60
+    log(f"bench: train mean over axes {dt*1000:.2f} ms/iter "
+        f"({1/dt:.1f} it/s, N_rand={n_rand})")
+    log(f"bench: projected 20k-iter fine stage: {proj_min:.2f} min")
+    return dt, {f"axis{a}": round(v * 1000, 2) for a, v in per_axis.items()}
 
 
 def main():
     import jax
     log(f"bench: devices {jax.devices()}")
     model = build_fine_model()
-    train_dt = bench_train(model)
-    render_sec = bench_render(model)
+    train_dt, train_per_axis = bench_train(model)
+    render_sec, render_sync_sec = bench_render(model)
     baseline = 0.07  # best published reference render latency (README.md:7)
     print(json.dumps({
         "metric": "render_800x800_fine160_secs_per_frame",
         "value": round(render_sec, 5),
         "unit": "s/frame",
         "vs_baseline": round(baseline / render_sec, 3),
+        # secondary metrics (same run, same model):
+        "render_per_frame_sync_s": round(render_sync_sec, 5),
+        "train_step_ms": round(train_dt * 1000, 2),
+        "train_step_ms_per_axis": train_per_axis,
+        "train_projected_fine20k_min": round(train_dt * 20000 / 60, 2),
     }), flush=True)
 
 

@@ -146,6 +146,22 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
     frozen_names = [n for n in model.params if n not in trainable_names]
     n_rand = int(cfg_train.N_rand)
 
+    # Region-grad mode: slice the trainable grids to the occupancy clip box
+    # BEFORE differentiating, so grid gradients (and the whole backward) stay
+    # box-sized — the dynamic_slice VJP otherwise pads them back to the full
+    # grid with a layout copy (~1.5 ms/step at 160^3, tools/trace_train_step)
+    # only for the region-sliced Adam to re-slice the box. Exact because the
+    # sweep reads nothing outside the box. TV steps need full-grid gradients,
+    # so they keep the legacy path.
+    region_mode = (axis is not None and clip_sizes is not None
+                   and not apply_tv)
+    grid_names = [n for n in ("density", "k0") if n in trainable_names]
+    if region_mode:
+        from ..ops import sweep as sweep_ops
+        perm = sweep_ops._PERMS[axis]
+        inv = {ax: i for i, ax in enumerate(perm)}
+        sizes_xyz = tuple(int(clip_sizes[inv[a]]) for a in range(3))
+
     def train_step(params, mask, opt_state, pool, sel, clip_off):
         target = jnp.take(pool["rgb"], sel, axis=0)
         rays_o = jnp.take(pool["rays_o"], sel, axis=0)
@@ -154,16 +170,26 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
 
         trainable = {n: params[n] for n in trainable_names}
         frozen = {n: params[n] for n in frozen_names}
+        mask_g = mask
+        if region_mode:
+            offs_xyz = tuple(clip_off[inv[a]] for a in range(3))
+            for n in grid_names:
+                g = trainable[n]
+                trainable[n] = jax.lax.dynamic_slice(
+                    g, (*offs_xyz, *([jnp.int32(0)] * (g.ndim - 3))),
+                    (*sizes_xyz, *g.shape[3:]))
+            mask_g = jax.lax.dynamic_slice(mask, offs_xyz, sizes_xyz)
 
         def loss_fn(trainable):
             if axis is None:
                 ret = model.forward({**trainable, **frozen}, mask,
                                     rays_o, rays_d, viewdirs, **kwargs)
             else:
-                ret = model.forward_sweep({**trainable, **frozen}, mask,
+                ret = model.forward_sweep({**trainable, **frozen}, mask_g,
                                           rays_o, rays_d, viewdirs, axis,
                                           clip_sizes=clip_sizes,
                                           clip_offsets=clip_off,
+                                          grids_pre_clipped=region_mode,
                                           **kwargs)
             mse = jnp.mean((ret["rgb_marched"] - target) ** 2)
             loss = w_main * mse
@@ -200,19 +226,20 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
 
         # Region-sliced Adam: with the sweep clipped to the occupancy bbox,
         # grid gradients are exactly zero outside it, so skip_zero_grad
-        # params can skip the full-grid moment read/write. TV steps inject
-        # out-of-box gradients -> full update those steps.
+        # params can skip the full-grid moment read/write. In region mode
+        # the grid grads arrive already box-shaped (see above); the
+        # optimizer detects that by shape. TV steps inject out-of-box
+        # gradients -> full update those steps.
         regions = None
-        if axis is not None and clip_sizes is not None and not apply_tv:
-            from ..ops import sweep as sweep_ops
-            perm = sweep_ops._PERMS[axis]
-            inv = {ax: i for i, ax in enumerate(perm)}
+        opt_trainable = trainable
+        if region_mode:
             offs = tuple(clip_off[inv[a]] for a in range(3))
-            sizes = tuple(clip_sizes[inv[a]] for a in range(3))
-            regions = {n: (offs, sizes) for n in ("density", "k0")
-                       if n in trainable}
+            regions = {n: (offs, sizes_xyz) for n in grid_names}
+            # full-size params for the update; grads stay box-shaped
+            opt_trainable = {**trainable,
+                             **{n: params[n] for n in grid_names}}
         new_trainable, new_opt_state = optimizer.update(
-            trainable, grads, opt_state, regions=regions)
+            opt_trainable, grads, opt_state, regions=regions)
         new_params = {**params, **new_trainable}
         psnr = -10.0 * jnp.log10(mse)
         return new_params, new_opt_state, loss, psnr

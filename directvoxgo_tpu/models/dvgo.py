@@ -546,7 +546,8 @@ class DirectVoxGO:
 
     def forward_sweep(self, params, mask, rays_o, rays_d, viewdirs, axis,
                       *, near, far, bg, stepsize, render_depth=False,
-                      clip_sizes=None, clip_offsets=None, **_):
+                      clip_sizes=None, clip_offsets=None,
+                      grids_pre_clipped=False, **_):
         """Station-sweep volume rendering (the TPU fast path).
 
         Same math as :meth:`forward` but every grid query is an MXU matmul
@@ -562,14 +563,35 @@ class DirectVoxGO:
         ``clip_offsets`` (traced int32 [3]) restrict the sweep to the
         occupancy-mask bbox — see :func:`...ops.sweep.sweep_samples`; the
         engine derives them via :meth:`sweep_clip_for_axis`.
+
+        ``grids_pre_clipped``: ``params['density']``/``params['k0']`` and
+        ``mask`` are already the clip box (xyz order). The train engine uses
+        this to differentiate w.r.t. the box slices directly, so grid
+        gradients stay box-sized end-to-end — the full-grid pad + layout
+        copy the dynamic_slice VJP otherwise inserts cost ~1.5 ms/step at
+        160^3 (profiled: copy.25 + fusion.57 in tools/trace_train_step.py).
         """
         # Cast channels to the sweep's compact dtype before concat+transpose
-        # so the layout shuffles move half the bytes.
+        # so the layout shuffles move half the bytes; slice BEFORE the cast
+        # when clipping (casting the full 160^3 k0 then slicing wasted
+        # 0.7 ms/step, convert_element_type.46 in the trace).
         sdt = jnp.bfloat16
-        chans = [params["density"].astype(sdt)[..., None],
-                 mask.astype(sdt)[..., None]]
+        density, k0, mask_g = params["density"], params.get("k0"), mask
+        if clip_sizes is not None and not grids_pre_clipped:
+            perm = sweep_ops._PERMS[axis]
+            inv = {ax: i for i, ax in enumerate(perm)}
+            sizes_xyz = tuple(int(clip_sizes[inv[a]]) for a in range(3))
+            offs_xyz = tuple(clip_offsets[inv[a]] for a in range(3))
+            density = jax.lax.dynamic_slice(density, offs_xyz, sizes_xyz)
+            mask_g = jax.lax.dynamic_slice(mask_g, offs_xyz, sizes_xyz)
+            if k0 is not None and self.k0_dim > 0:
+                k0 = jax.lax.dynamic_slice(
+                    k0, (*offs_xyz, jnp.int32(0)),
+                    (*sizes_xyz, k0.shape[3]))
+        chans = [density.astype(sdt)[..., None],
+                 mask_g.astype(sdt)[..., None]]
         if self.k0_dim > 0:
-            chans.append(params["k0"].astype(sdt))
+            chans.append(k0.astype(sdt))
         grid_cat = jnp.concatenate(chans, axis=-1)
 
         bbox_min = tuple(float(v) for v in self.xyz_min)
@@ -578,7 +600,9 @@ class DirectVoxGO:
                                       bbox_min, bbox_max, axis,
                                       stepsize=stepsize, march_order=False,
                                       clip_sizes=clip_sizes,
-                                      clip_offsets=clip_offsets)
+                                      clip_offsets=clip_offsets,
+                                      pre_clipped=True,
+                                      world_size=tuple(self.world_size))
         # vals is channels-LEADING [C, N, S]: slicing channels off the
         # leading dim keeps every downstream tensor [N, S] or [N, S, >=128]
         # (TPU tiles pad the minor dim to 128 lanes; [N, S, smallC]

@@ -117,15 +117,29 @@ def _query_station(d_st, rays_pv, p_s, gu, gv, c, interp_dtype):
 
 
 def _station_cotangent(g_s, rays_pv, p_s, gu, gv, c, interp_dtype):
-    """One station's grid cotangent: [C, N] -> [Gu, Gv*C]."""
-    n = g_s.shape[1]
+    """One station's grid cotangent: [C, N] -> [Gu, Gv, C].
+
+    The contraction stays rank-3: dot_general(wu[n,gu], rhs3[n,gv,c]) with n
+    contracting. A [n, gv*c] RESHAPE of the broadcast-multiply forces a
+    materialized copy (profiled at ~25 us per station = 3.9 ms/step of pure
+    reshapes at the bench shape); the 3D form fuses the multiply into the
+    matmul operand load and runs the whole bwd scan 2.4x faster,
+    bit-identically (tools/profile_sweep_bwd.py: 10.3 -> 4.3 ms)."""
     _, u, v = _station_uv(rays_pv, p_s)
     wu = _interp_rows(u, gu, interp_dtype)
     wv = _interp_rows(v, gv, jnp.float32)
-    # the transpose and broadcast-multiply fuse into the matmul operand load
-    rhs = (wv[:, :, None] * g_s.T[:, None, :]).reshape(n, gv * c)
-    return jax.lax.dot(wu.T, rhs.astype(interp_dtype),
-                       preferred_element_type=jnp.float32)
+    if jax.default_backend() == "cpu":
+        # XLA:CPU's DotThunk lacks the rank-3 bf16 x bf16 = f32 contraction;
+        # fall back to the 2D-reshape form (tests run on the CPU mesh).
+        n = g_s.shape[1]
+        rhs = (wv[:, :, None] * g_s.T[:, None, :]).reshape(n, gv * c)
+        out = jax.lax.dot(wu.T, rhs.astype(interp_dtype),
+                          preferred_element_type=jnp.float32)
+        return out.reshape(gu, gv, c)
+    rhs3 = (wv[:, :, None] * g_s.T[:, None, :]).astype(interp_dtype)
+    return jax.lax.dot_general(wu, rhs3,
+                               dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -223,12 +237,14 @@ def _sweep_bwd(n_channels, k, guv, dtypes, rays_pv, cts):
         return d_next, d_prev
 
     zs = jnp.arange(1, gp, dtype=jnp.int32)
-    init = jnp.zeros((gu, gv * c), jnp.float32)
+    init = jnp.zeros((gu, gv, c), jnp.float32)
     pending, d_slabs = jax.lax.scan(body, init, (g_main, zs))
     d_last = pending + _station_cotangent(g_last, rays_pv,
                                           jnp.float32(gp - 1.0), gu, gv, c,
                                           interp_dtype)
     d_grid = jnp.concatenate([d_slabs, d_last[None]], axis=0)
+    # [Gp, Gu, Gv, C] -> [Gp, Gu, Gv*C]: contiguous, a bitcast.
+    d_grid = d_grid.reshape(gp, gu, gv * c)
     zeros_rays = jax.tree_util.tree_map(jnp.zeros_like, rays_pv)
     return d_grid.astype(grid_dtype), zeros_rays
 
@@ -238,7 +254,8 @@ station_sweep.defvjp(_sweep_fwd, _sweep_bwd)
 
 def sweep_samples(grid, mask, rays_o, rays_d, xyz_min, xyz_max, axis,
                   stepsize=0.5, interp_dtype=jnp.bfloat16,
-                  march_order=True, clip_sizes=None, clip_offsets=None):
+                  march_order=True, clip_sizes=None, clip_offsets=None,
+                  pre_clipped=False, world_size=None):
     """Full sweep query: density/mask/feature channels at ray stations.
 
     Args:
@@ -261,6 +278,10 @@ def sweep_samples(grid, mask, rays_o, rays_d, xyz_min, xyz_max, axis,
         ``clip_offsets`` is a traced int32 [3] start-voxel vector. Only the
         clipped sub-box is swept; samples outside it read as zeros, which is
         exact because the box bounds everything with interpolated mask > 0.
+      pre_clipped: the caller already sliced ``grid`` to the clip box (so
+        gradients stay box-sized end-to-end — the region-sliced train step);
+        only the ray-coordinate shift is applied here. ``world_size``
+        (full-grid xyz extents) must be given for the world->voxel scale.
 
     Returns dict with:
       vals:  [C, N, S] station samples (channels-leading).
@@ -273,18 +294,20 @@ def sweep_samples(grid, mask, rays_o, rays_d, xyz_min, xyz_max, axis,
       p_offset: [] f32 sweep-axis voxel offset of station 0 (0 unclipped).
     """
     k = substeps_for_stepsize(stepsize)
-    world_size = grid.shape[:3]
+    if world_size is None:
+        world_size = grid.shape[:3]
     c = grid.shape[3]
     o_pv, d_pv = rays_to_voxel(rays_o, rays_d, xyz_min, xyz_max,
                                world_size, axis)
     p_offset = jnp.float32(0.0)
     if clip_sizes is not None:
-        perm = _PERMS[axis]
-        inv = {ax: i for i, ax in enumerate(perm)}
-        sizes_xyz = tuple(int(clip_sizes[inv[a]]) for a in range(3))
-        off_xyz = [clip_offsets[inv[a]] for a in range(3)]
-        grid = jax.lax.dynamic_slice(
-            grid, (*off_xyz, jnp.int32(0)), (*sizes_xyz, c))
+        if not pre_clipped:
+            perm = _PERMS[axis]
+            inv = {ax: i for i, ax in enumerate(perm)}
+            sizes_xyz = tuple(int(clip_sizes[inv[a]]) for a in range(3))
+            off_xyz = [clip_offsets[inv[a]] for a in range(3)]
+            grid = jax.lax.dynamic_slice(
+                grid, (*off_xyz, jnp.int32(0)), (*sizes_xyz, c))
         offs_f = clip_offsets.astype(jnp.float32)
         o_pv = tuple(o - offs_f[i] for i, o in enumerate(o_pv))
         p_offset = offs_f[0]

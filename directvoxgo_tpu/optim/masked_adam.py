@@ -135,8 +135,11 @@ class MaskedAdam:
                         return None if x is None else jax.lax.dynamic_slice(
                             x, start, box)
 
+                    # The train step may hand the gradient already
+                    # box-shaped (it differentiated w.r.t. the slice).
+                    g_cut = g if g.shape == tuple(box) else cut(g)
                     np_, nm_, nv_ = adam_param_update(
-                        cut(p), cut(g), cut(m), cut(v), step, _lr,
+                        cut(p), g_cut, cut(m), cut(v), step, _lr,
                         self.beta1, self.beta2, self.eps,
                         skip_zero_grad=True, per_lr=cut(per_lr))
                     return (jax.lax.dynamic_update_slice(p, np_, start),
