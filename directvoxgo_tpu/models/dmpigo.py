@@ -304,7 +304,8 @@ class DirectMPIGO:
 
     def forward_sweep(self, params, mask, rays_o, rays_d, viewdirs, axis,
                       *, near, far, bg, stepsize, render_depth=False,
-                      clip_sizes=None, clip_offsets=None, **_):
+                      clip_sizes=None, clip_offsets=None,
+                      grids_pre_clipped=False, **_):
         """Station-sweep volume rendering — the TPU fast path for MPI grids.
 
         The reference's NDC sampler takes ``n_s = (mpi_depth-1)/stepsize + 1``
@@ -328,10 +329,22 @@ class DirectMPIGO:
         assert axis == 2, "MPI sweep is along z (forced_sweep_axis)"
         k = sweep_ops.substeps_for_stepsize(stepsize)
         sdt = jnp.bfloat16
+        density, k0, mask_g = params["density"], params["k0"], mask
+        if clip_sizes is not None and not grids_pre_clipped:
+            # Slice before the bf16 cast (same ordering as DVGO: casting the
+            # full grid then slicing wastes a full-grid pass).
+            perm = sweep_ops._PERMS[2]
+            inv = {ax: i for i, ax in enumerate(perm)}
+            sizes_xyz = tuple(int(clip_sizes[inv[a]]) for a in range(3))
+            offs_xyz = tuple(clip_offsets[inv[a]] for a in range(3))
+            density = jax.lax.dynamic_slice(density, offs_xyz, sizes_xyz)
+            mask_g = jax.lax.dynamic_slice(mask_g, offs_xyz, sizes_xyz)
+            k0 = jax.lax.dynamic_slice(k0, (*offs_xyz, jnp.int32(0)),
+                                       (*sizes_xyz, k0.shape[3]))
         grid_cat = jnp.concatenate(
-            [params["density"].astype(sdt)[..., None],
-             mask.astype(sdt)[..., None],
-             params["k0"].astype(sdt)], axis=-1)
+            [density.astype(sdt)[..., None],
+             mask_g.astype(sdt)[..., None],
+             k0.astype(sdt)], axis=-1)
 
         bbox_min = tuple(float(v) for v in self.xyz_min)
         bbox_max = tuple(float(v) for v in self.xyz_max)
@@ -339,7 +352,9 @@ class DirectMPIGO:
                                       bbox_min, bbox_max, 2,
                                       stepsize=stepsize, march_order=False,
                                       clip_sizes=clip_sizes,
-                                      clip_offsets=clip_offsets)
+                                      clip_offsets=clip_offsets,
+                                      pre_clipped=True,
+                                      world_size=tuple(self.world_size))
         vals, t, fwd = out["vals"], out["t"], out["forward"]
         density_s, mask_s, k0_cl = vals[0], vals[1], vals[2:]
         n_s = t.shape[1]
