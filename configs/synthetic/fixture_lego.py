@@ -17,7 +17,7 @@ data = {
     'white_bkgd': True,
     'fixture_kwargs': {
         'H': 400, 'W': 400,
-        'n_train': 24, 'n_val': 2, 'n_test': 4,
+        'n_train': 40, 'n_val': 2, 'n_test': 4,
         'teacher_res': 128,
     },
 }

@@ -67,7 +67,12 @@ def _render_view(density, rgb, H, W, K, c2w, near, far, bg, n_samples=192,
 
     # Chunked over rays: the [N, S, 3] point tensors at high resolutions
     # would otherwise allocate multiple GB and thrash (measured 129 s for
-    # one 400^2 view unchunked vs ~2 s chunked).
+    # one 400^2 view unchunked vs ~2 s chunked). Teacher grids are sampled
+    # TRILINEARLY: nearest sampling renders view-dependent voxel-staircase
+    # aliasing at high image resolutions, which no trilinear radiance field
+    # can generalize across views (a 400^2 lego-schedule run hit train 46 /
+    # test 23 dB on the nearest-sampled GT).
+    fields = np.concatenate([density[..., None], rgb], -1)
     out = np.empty((ro_all.shape[0], 3), np.float32)
     chunk = 16384
     for lo in range(0, ro_all.shape[0], chunk):
@@ -76,9 +81,19 @@ def _render_view(density, rgb, H, W, K, c2w, near, far, bg, n_samples=192,
         pts = ro[:, None, :] + vd[:, None, :] * t[None, :, None]
         idx = (pts - box_min) * scale
         inb = np.all((pts >= box_min) & (pts <= box_max), -1)
-        ijk = np.clip(np.round(idx).astype(np.int32), 0, res - 1)
-        d = density[ijk[..., 0], ijk[..., 1], ijk[..., 2]]
-        c = rgb[ijk[..., 0], ijk[..., 1], ijk[..., 2]]
+        i0 = np.clip(np.floor(idx).astype(np.int32), 0, res - 2)
+        f = np.clip(idx - i0, 0.0, 1.0)[..., None]
+        x0, y0, z0 = i0[..., 0], i0[..., 1], i0[..., 2]
+        fx, fy, fz = f[..., 0, :], f[..., 1, :], f[..., 2, :]
+        v = np.zeros((*x0.shape, 4), np.float32)
+        for dx in (0, 1):
+            wx = fx if dx else 1.0 - fx
+            for dy in (0, 1):
+                wy = fy if dy else 1.0 - fy
+                for dz in (0, 1):
+                    wz = fz if dz else 1.0 - fz
+                    v += wx * wy * wz * fields[x0 + dx, y0 + dy, z0 + dz]
+        d, c = v[..., 0], v[..., 1:]
         alpha = 1.0 - np.exp(-np.log1p(np.exp(d)) * interval)
         alpha = np.where(inb, alpha, 0.0)
         one_minus = 1.0 - alpha + 1e-10
@@ -174,7 +189,7 @@ def make_synthetic_dataset(n_train=16, n_val=2, n_test=4, H=64, W=64,
     cache_path = None
     if cache_dir:
         key = f"{n_train}_{n_val}_{n_test}_{H}_{W}_{teacher_res}_" \
-              f"{int(white_bkgd)}_{seed}_v1"
+              f"{int(white_bkgd)}_{seed}_v2"
         cache_path = os.path.join(cache_dir, f"fixture_{key}.npz")
     if cache_path and os.path.isfile(cache_path):
         with np.load(cache_path) as z:

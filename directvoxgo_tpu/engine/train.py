@@ -496,7 +496,21 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             return
         for ax in range(3):
             new = model.sweep_clip_for_axis(ax)
-            if ax in clip_plan and clip_plan[ax][0] != new[0]:
+            old = clip_plan.get(ax)
+            if old is not None and old[0] is not None \
+                    and new[0] is not None and old[0] != new[0]:
+                # Mask renewals only intersect the mask, so extents only
+                # shrink within a stage. Recompiling the axis program cost
+                # ~20 s per renewal on the remote service (measured: the
+                # fine stage alternated 8 s / 64 s per 500 iters); keep the
+                # compiled box shape (offsets refit) unless tightening buys
+                # >= 30% sweep volume.
+                if np.prod(new[0]) > 0.7 * np.prod(old[0]):
+                    kept = model.sweep_clip_for_axis(ax, fixed_sizes=old[0])
+                    if kept[0] is not None:
+                        clip_plan[ax] = kept
+                        continue
+            if old is not None and old[0] != new[0]:
                 for key in [k for k in train_steps if k[0] == ax]:
                     train_steps.pop(key)
             clip_plan[ax] = new

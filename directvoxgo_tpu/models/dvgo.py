@@ -249,12 +249,18 @@ class DirectVoxGO:
             self.activate_density(self.params["density"]))
         self.mask = self.mask & (self_alpha > self.fast_color_thres)
 
-    def sweep_clip_for_axis(self, axis, quantum=16):
+    def sweep_clip_for_axis(self, axis, quantum=16, fixed_sizes=None):
         """(clip_sizes, clip_offsets) for :meth:`forward_sweep`: the occupancy
         mask's bbox in permuted order, sizes rounded up to ``quantum`` voxels
         so periodic mask renewals rarely change the compiled shape (offsets
         are runtime). Returns (None, zeros) when clipping wouldn't shrink
         anything. Host-side; call at stage start / mask renewal, not per step.
+
+        ``fixed_sizes`` (permuted order): reuse an already-compiled box shape
+        — offsets are refit to the current bbox and the sizes returned
+        verbatim when every extent still fits (the engine's recompile
+        hysteresis; mask renewals only intersect the mask, so extents only
+        shrink within a stage). Returns None sizes if an extent outgrew it.
         """
         if getattr(self.mask, "ndim", 0) != 3:
             return None, np.zeros(3, np.int32)  # scene-stacked masks: skip
@@ -265,6 +271,15 @@ class DirectVoxGO:
             lo, hi = grid_ops.mask_bbox_vox(self.mask)
             self._mask_bbox_cache = (self.mask, (lo, hi))
         perm = sweep_ops._PERMS[axis]
+        if fixed_sizes is not None:
+            offs = []
+            for q, a in zip(fixed_sizes, perm):
+                g = self.world_size[a]
+                ext = int(hi[a] - lo[a] + 1)
+                if ext > q or q > g:
+                    return None, np.zeros(3, np.int32)  # outgrown: recompile
+                offs.append(int(min(lo[a], g - q)))
+            return tuple(fixed_sizes), np.asarray(offs, np.int32)
         sizes, offs = [], []
         for a in perm:
             g = self.world_size[a]
@@ -315,7 +330,11 @@ class DirectVoxGO:
         rays_o = np.asarray(rays_o, np.float32).reshape(-1, 3)
         rays_d = np.asarray(rays_d, np.float32).reshape(-1, 3)
         n = rays_o.shape[0]
-        chunk = 8192
+        # Large chunks: this runs once per training view at stage start, and
+        # on the remote-attached chip per-dispatch latency (~27 ms) dominates
+        # the lookup compute — 8192-ray chunks cost 20 s of pure dispatch
+        # for a 24-view 400^2 gather.
+        chunk = 65536
         n_pad = _round_up(max(n, 1), chunk)
         ro = np.concatenate([rays_o, np.zeros((n_pad - n, 3), np.float32)])
         rd = np.concatenate([rays_d, np.ones((n_pad - n, 3), np.float32)])
@@ -746,7 +765,8 @@ class DirectVoxGO:
             if not isinstance(rays_o_tr, list) else rays_o_tr
         views_d = np.split(np.asarray(rays_d_tr), np.cumsum(imsz)[:-1]) \
             if not isinstance(rays_d_tr, list) else rays_d_tr
-        CHUNK = 10000
+        CHUNK = 65536  # dispatch-latency bound at stage start; see
+        # hit_coarse_geo on the chunk-size choice.
         for ro, rd in zip(views_o, views_d):
             ro = np.asarray(ro)
             rd = np.asarray(rd)

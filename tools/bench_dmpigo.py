@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""LLFF-shaped DMPIGO benchmark (fern-like): NDC z-sweep train step + render.
+
+Shape follows configs/llff/llff_default.py (= the reference's): 4096-ray
+batches, num_voxels=256^3 with mpi_depth=128 (world_size comes out
+anisotropic, roughly [1039, 762, 128] for fern's 756x1008 aspect — here we
+use the same aspect), fast_color_thres=1e-4, rgbnet_dim=9-ish per llff
+default. Baselines (BASELINE.md): reference trains an LLFF scene in
+~5.5 min/scene (IMPROVING_LOG.md:119-132) over 30k iters (coarse 0 +
+fine 30000 per llff_default N_iters), renders 0.36 s-class frames.
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_model():
+    from directvoxgo_tpu.models.dmpigo import DirectMPIGO
+    # fern-ish NDC bbox: xyz_min/max from compute_bbox_by_cam_frustrm on
+    # NDC rays ~ [-1.5, -1.2, -1] .. [1.5, 1.2, 1] (aspect 1008/756 = 4:3).
+    model = DirectMPIGO(
+        xyz_min=[-1.5, -1.2, -1.0], xyz_max=[1.5, 1.2, 1.0],
+        num_voxels=256 ** 3, mpi_depth=128,
+        fast_color_thres=1e-4, rgbnet_dim=9, rgbnet_depth=3,
+        rgbnet_width=64, viewbase_pe=0)
+    # Occupancy like a trained forward-facing scene: most planes partially
+    # occupied (LLFF content fills much of the frustum).
+    rng = np.random.default_rng(0)
+    d = np.asarray(model.params["density"])
+    blobs = rng.normal(0, 1, (24, 3)) * [0.8, 0.6, 0.45] + [0, 0, -0.1]
+    ws = model.world_size
+    lin = [np.linspace(-1, 1, ws[i]) for i in range(3)]
+    x, y, z = np.meshgrid(*lin, indexing="ij")
+    dens = np.full(ws, -6.0, np.float32)
+    for cx, cy, cz in blobs:
+        d2 = ((x - cx) / 0.25) ** 2 + ((y - cy) / 0.25) ** 2 \
+            + ((z - cz) / 0.3) ** 2
+        dens = np.maximum(dens, 6.0 * np.exp(-d2).astype(np.float32) - 6.0)
+    model.params["density"] = jnp.asarray(dens)
+    model.params["k0"] = jnp.asarray(
+        rng.normal(0, 0.3, model.params["k0"].shape).astype(np.float32))
+    model.update_occupancy_cache()
+    occ = float(np.asarray(model.mask).mean())
+    log(f"dmpigo bench: world_size={model.world_size} occupancy={occ:.3f}")
+    return model
+
+
+def ndc_batch(model, n_rand, seed=0):
+    """Random forward-facing rays through ndc_rays (LLFF pipeline)."""
+    from directvoxgo_tpu import rays as ray_lib
+    rng = np.random.default_rng(seed)
+    H, W = 756, 1008
+    focal = 815.0
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    c2w[0, 3] = rng.uniform(-0.1, 0.1)
+    rays_o, rays_d, viewdirs = ray_lib.get_rays_of_a_view(
+        H, W, K, c2w, ndc=True, inverse_y=False, flip_x=False, flip_y=False)
+    sel = rng.integers(0, H * W, n_rand)
+    flat = lambda a: np.asarray(a).reshape(-1, 3)[sel]  # noqa: E731
+    target = rng.uniform(0, 1, (n_rand, 3)).astype(np.float32)
+    return tuple(jnp.asarray(v) for v in
+                 (flat(rays_o), flat(rays_d), flat(viewdirs), target))
+
+
+def bench_train(model, n_rand=4096, iters=30):
+    from directvoxgo_tpu.engine import train as train_lib
+    from directvoxgo_tpu.config import ConfigDict
+    cfg_train = ConfigDict(
+        N_rand=n_rand, weight_main=1.0, weight_entropy_last=0.001,
+        weight_rgbper=0.01, weight_tv_density=0.0, weight_tv_k0=0.0,
+        lrate_decay=20, lrate_density=1e-1, lrate_k0=1e-1,
+        lrate_rgbnet=1e-3, skip_zero_grad_fields=["density", "k0"])
+    optimizer = train_lib.create_optimizer_or_freeze_model(model, cfg_train)
+    render_kwargs = dict(near=0.0, far=1.0, bg=1.0, stepsize=1.0)
+    clip_sizes, clip_off = model.sweep_clip_for_axis(2)
+    log(f"dmpigo bench: clip={clip_sizes} off={list(np.asarray(clip_off))}")
+    step = train_lib.make_train_step(
+        model, optimizer, cfg_train, render_kwargs, apply_tv=False,
+        tv_dense=False, axis=2, clip_sizes=clip_sizes, donate=True)
+    b = ndc_batch(model, n_rand)
+    pool = {"rays_o": b[0], "rays_d": b[1], "viewdirs": b[2], "rgb": b[3]}
+    sel = jnp.arange(n_rand, dtype=jnp.int32)
+    params = jax.tree_util.tree_map(jnp.copy, model.params)
+    opt_state = optimizer.init(model.params)
+    co = jnp.asarray(clip_off)
+    t0 = time.time()
+    params, opt_state, loss, psnr = step(params, model.mask, opt_state,
+                                         pool, sel, co)
+    log(f"dmpigo bench: compile+first {time.time()-t0:.1f}s "
+        f"loss={float(loss):.4f}")
+    t0 = time.time()
+    for _ in range(iters):
+        params, opt_state, loss, psnr = step(params, model.mask, opt_state,
+                                             pool, sel, co)
+    float(loss)
+    dt = (time.time() - t0) / iters
+    log(f"dmpigo bench: train step {dt*1000:.2f} ms/iter (N_rand={n_rand})")
+    log(f"dmpigo bench: projected 30k-iter llff stage: {dt*30000/60:.2f} min"
+        f" (reference ~5.5 min/scene total, IMPROVING_LOG.md:119)")
+    return dt
+
+
+def bench_render(model, H=756, W=1008, iters=8):
+    """NDC render via per-ray sweep chunks (no frame kernel for NDC yet)."""
+    from directvoxgo_tpu.engine import render as render_lib
+    from directvoxgo_tpu import rays as ray_lib
+    focal = 815.0
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    rk = dict(near=0.0, far=1.0, bg=1.0, stepsize=1.0,
+              inverse_y=False, flip_x=False, flip_y=False,
+              render_depth=True)
+    render_fn = render_lib.make_render_fn(model, rk)
+    rays_o, rays_d, viewdirs = ray_lib.get_rays_of_a_view(
+        H, W, K, c2w, ndc=True, inverse_y=False, flip_x=False, flip_y=False)
+    ro = jnp.asarray(np.asarray(rays_o).reshape(-1, 3))
+    rd = jnp.asarray(np.asarray(rays_d).reshape(-1, 3))
+    vd = jnp.asarray(np.asarray(viewdirs).reshape(-1, 3))
+    chunk = 65536
+    n = ro.shape[0]
+    n_pad = (n + chunk - 1) // chunk * chunk
+    pad = lambda a: jnp.concatenate(  # noqa: E731
+        [a, jnp.zeros((n_pad - n, 3), a.dtype)])
+    ro, rd, vd = pad(ro), pad(rd), pad(vd)
+    t0 = time.time()
+    outs = [render_fn(model.params, model.mask, ro[i:i + chunk],
+                      rd[i:i + chunk], vd[i:i + chunk])
+            for i in range(0, n_pad, chunk)]
+    float(jnp.sum(outs[-1]["rgb_marched"][0]))
+    log(f"dmpigo bench: render compile+first frame {time.time()-t0:.1f}s")
+    t0 = time.time()
+    for _ in range(iters):
+        outs = [render_fn(model.params, model.mask, ro[i:i + chunk],
+                          rd[i:i + chunk], vd[i:i + chunk])
+                for i in range(0, n_pad, chunk)]
+        float(jnp.sum(outs[-1]["rgb_marched"][0]))
+    sec = (time.time() - t0) / iters
+    log(f"dmpigo bench: render {H}x{W} {sec*1000:.1f} ms/frame "
+        f"(per-ray sweep chunks; reference 0.36 s-class)")
+    return sec
+
+
+if __name__ == "__main__":
+    log("devices:", jax.devices())
+    model = build_model()
+    bench_train(model)
+    bench_render(model)
