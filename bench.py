@@ -254,12 +254,94 @@ def bench_train(model, n_rand=8192, iters=30, n_batches=4):
     return dt, {f"axis{a}": round(v * 1000, 2) for a, v in per_axis.items()}
 
 
+def check_render_consistency(model, H=800, W=800):
+    """Render ONE pose through all three render implementations — the fused
+    frame kernel, the per-ray station sweep, and the reference-parity gather
+    path — and report pairwise PSNR agreement. Guards the fast paths against
+    silent drift as they get rewritten for perf: the gather path is the
+    closest analogue of the reference renderer (lib/dvgo.py:450-577), the
+    per-ray sweep is unit-tested against it at small scale, and the frame
+    kernel is what bench_render times.
+
+    Thresholds: frame-vs-sweep are the same math (uncapped, station-pinned
+    samples) and must agree tightly; the gather path quantizes samples
+    differently (per-ray t-steps, fixed k_density/k_color capacities) so
+    agreement is PSNR-level, not bitwise — on the translucent blob fixture
+    ~30 dB is a match, <22 dB means a real divergence (see PERF_LOG
+    capacity sweep)."""
+    import jax
+    import jax.numpy as jnp
+    from directvoxgo_tpu.engine import render as render_lib
+    from directvoxgo_tpu.engine import render_sweep
+    from directvoxgo_tpu.data.load_blender import pose_spherical
+
+    focal = 0.5 * W / np.tan(0.5 * 0.6911)
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    rk = dict(near=2.0, far=6.0, bg=1.0, stepsize=0.5,
+              inverse_y=False, flip_x=False, flip_y=False)
+    c2w = np.asarray(pose_spherical(30.0, -30.0, 4.0))[:3, :4]
+
+    out = render_sweep.render_frame_sweep(model, H, W, K, c2w, rk,
+                                          output="numpy")
+    if out is None:
+        log("bench: consistency pose has no sweep plan; skipping check")
+        return {}
+    rgb_frame = out[0]
+
+    from directvoxgo_tpu import rays as ray_lib
+    rays_o, rays_d, viewdirs = ray_lib.get_rays_of_a_view(
+        H, W, K, c2w, ndc=False, inverse_y=False, flip_x=False, flip_y=False)
+    ro = np.asarray(rays_o).reshape(-1, 3)
+    rd = np.asarray(rays_d).reshape(-1, 3)
+    vd = np.asarray(viewdirs).reshape(-1, 3)
+    render_fn = render_lib.make_render_fn(model, rk)
+    rgb_sweep, _ = render_lib.render_rays_chunked(
+        render_fn, model, ro, rd, vd, chunk=65536)
+    rgb_sweep = rgb_sweep.reshape(H, W, 3)
+
+    # Gather path (reference-parity): same jitted fn with axis=None. Lift
+    # k_color to its lossless-headroom setting for the comparison — the
+    # translucent blob fixture is the capacity sweep's worst case.
+    k_color_save = model.k_color
+    model.k_color = 128
+    n = ro.shape[0]
+    chunk = 8192
+    n_pad = _round_up(n, chunk)
+    pad = lambda a, fill: np.concatenate(  # noqa: E731
+        [a, np.full((n_pad - n, 3), fill, np.float32)])
+    rop, rdp, vdp = pad(ro, 0.0), pad(rd, 1.0), pad(vd, 1.0)
+    zeros_off = jnp.zeros(3, jnp.int32)
+    outs = [render_fn(model.params, model.mask, jnp.asarray(rop[i:i + chunk]),
+                      jnp.asarray(rdp[i:i + chunk]),
+                      jnp.asarray(vdp[i:i + chunk]), None, None, zeros_off)
+            for i in range(0, n_pad, chunk)]
+    rgb_gather = np.concatenate(
+        [np.asarray(o[0]) for o in outs])[:n].reshape(H, W, 3)
+    model.k_color = k_color_save
+
+    def psnr(a, b):
+        mse = float(np.mean((a - b) ** 2))
+        return float(-10 * np.log10(max(mse, 1e-12)))
+
+    frame_vs_sweep = psnr(rgb_frame, rgb_sweep)
+    gather_vs_sweep = psnr(rgb_gather, rgb_sweep)
+    ok = frame_vs_sweep >= 30.0 and gather_vs_sweep >= 22.0
+    log(f"bench: render-path consistency frame-vs-sweep {frame_vs_sweep:.1f}"
+        f" dB, gather-vs-sweep {gather_vs_sweep:.1f} dB"
+        f" [{'OK' if ok else 'DIVERGED'}]")
+    return {"consistency_frame_vs_sweep_db": round(frame_vs_sweep, 1),
+            "consistency_gather_vs_sweep_db": round(gather_vs_sweep, 1),
+            "consistency_ok": ok}
+
+
 def main():
     import jax
     log(f"bench: devices {jax.devices()}")
     model = build_fine_model()
     train_dt, train_per_axis = bench_train(model)
     render_sec, render_sync_sec = bench_render(model)
+    consistency = check_render_consistency(model)
     baseline = 0.07  # best published reference render latency (README.md:7)
     print(json.dumps({
         "metric": "render_800x800_fine160_secs_per_frame",
@@ -271,6 +353,7 @@ def main():
         "train_step_ms": round(train_dt * 1000, 2),
         "train_step_ms_per_axis": train_per_axis,
         "train_projected_fine20k_min": round(train_dt * 20000 / 60, 2),
+        **consistency,
     }), flush=True)
 
 

@@ -188,8 +188,32 @@ def _station_slabs(grid_perm, k):
 
 def _sweep_fwd_impl(grid_perm, rays_pv, c, k, guv, interp_dtype):
     gu, gv = guv
+    gp = grid_perm.shape[0]
+    s = k * (gp - 1) + 1
+    n = rays_pv[0][0].shape[0]
+
+    from . import pallas_sweep_train as pst
+    if pst.sweep_fwd_available(n, c, gu, gv):
+        # Fused kernel: the whole per-station pipeline stays in VMEM (the
+        # XLA scan round-trips the [N, Gv*C] u-contraction intermediate
+        # per station — see pallas_sweep_train docstring).
+        (op, ou, ov), (dp, du, dv) = rays_pv
+        dp_safe = jnp.where(dp == 0, 1e-10, dp)
+        grid_p, cp = pst.pad_channels(grid_perm, c)
+        slabs = _station_slabs(grid_p, k)
+        s_pad = pst._round_up(s, pst.S_BLK)
+        if s_pad > s:
+            slabs = jnp.concatenate(
+                [slabs, jnp.zeros((s_pad - s, gu, cp * gv), slabs.dtype)])
+        rp = jnp.stack([op, ou, ov, dp_safe, du, dv,
+                        jnp.zeros_like(op), jnp.zeros_like(op)])
+        vals = pst.sweep_fwd_pallas(slabs, rp, c=c, cp=cp, k=k,
+                                    gu=gu, gv=gv)
+        p_stations = jnp.arange(s, dtype=jnp.float32) / k
+        ts = (p_stations[None, :] - op[:, None]) / dp_safe[:, None]
+        return jnp.transpose(vals[:s], (1, 2, 0)), ts
+
     slabs = _station_slabs(grid_perm, k)
-    s = slabs.shape[0]
     p_stations = jnp.arange(s, dtype=jnp.float32) / k
 
     def body(_, inp):
@@ -217,6 +241,13 @@ def _sweep_bwd(n_channels, k, guv, dtypes, rays_pv, cts):
     g_vals, _ = cts  # t is non-differentiable; g_vals is [C, N, S]
     _, n, s = g_vals.shape
     gp = (s - 1) // k + 1
+
+    # NOTE: a fused Pallas bwd kernel was built and measured SLOWER than
+    # this XLA rank-3 streamed transpose (6.1 ms kernel + 2.2 cotangent
+    # transpose + 2.8 station fold vs 3.95 ms total at the bench shape) —
+    # XLA already fuses the broadcast-multiply into the matmul operand
+    # load, so the kernel's only win was eaten by layout moves. See
+    # PERF_LOG.md round 3 and tools/probe_sweep_pallas.py --parts.
     fracs = [j / k for j in range(k)]
 
     g_sta = jnp.transpose(g_vals, (2, 0, 1))  # [S, C, N]

@@ -225,3 +225,44 @@ def test_dominant_axis_grouping():
                  np.float32)
     g = sweep_ops.dominant_axis(d, (-1, -1, -1), (1, 1, 1), (64, 64, 64))
     assert list(g) == [0, 1, 2]
+
+
+def test_pallas_train_sweep_kernels_match_xla():
+    """Fused train-sweep fwd/bwd kernels (ops/pallas_sweep_train.py) vs the
+    XLA scan formulation, in Pallas interpreter mode (CPU)."""
+    from directvoxgo_tpu.ops import pallas_sweep_train as pst
+
+    rng = np.random.default_rng(3)
+    gp, gu, gv, c, k = 9, 16, 24, 5, 2
+    n = pst.NT  # the kernel's ray-tile size
+    grid_perm = jnp.asarray(
+        rng.normal(size=(gp, gu, gv * c)).astype(np.float32),
+        dtype=jnp.bfloat16)
+    op = rng.uniform(-2, gp + 2, n).astype(np.float32)
+    ou = rng.uniform(-1, gu, n).astype(np.float32)
+    ov = rng.uniform(-1, gv, n).astype(np.float32)
+    dp = (rng.uniform(0.3, 1.0, n)
+          * rng.choice([-1.0, 1.0], n)).astype(np.float32)
+    du = rng.uniform(-0.5, 0.5, n).astype(np.float32)
+    dv = rng.uniform(-0.5, 0.5, n).astype(np.float32)
+    rays_pv = ((jnp.asarray(op), jnp.asarray(ou), jnp.asarray(ov)),
+               (jnp.asarray(dp), jnp.asarray(du), jnp.asarray(dv)))
+
+    vals_ref, ts_ref = sweep_ops._sweep_fwd_impl(
+        grid_perm, rays_pv, c, k, (gu, gv), jnp.bfloat16)
+
+    grid_p, cp = pst.pad_channels(grid_perm, c)
+    slabs = sweep_ops._station_slabs(grid_p, k)
+    s = k * (gp - 1) + 1
+    s_pad = pst._round_up(s, pst.S_BLK)
+    if s_pad > s:
+        slabs = jnp.concatenate(
+            [slabs, jnp.zeros((s_pad - s, gu, gv * cp), slabs.dtype)])
+    rp = jnp.stack([jnp.asarray(op), jnp.asarray(ou), jnp.asarray(ov),
+                    jnp.asarray(dp), jnp.asarray(du), jnp.asarray(dv),
+                    jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32)])
+    vals = pst.sweep_fwd_pallas(slabs, rp, c=c, cp=cp, k=k, gu=gu,
+                                gv=gv, interpret=True)
+    vals = jnp.transpose(vals[:s], (1, 2, 0))
+    err = float(jnp.max(jnp.abs(vals - vals_ref)))
+    assert err < 1e-2, err
