@@ -41,7 +41,8 @@ def build_fine_model():
         xyz_min=[-1.0, -1.0, -1.0], xyz_max=[1.0, 1.0, 1.0],
         num_voxels=160 ** 3, num_voxels_base=160 ** 3,
         alpha_init=1e-2, fast_color_thres=1e-4,
-        rgbnet_dim=12, rgbnet_direct=True, rgbnet_depth=3, rgbnet_width=128)
+        rgbnet_dim=12, rgbnet_direct=True, rgbnet_depth=3, rgbnet_width=128,
+        sweep_color_topk=48)  # configs/default.py fine_model_and_render
     # Populate with a realistic occupancy pattern (the fixture blobs at grid
     # resolution) so free-space skipping / early termination behave like a
     # trained scene rather than an empty or solid grid.

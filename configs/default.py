@@ -108,4 +108,9 @@ fine_model_and_render = dict(coarse_model_and_render, **{
     'use_coarse_geo': True,
     'k_density': 256,
     'k_color': 64,
+    # Station budget for the sweep-path color MLP (top-K by weight; the
+    # static-shape analogue of the reference's fast_color_thres pruning,
+    # lib/dvgo.py:478-494). Gated to sweeps > 96 stations, so it only
+    # kicks in at near-full grid resolution where geometry has converged.
+    'sweep_color_topk': 48,
 })

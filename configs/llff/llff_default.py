@@ -29,4 +29,8 @@ fine_model_and_render = {
     'rgbnet_width': 64,
     'world_bound_scale': 1,
     'fast_color_thres': 1e-3,
+    # Station budget for the sweep-path color MLP (top-K by weight; the
+    # static-shape analogue of fast_color_thres pruning — ops/sweep.py
+    # topk_station_select). MPI sweeps have 2*mpi_depth-1 = 255 stations.
+    'sweep_color_topk': 64,
 }

@@ -43,6 +43,7 @@ class DirectMPIGO:
                  viewbase_pe=0,
                  k_color=64,
                  query_mode="sweep",
+                 sweep_color_topk=0,
                  seed=0,
                  **kwargs):
         self.xyz_min = np.asarray(xyz_min, np.float32)
@@ -51,6 +52,9 @@ class DirectMPIGO:
         self.act_shift = 0.0
         self.k_color = int(k_color) if k_color else 0
         self.query_mode = query_mode
+        # Station budget for the compacted color-MLP path (0 = dense);
+        # see models/dvgo.py forward_sweep and ops/sweep.topk_station_select.
+        self.sweep_color_topk = int(sweep_color_topk)
         self.mlp_dtype = jnp.bfloat16
 
         self._set_grid_resolution(num_voxels, mpi_depth)
@@ -147,6 +151,7 @@ class DirectMPIGO:
             "fast_color_thres": self.fast_color_thres,
             "k_color": self.k_color,
             "query_mode": self.query_mode,
+            "sweep_color_topk": self.sweep_color_topk,
             **self.rgbnet_kwargs,
         }
 
@@ -383,6 +388,23 @@ class DirectMPIGO:
             wmask = live
         w_eff = jnp.where(wmask, weights, 0.0)
 
+        # Top-K station compaction before the color MLP (the reference's
+        # fast_color_thres pruning, lib/dmpigo.py via dvgo's shared path;
+        # see models/dvgo.py forward_sweep for the full rationale). MPI
+        # sweeps have mpi_depth*2 stations (256-512 for LLFF) of which only
+        # a handful carry weight once geometry forms.
+        topk = self.sweep_color_topk
+        step_idx = None
+        compact = (self.has_rgbnet and self.fast_color_thres > 0
+                   and 0 < topk < n_s and n_s > max(96, 2 * topk))
+        if compact:
+            step_idx, sel_nk, sel_cl = sweep_ops.topk_station_select(
+                w_eff, topk)
+            w_eff = sel_nk(w_eff)
+            wmask = jnp.take_along_axis(wmask, step_idx, axis=1)
+            alpha = jnp.take_along_axis(alpha, step_idx, axis=1)
+            k0_cl = sel_cl(k0_cl)
+
         if not self.has_rgbnet:
             rgb_cl = jax.nn.sigmoid(k0_cl)          # [3, N, S]
         else:
@@ -404,9 +426,11 @@ class DirectMPIGO:
         }
         if render_depth:
             # Depth in sample-index units like :meth:`forward` (step_f = j);
-            # station s is absolute plane p_offset*k + s.
-            step_f = out["p_offset"] * k \
-                + jnp.arange(n_s, dtype=jnp.float32)[None, :]
+            # station s is absolute plane p_offset*k + s (compacted: the
+            # kept stations' indices).
+            s_of_sample = step_idx.astype(jnp.float32) if compact \
+                else jnp.arange(n_s, dtype=jnp.float32)[None, :]
+            step_f = out["p_offset"] * k + s_of_sample
             ret["depth"] = jax.lax.stop_gradient(
                 jnp.sum(w_eff * step_f, axis=1))
         return ret

@@ -33,6 +33,12 @@ from ..ops.tv import total_variation_add_grad
 from . import mlp as mlp_lib
 
 
+# Override for how the top-K color compaction gathers station samples
+# (None = ops.sweep.COMPACT_GATHER default). Module-level so TPU probes and
+# tests can A/B "onehot" vs "gather" — see ops/sweep.topk_station_select.
+_COMPACT_GATHER = None
+
+
 def _round_up(x, m):
     return ((int(x) + m - 1) // m) * m
 
@@ -52,12 +58,18 @@ class DirectVoxGO:
                  local_ensemble=True, cell_decode=True,
                  k_density=None, k_color=64,
                  query_mode="sweep",
+                 sweep_color_topk=0,
                  seed=0,
                  **kwargs):
         self.xyz_min = np.asarray(xyz_min, np.float32)
         self.xyz_max = np.asarray(xyz_max, np.float32)
         self.fast_color_thres = float(fast_color_thres)
         self.posbase_pe = int(posbase_pe)
+        # Station budget for the compacted color-MLP path (0 = dense). See
+        # forward_sweep: the reference prunes samples below fast_color_thres
+        # before its color MLP (lib/dvgo.py:478-494); with static shapes that
+        # becomes "run the MLP on the top-K samples per ray by weight".
+        self.sweep_color_topk = int(sweep_color_topk)
         # 'sweep': station-sweep matmul queries (TPU fast path);
         # 'gather': reference-faithful point sampling via XLA gathers.
         self.query_mode = query_mode
@@ -201,6 +213,7 @@ class DirectVoxGO:
             "k_density": self.k_density,
             "k_color": self.k_color,
             "query_mode": self.query_mode,
+            "sweep_color_topk": self.sweep_color_topk,
             **self.rgbnet_kwargs,
         }
 
@@ -659,12 +672,41 @@ class DirectVoxGO:
         w_eff = jnp.where(wmask, weights, 0.0)
 
         mlp_dtype = self.mlp_dtype
+        # --- Top-K station compaction for the color path ------------------
+        # The reference drops samples with weight <= fast_color_thres before
+        # running the color MLP (lib/dvgo.py:488-494) — late in training only
+        # ~10-50 of the ~160 stations per ray survive. Static shapes forbid
+        # data-dependent sizes, so the analogue is: gather the top-K stations
+        # per ray by weight and run the MLP (the dominant [N, S, width]
+        # HBM-traffic term) on [N, K] only. Exact whenever a ray has <= K
+        # above-threshold samples (below-threshold ones contribute nothing);
+        # gated to big sweeps (s_total > max(96, 2K)) so small/early-stage
+        # grids — where weights are still spread over every station — keep
+        # the dense path. All differentiable gathers go through a one-hot
+        # [N, K, S] matmul (batched dot_general over rays): its transpose is
+        # again a matmul, so the backward has no XLA scatter anywhere.
+        s_total = t.shape[1]
+        topk = self.sweep_color_topk
+        compact = (self.has_rgbnet and not self.implicit_voxel_feat
+                   and not self.rgbnet_full_implicit
+                   and self.fast_color_thres > 0
+                   and 0 < topk < s_total and s_total > max(96, 2 * topk))
+        if compact:
+            idx, sel_nk, sel_cl = sweep_ops.topk_station_select(
+                w_eff, topk, gather_mode=_COMPACT_GATHER)
+            w_eff = sel_nk(w_eff)
+            wmask = jnp.take_along_axis(wmask, idx, axis=1)
+            alpha = jnp.take_along_axis(alpha, idx, axis=1)
+            t = sel_nk(t)
+            if self.k0_dim > 0:
+                k0_cl = sel_cl(k0_cl)
         # Rematerialize the color MLP in the backward pass only when its
         # [N, S, width] hidden activations are big enough to pressure HBM
         # (>4M samples ~ >1 GB of bf16 residuals per layer). Below that,
         # storing residuals is 2.8 ms/step FASTER than recomputing
         # (measured at 8192x159, PERF_LOG.md).
         n_samples_est = rays_o.shape[0] * (
+            topk if compact else
             (clip_sizes[0] if clip_sizes is not None
              else self.world_size[axis]) *
             sweep_ops.substeps_for_stepsize(stepsize))

@@ -368,3 +368,52 @@ def dominant_axis(rays_d, xyz_min, xyz_max, world_size):
     scale = (np.asarray(world_size) - 1.0) / (
         np.asarray(xyz_max, np.float64) - np.asarray(xyz_min, np.float64))
     return np.argmax(np.abs(rays_d * scale), axis=-1)
+
+
+# -------------------------------------------------- top-K station compaction
+
+# Gather style for topk_station_select: "onehot" = one-hot [N, K, S] matmuls
+# whose transpose is again a matmul (no XLA scatter in the backward);
+# "gather" = take_along_axis (gather fwd, scatter-add bwd). A/B'd on TPU.
+COMPACT_GATHER = "onehot"
+
+
+def topk_station_select(w_eff, topk, gather_mode=None):
+    """Build per-ray top-K-by-weight station selectors.
+
+    The static-shape analogue of the reference's ``fast_color_thres``
+    pruning before the color MLP (lib/dvgo.py:478-494): instead of a
+    data-dependent boolean compaction, keep the K highest-weight stations
+    per ray. Exact whenever <= K stations per ray are above threshold
+    (the rest carry zero weight and contribute nothing downstream).
+
+    Returns ``(idx [N, K] int32, sel_nk, sel_cl)`` where ``sel_nk`` maps
+    [N, S] -> [N, K] and ``sel_cl`` maps channels-leading [C, N, S] ->
+    [C, N, K]; both are differentiable.
+    """
+    mode = gather_mode or COMPACT_GATHER
+    s_total = w_eff.shape[1]
+    _, idx = jax.lax.top_k(jax.lax.stop_gradient(w_eff), topk)
+    if mode == "onehot":
+        onehot = (idx[:, :, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, s_total), 2)).astype(jnp.bfloat16)
+
+        def sel_nk(x):
+            return jnp.einsum("nks,ns->nk", onehot, x,
+                              preferred_element_type=jnp.float32)
+
+        def sel_cl(x):
+            # [C, N, S] x [N, K, S] -> [N, C, K] (ray-batched dot), then
+            # one transpose back to channels-leading.
+            nck = jax.lax.dot_general(
+                x, onehot.astype(x.dtype),
+                dimension_numbers=(((2,), (2,)), ((1,), (0,))),
+                preferred_element_type=jnp.float32)
+            return jnp.transpose(nck, (1, 0, 2))
+    else:
+        def sel_nk(x):
+            return jnp.take_along_axis(x, idx, axis=1)
+
+        def sel_cl(x):
+            return jnp.take_along_axis(x, idx[None], axis=2)
+    return idx, sel_nk, sel_cl

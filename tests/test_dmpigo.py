@@ -1,6 +1,7 @@
 """DirectMPIGO (NDC multiplane) model tests."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -147,3 +148,49 @@ class TestDMPIGOSweep:
         model = make_model()
         assert model.query_mode == "sweep"
         assert "query_mode" in model.get_kwargs()
+
+
+def test_sweep_topk_compaction_parity():
+    """sweep_color_topk must not change the MPI sweep's outputs or grads
+    when the per-ray budget covers every above-threshold sample (reference
+    fast_color_thres pruning, lib/dvgo.py:478-494 via the shared path)."""
+    rng = np.random.default_rng(11)
+    model = _blob_model(rng, mpi_depth=64, num_voxels=32 * 32 * 64,
+                        rgbnet_dim=6, rgbnet_width=32, viewbase_pe=4,
+                        k_color=0)
+    model.mlp_dtype = jnp.float32  # isolate compaction from bf16 rounding
+    # Sharpen the blob so above-threshold stations per ray stay < K=48
+    # (the smooth _blob_model default spreads weight over ~100 stations,
+    # where truncation is a real — and expected — deviation).
+    pts = np.asarray(model.grid_points())
+    r2 = (((pts - np.array([0.1, -0.1, 0.5])) / 0.18) ** 2).sum(-1)
+    model.params["density"] = jnp.asarray(
+        (40 * np.exp(-6 * r2) - 20).astype(np.float32))
+    o, d, vd = _ndc_rays(48, seed=5)
+    rk = dict(near=0.0, far=1.0, bg=1.0, stepsize=0.5, render_depth=True)
+    target = jnp.asarray(rng.uniform(0, 1, (48, 3)).astype(np.float32))
+
+    def run(topk):
+        model.sweep_color_topk = topk
+
+        def loss_fn(params):
+            ret = model.forward_sweep(params, model.mask, o, d, vd, 2, **rk)
+            return jnp.mean((ret["rgb_marched"] - target) ** 2), ret
+
+        (loss, ret), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            model.params)
+        return loss, ret, grads
+
+    loss_d, ret_d, g_d = run(0)
+    loss_c, ret_c, g_c = run(48)
+    assert ret_c["weights"].shape[1] == 48
+    assert ret_d["weights"].shape[1] > 96
+    np.testing.assert_allclose(np.asarray(ret_c["rgb_marched"]),
+                               np.asarray(ret_d["rgb_marched"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ret_c["depth"]),
+                               np.asarray(ret_d["depth"]), atol=1e-2)
+    for name in ("density", "k0", "rgbnet"):
+        for a, b in zip(jax.tree_util.tree_leaves(g_d[name]),
+                        jax.tree_util.tree_leaves(g_c[name])):
+            scale = float(jnp.max(jnp.abs(a))) + 1e-12
+            assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-3, name

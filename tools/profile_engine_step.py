@@ -16,6 +16,11 @@ def log(*a):
 
 
 def main():
+    import os
+    if os.environ.get("DVGO_COMPACT_GATHER"):
+        from directvoxgo_tpu.ops import sweep as sweep_ops
+        sweep_ops.COMPACT_GATHER = os.environ["DVGO_COMPACT_GATHER"]
+        log("compact gather mode:", sweep_ops.COMPACT_GATHER)
     log("devices:", jax.devices())
     from bench import build_fine_model, _make_batches
     from directvoxgo_tpu.engine import train as train_lib
