@@ -106,7 +106,7 @@ def create_optimizer_or_freeze_model(model, cfg_train):
 
 def make_train_step(model, optimizer, cfg_train, render_kwargs,
                     apply_tv, tv_dense, axis=None, clip_sizes=None,
-                    mesh=None, n_steps=1, donate=False):
+                    mesh=None, n_steps=1, donate=False, wv=0):
     """Build the jitted full train step for the current phase.
 
     ``apply_tv``/``tv_dense`` are baked in statically; the host flips them at
@@ -135,6 +135,12 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
     can't feed single steps fast enough; batching K steps amortizes the
     round-trip K-fold. Identical math to K sequential calls (MaskedAdam
     carries its step counter/lr decay in-state).
+
+    ``wv > 0`` (static) enables per-ray-tile v-windowed sweeps: the step
+    gains a ``v_base`` argument ([n_tiles] int32, or [n_steps, n_tiles]
+    when step-batched) with each tile's v-window start, produced by the
+    engine's spatially-bucketed batch sampler (see ops/sweep.station_sweep
+    on the exactness guarantee).
     """
     kwargs = {k: render_kwargs[k] for k in ("near", "far", "bg", "stepsize")}
     w_main = float(cfg_train.weight_main)
@@ -162,7 +168,8 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
         inv = {ax: i for i, ax in enumerate(perm)}
         sizes_xyz = tuple(int(clip_sizes[inv[a]]) for a in range(3))
 
-    def train_step(params, mask, opt_state, pool, sel, clip_off):
+    def train_step(params, mask, opt_state, pool, sel, clip_off,
+                   v_base=None):
         target = jnp.take(pool["rgb"], sel, axis=0)
         rays_o = jnp.take(pool["rays_o"], sel, axis=0)
         rays_d = jnp.take(pool["rays_d"], sel, axis=0)
@@ -190,6 +197,10 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
                                           clip_sizes=clip_sizes,
                                           clip_offsets=clip_off,
                                           grids_pre_clipped=region_mode,
+                                          tile_windows=(
+                                              (v_base, wv)
+                                              if wv and v_base is not None
+                                              else None),
                                           **kwargs)
             mse = jnp.mean((ret["rgb_marched"] - target) ** 2)
             loss = w_main * mse
@@ -247,14 +258,19 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
     if n_steps > 1:
         single = train_step
 
-        def train_step(params, mask, opt_state, pool, sels, clip_off):
-            def body(carry, sel):
+        def train_step(params, mask, opt_state, pool, sels, clip_off,
+                       v_bases=None):
+            def body(carry, xs):
                 p, o = carry
-                p, o, loss, psnr = single(p, mask, o, pool, sel, clip_off)
+                sel, vb = xs
+                p, o, loss, psnr = single(p, mask, o, pool, sel, clip_off,
+                                          vb)
                 return (p, o), (loss, psnr)
 
+            if v_bases is None:
+                v_bases = jnp.zeros((n_steps, 0), jnp.int32)
             (params, opt_state), (losses, psnrs) = jax.lax.scan(
-                body, (params, opt_state), sels)
+                body, (params, opt_state), (sels, v_bases))
             return params, opt_state, losses, psnrs
 
     # ``donate`` aliases params + optimizer state into the outputs, saving
@@ -270,8 +286,15 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
     from jax.sharding import NamedSharding, PartitionSpec as P
     sel_shard = (NamedSharding(mesh, P(None, "data")) if n_steps > 1
                  else shard_rays(mesh, ndim=1))
+    in_sh = (rep, rep, rep, rep, sel_shard, rep)
+    if wv:
+        # v-window starts are per ray tile; tiles shard with the rays
+        # (N_rand/devices stays a multiple of TILE_N, checked by the loop).
+        vb_shard = (NamedSharding(mesh, P(None, "data")) if n_steps > 1
+                    else NamedSharding(mesh, P("data")))
+        in_sh = in_sh + (vb_shard,)
     return jax.jit(train_step,
-                   in_shardings=(rep, rep, rep, rep, sel_shard, rep),
+                   in_shardings=in_sh,
                    out_shardings=(rep, rep, rep, rep),
                    **donate_kw)
 
@@ -404,10 +427,12 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     # device by index, so the per-step host->device transfer is just the
     # int32 index vector. (This is the TPU counterpart of the reference's
     # load2gpu_on_the_fly choice, configs/default.py:19.)
+    rays_o_np = np.asarray(rays_o_tr).reshape(-1, 3)
+    rays_d_np = np.asarray(rays_d_tr).reshape(-1, 3)
     pool = {
         "rgb": jnp.asarray(np.asarray(rgb_tr, np.float32).reshape(-1, 3)),
-        "rays_o": jnp.asarray(np.asarray(rays_o_tr).reshape(-1, 3)),
-        "rays_d": jnp.asarray(np.asarray(rays_d_tr).reshape(-1, 3)),
+        "rays_o": jnp.asarray(rays_o_np),
+        "rays_d": jnp.asarray(rays_d_np),
         "viewdirs": jnp.asarray(np.asarray(viewdirs_tr).reshape(-1, 3)),
     }
     if mesh is not None:
@@ -448,6 +473,40 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             else:
                 group_gens.append(None)
 
+        # Spatially-bucketed ray tiles for v-windowed sweeps: each batch is
+        # T = N_rand/512 whole buckets from ONE window-width class, so the
+        # compiled step's static window width is guaranteed to cover every
+        # tile (ops/sweep.build_tile_buckets). Sampling stays unbiased:
+        # class chosen proportional to its ray count, buckets uniform
+        # within the class — every pool ray has the same marginal
+        # probability as the uniform sampler; only the within-batch
+        # correlation structure changes (rays arrive spatially clustered).
+        n_tile = cfg_train.N_rand // sweep_ops.TILE_N
+        bucket_ok = (bool(cfg_train.get("bucket_tiles", True))
+                     and forced is None
+                     and cfg_train.N_rand % sweep_ops.TILE_N == 0
+                     and (mesh is None
+                          or (cfg_train.N_rand
+                              // int(np.prod(mesh.devices.shape)))
+                          % sweep_ops.TILE_N == 0))
+        buckets = {}  # ax -> {W: (idx [n_b, 512] global, vlo [n_b])} | None
+
+        def build_buckets():
+            buckets.clear()
+            if not bucket_ok:
+                return
+            for ax in range(3):
+                g = group_idx[ax]
+                if len(g) < cfg_train.N_rand:
+                    buckets[ax] = None
+                    continue
+                b = sweep_ops.build_tile_buckets(
+                    rays_o_np[g], rays_d_np[g], model.xyz_min,
+                    model.xyz_max, model.world_size, ax)
+                b = {w: (g[idx], vlo) for w, (idx, vlo) in b.items()
+                     if idx.shape[0] > 0}
+                buckets[ax] = b or None
+
         def next_chunk(n_sub):
             # The axis is chosen ONCE per chunk and all n_sub batches are
             # drawn from that axis group: each sel is coupled to its group's
@@ -455,19 +514,45 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             # axis), so mixing draws from different groups under one static
             # axis would march mismatched rays with blown-up spacing.
             ax = int(rng.choice(3, p=group_p))
+            bk = buckets.get(ax)
+            # Windows compose with clip=None only (sweep_samples): when the
+            # occupancy bbox clip is active for this axis it already
+            # shrinks the sweep, and window starts would need the traced
+            # clip offset folded in — draw unbucketed there.
+            clipped = clip_plan.get(ax, (None, None))[0] is not None
+            if bk is not None and not clipped:
+                ws = list(bk.keys())
+                counts = np.array([bk[w][0].size for w in ws], np.float64)
+                w = ws[int(rng.choice(len(ws), p=counts / counts.sum()))]
+                idx, vlo = bk[w]
+                sels, vbs = [], []
+                for _ in range(n_sub):
+                    rows = rng.integers(0, idx.shape[0], n_tile)
+                    sels.append(idx[rows].reshape(-1))
+                    vbs.append(vlo[rows])
+                return sels, ax, int(w), np.stack(vbs)
             sels = [group_gens[ax]() for _ in range(n_sub)]
-            return sels, ax
+            return sels, ax, 0, None
+
+        build_buckets()
     elif cfg_train.ray_sampler in ("flatten", "in_maskcache") \
             and n_pool >= cfg_train.N_rand:
         index_gen = ray_lib.batch_indices_generator(
             n_pool, cfg_train.N_rand, rng=rng)
 
         def next_chunk(n_sub):
-            return [np.asarray(next(index_gen)) for _ in range(n_sub)], None
+            return ([np.asarray(next(index_gen)) for _ in range(n_sub)],
+                    None, 0, None)
+
+        def build_buckets():
+            pass
     else:
         def next_chunk(n_sub):
-            return [rng.integers(0, n_pool, cfg_train.N_rand)
-                    for _ in range(n_sub)], None
+            return ([rng.integers(0, n_pool, cfg_train.N_rand)
+                     for _ in range(n_sub)], None, 0, None)
+
+        def build_buckets():
+            pass
 
     # View-count-based per-voxel lr (run.py:311-320).
     if cfg_train.pervoxel_lr:
@@ -581,6 +666,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             train_steps = {}  # shapes changed -> re-jit
             clip_plan.clear()
             refresh_clip()
+            build_buckets()  # window stats are in voxel units
 
         apply_tv, tv_dense = tv_state_of(global_step)
         if tv_state != (apply_tv, tv_dense):
@@ -588,21 +674,25 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             tv_state = (apply_tv, tv_dense)
 
         n_sub = chunk_len(global_step)
-        chunk_sels, axis = next_chunk(n_sub)
+        chunk_sels, axis, wv, vbs = next_chunk(n_sub)
         sels = np.stack([np.asarray(s) for s in chunk_sels]) if n_sub > 1 \
             else chunk_sels[0]
         clip_sizes, clip_off = clip_plan.get(axis, (None, np.zeros(3,
                                                                    np.int32)))
-        key = (axis, n_sub)
+        key = (axis, n_sub, wv)
         if key not in train_steps:
             train_steps[key] = make_train_step(
                 model, optimizer, cfg_train, render_kwargs, apply_tv,
                 tv_dense, axis=axis, clip_sizes=clip_sizes, mesh=mesh,
-                n_steps=n_sub, donate=True)
+                n_steps=n_sub, donate=True, wv=wv)
         sels = jnp.asarray(sels, jnp.int32)
+        extra = ()
+        if wv:
+            vb = vbs if n_sub > 1 else vbs[0]
+            extra = (jnp.asarray(vb, jnp.int32),)
         model.params, opt_state, loss, psnr = train_steps[key](
             model.params, model.mask, opt_state, pool, sels,
-            jnp.asarray(clip_off))
+            jnp.asarray(clip_off), *extra)
         psnr_lst.append(psnr)  # scalar (n_sub==1) or [n_sub]
         global_step += n_sub - 1
 

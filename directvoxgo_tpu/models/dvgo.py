@@ -579,7 +579,7 @@ class DirectVoxGO:
     def forward_sweep(self, params, mask, rays_o, rays_d, viewdirs, axis,
                       *, near, far, bg, stepsize, render_depth=False,
                       clip_sizes=None, clip_offsets=None,
-                      grids_pre_clipped=False, **_):
+                      grids_pre_clipped=False, tile_windows=None, **_):
         """Station-sweep volume rendering (the TPU fast path).
 
         Same math as :meth:`forward` but every grid query is an MXU matmul
@@ -634,7 +634,8 @@ class DirectVoxGO:
                                       clip_sizes=clip_sizes,
                                       clip_offsets=clip_offsets,
                                       pre_clipped=True,
-                                      world_size=tuple(self.world_size))
+                                      world_size=tuple(self.world_size),
+                                      tile_windows=tile_windows)
         # vals is channels-LEADING [C, N, S]: slicing channels off the
         # leading dim keeps every downstream tensor [N, S] or [N, S, >=128]
         # (TPU tiles pad the minor dim to 128 lanes; [N, S, smallC]

@@ -43,6 +43,10 @@ import jax.numpy as jnp
 _PERMS = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}
 
 
+def _round_up(x, m):
+    return (int(x) + m - 1) // m * m
+
+
 def substeps_for_stepsize(stepsize):
     """Stations per voxel along the sweep axis (reference stepsize=0.5 ->
     half-voxel stations -> k=2)."""
@@ -142,14 +146,27 @@ def _station_cotangent(g_s, rays_pv, p_s, gu, gv, c, interp_dtype):
                                preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def station_sweep(grid_perm, rays_pv, n_channels, k, guv, dtypes):
+# Ray-tile width for per-tile v-windows (must match the fwd kernel's NT).
+TILE_N = 512
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def station_sweep(grid_perm, rays_pv, v_base, n_channels, k, guv, dtypes,
+                  wv=0):
     """Sample every station along each ray; stations streamed from slabs.
 
     Args:
       grid_perm: [Gp, Gu, Gv*C] permuted grid slabs (:func:`permute_grid`).
       rays_pv: ((op, ou, ov), (dp, du, dv)) [N] voxel-space ray components,
         sweep axis first.
+      v_base: [N // TILE_N] int32 per-ray-tile v-window starts (multiples
+        of 8, in [0, Gv - wv]); pass a length-0 array when ``wv == 0``.
+        With ``wv > 0`` both the fused forward kernel and the backward
+        restrict every slab access to the tile's v-window — EXACT when
+        every ray of a tile keeps its v support inside the window, which
+        the engine's spatially-bucketed batches guarantee (u/v are linear
+        in the station plane, so a ray's range is bounded by its clipped
+        plane-endpoint values).
       n_channels: C (static).
       k: stations per voxel (static); station s sits at axis coord s/k,
         S = k*(Gp-1)+1.
@@ -157,13 +174,15 @@ def station_sweep(grid_perm, rays_pv, n_channels, k, guv, dtypes):
         cotangent shapes).
       dtypes: static (interp_dtype, grid_dtype) dtype classes for the weight
         matmuls and the returned grid cotangent.
+      wv: static v-window width (0 = full sweep).
 
     Returns:
       vals: [C, N, S] station samples (f32, channels-leading — see
         :func:`_query_station`), in slab order.
       t:    [N, S] ray parameter per station (f32; huge where dp≈0).
     """
-    return _sweep_fwd_impl(grid_perm, rays_pv, n_channels, k, guv, dtypes[0])
+    return _sweep_fwd_impl(grid_perm, rays_pv, n_channels, k, guv, dtypes[0],
+                           v_base=v_base, wv=wv)
 
 
 def _station_slabs(grid_perm, k):
@@ -186,11 +205,13 @@ def _station_slabs(grid_perm, k):
     return jnp.concatenate([inner, grid_perm[-1:]], axis=0)
 
 
-def _sweep_fwd_impl(grid_perm, rays_pv, c, k, guv, interp_dtype):
+def _sweep_fwd_impl(grid_perm, rays_pv, c, k, guv, interp_dtype,
+                    v_base=None, wv=0):
     gu, gv = guv
     gp = grid_perm.shape[0]
     s = k * (gp - 1) + 1
     n = rays_pv[0][0].shape[0]
+    windowed = bool(wv) and v_base is not None and v_base.shape[0] > 0
 
     from . import pallas_sweep_train as pst
     if pst.sweep_fwd_available(n, c, gu, gv):
@@ -199,16 +220,28 @@ def _sweep_fwd_impl(grid_perm, rays_pv, c, k, guv, interp_dtype):
         # per station — see pallas_sweep_train docstring).
         (op, ou, ov), (dp, du, dv) = rays_pv
         dp_safe = jnp.where(dp == 0, 1e-10, dp)
+        gv_k = gv
+        if windowed:
+            # Pad the v dim to a multiple of 8 so every 8-aligned window
+            # start vb satisfies vb + wv <= Gv_pad (the engine clamps
+            # vb <= Gv_pad - wv). Padded columns are zero -> exact.
+            gv_k = _round_up(gv, 8)
+            if gv_k > gv:
+                g4 = grid_perm.reshape(gp, gu, gv, c)
+                g4 = jnp.pad(g4, ((0, 0), (0, 0), (0, gv_k - gv), (0, 0)))
+                grid_perm = g4.reshape(gp, gu, gv_k * c)
         grid_p, cp = pst.pad_channels(grid_perm, c)
         slabs = _station_slabs(grid_p, k)
         s_pad = pst._round_up(s, pst.S_BLK)
         if s_pad > s:
             slabs = jnp.concatenate(
-                [slabs, jnp.zeros((s_pad - s, gu, cp * gv), slabs.dtype)])
+                [slabs, jnp.zeros((s_pad - s, gu, cp * gv_k), slabs.dtype)])
         rp = jnp.stack([op, ou, ov, dp_safe, du, dv,
                         jnp.zeros_like(op), jnp.zeros_like(op)])
-        vals = pst.sweep_fwd_pallas(slabs, rp, c=c, cp=cp, k=k,
-                                    gu=gu, gv=gv)
+        vals = pst.sweep_fwd_pallas(slabs, rp,
+                                    v_base if windowed else None,
+                                    c=c, cp=cp, k=k, gu=gu, gv=gv_k,
+                                    wv=wv if windowed else 0)
         p_stations = jnp.arange(s, dtype=jnp.float32) / k
         ts = (p_stations[None, :] - op[:, None]) / dp_safe[:, None]
         return jnp.transpose(vals[:s], (1, 2, 0)), ts
@@ -226,21 +259,139 @@ def _sweep_fwd_impl(grid_perm, rays_pv, c, k, guv, interp_dtype):
     return jnp.transpose(vals, (1, 2, 0)), jnp.transpose(ts, (1, 0))
 
 
-def _sweep_fwd(grid_perm, rays_pv, n_channels, k, guv, dtypes):
-    out = _sweep_fwd_impl(grid_perm, rays_pv, n_channels, k, guv, dtypes[0])
-    return out, rays_pv
+def _sweep_fwd(grid_perm, rays_pv, v_base, n_channels, k, guv, dtypes,
+               wv=0):
+    out = _sweep_fwd_impl(grid_perm, rays_pv, n_channels, k, guv, dtypes[0],
+                          v_base=v_base, wv=wv)
+    return out, (rays_pv, v_base)
 
 
-def _sweep_bwd(n_channels, k, guv, dtypes, rays_pv, cts):
+def _station_cotangent_win(g_s, rays_tile, p_s, gu, wv, c, vb, interp_dtype):
+    """One station's windowed grid cotangent for ONE ray tile:
+    [C, NT] -> [Gu, wv, C] (v rows relative to the tile's window start
+    ``vb``). Same rank-3 fused form as :func:`_station_cotangent`."""
+    _, u, v = _station_uv(rays_tile, p_s)
+    wu = _interp_rows(u, gu, interp_dtype)
+    wvr = _interp_rows(v - vb.astype(jnp.float32), wv, jnp.float32)
+    if jax.default_backend() == "cpu":
+        n = g_s.shape[1]
+        rhs = (wvr[:, :, None] * g_s.T[:, None, :]).reshape(n, wv * c)
+        out = jax.lax.dot(wu.T, rhs.astype(interp_dtype),
+                          preferred_element_type=jnp.float32)
+        return out.reshape(gu, wv, c)
+    rhs3 = (wvr[:, :, None] * g_s.T[:, None, :]).astype(interp_dtype)
+    return jax.lax.dot_general(wu, rhs3,
+                               dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _sweep_bwd_windowed(c, k, gu, gv, wv, interp_dtype, grid_dtype,
+                        rays_pv, v_base, g_vals):
+    """Per-ray-tile v-windowed transpose: every tile accumulates its slab
+    cotangents in a [Gp, Gu, wv, C] window (FLOPs and carry traffic scale
+    with wv/Gv, not Gv), then one dynamic-update-slice add per tile writes
+    the window into the full grid cotangent."""
+    _, n, s = g_vals.shape
+    gp = (s - 1) // k + 1
+    n_tiles = n // TILE_N
+    fracs = [j / k for j in range(k)]
+
+    g_sta = jnp.transpose(g_vals, (2, 0, 1))  # [S, C, N]
+    g_main = g_sta[: (gp - 1) * k].reshape(gp - 1, k, c, n)
+    g_last = g_sta[-1]
+
+    def tile_bwd(rays_tile, g_main_t, g_last_t, vb):
+        def body(pending, inp):
+            g_z, z = inp  # [k, C, NT] cotangents of stations in [z-1, z)
+            d_prev = pending
+            d_next = jnp.zeros_like(pending)
+            for j, f in enumerate(fracs):
+                p_s = z.astype(jnp.float32) - 1.0 + f
+                d_st = _station_cotangent_win(g_z[j], rays_tile, p_s, gu,
+                                              wv, c, vb, interp_dtype)
+                d_prev = d_prev + (1.0 - f) * d_st
+                if j > 0:
+                    d_next = d_next + f * d_st
+            return d_next, d_prev
+
+        zs = jnp.arange(1, gp, dtype=jnp.int32)
+        init = jnp.zeros((gu, wv, c), jnp.float32)
+        pending, d_slabs = jax.lax.scan(body, init, (g_main_t, zs))
+        d_last = pending + _station_cotangent_win(
+            g_last_t, rays_tile, jnp.float32(gp - 1.0), gu, wv, c, vb,
+            interp_dtype)
+        return jnp.concatenate([d_slabs, d_last[None]], axis=0)
+
+    o_pv, d_pv = rays_pv
+    o_t = tuple(x.reshape(n_tiles, TILE_N) for x in o_pv)
+    d_t = tuple(x.reshape(n_tiles, TILE_N) for x in d_pv)
+    g_main_t = jnp.transpose(
+        g_main.reshape(gp - 1, k, c, n_tiles, TILE_N), (3, 0, 1, 2, 4))
+    g_last_t = jnp.transpose(
+        g_last.reshape(c, n_tiles, TILE_N), (1, 0, 2))
+    d_wins = jax.vmap(tile_bwd)((o_t, d_t), g_main_t, g_last_t, v_base)
+
+    # Accumulate in a v-padded grid: window starts are clamped to
+    # [0, round_up(Gv, 8) - wv] by the bucket builder, so windows may
+    # overhang the true Gv by up to 7 (zero-weight rows).
+    gv_p = _round_up(gv, 8)
+    d_grid = jnp.zeros((gp, gu, gv_p, c), jnp.float32)
+    for ti in range(n_tiles):
+        vb = v_base[ti]
+        cur = jax.lax.dynamic_slice(
+            d_grid, (0, 0, vb, 0), (gp, gu, wv, c))
+        d_grid = jax.lax.dynamic_update_slice(
+            d_grid, cur + d_wins[ti], (0, 0, vb, 0))
+    return d_grid[:, :, :gv].reshape(gp, gu, gv * c).astype(grid_dtype)
+
+
+def _sweep_bwd(n_channels, k, guv, dtypes, wv, residuals, cts):
     """Streamed transpose: iter z emits dD[z-1], carries the pending
     contribution to dD[z] (each station between slabs z-1 and z splits its
     cotangent (1-f)/f between them)."""
     interp_dtype, grid_dtype = dtypes
     gu, gv = guv
     c = n_channels
+    rays_pv, v_base = residuals
     g_vals, _ = cts  # t is non-differentiable; g_vals is [C, N, S]
     _, n, s = g_vals.shape
     gp = (s - 1) // k + 1
+    zeros_rays = jax.tree_util.tree_map(jnp.zeros_like, rays_pv)
+    zeros_vb = np.zeros(v_base.shape, jax.dtypes.float0)
+    # Windowed BACKWARDS are off by default: at the e2e shape (162^3-ish,
+    # W=32) the XLA per-tile form loses its FLOP win to HBM round-trips
+    # (44.3 vs 41.4 ms/step) and the Pallas partials kernel to VPU glue +
+    # fold/unpad relayouts (14 + 9.6 + 3.9 ms vs ~16 for the full
+    # transpose) — tools/profile_windowed_step.py, /tmp/bwd_variants probes.
+    # The forward window alone is the win (54 -> 41 ms/step). Both backward
+    # forms are kept behind this flag for future re-tuning.
+    import os
+    bwd_windowed = os.environ.get("DVGO_SWEEP_BWD_WINDOWED", "0") != "0"
+    if wv and bwd_windowed and v_base.shape[0] > 0 and n % TILE_N == 0:
+        from . import pallas_sweep_train as pst
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("DVGO_SWEEP_PALLAS", "1") != "0"):
+            # Fused kernel: slab partials accumulate in VMEM across ray
+            # tiles (the XLA windowed form round-trips every per-tile
+            # window through HBM and measured SLOWER than the full
+            # transpose at W=64 — see sweep_bwd_pallas docstring).
+            cp = pst._round_up(c, pst.C_TILE)
+            s_pad = pst._round_up(s, pst.S_BLK)
+            g_snc = jnp.transpose(g_vals, (2, 1, 0))
+            g_snc = jnp.pad(
+                g_snc, ((0, s_pad - s), (0, 0), (0, cp - c)))
+            (op, ou, ov), (dp, du, dv) = rays_pv
+            dp_safe = jnp.where(dp == 0, 1e-10, dp)
+            zeros_n = jnp.zeros_like(op)
+            rp_t = jnp.stack([op, ou, ov, dp_safe, du, dv,
+                              zeros_n, zeros_n], axis=1)
+            partials = pst.sweep_bwd_pallas(
+                g_snc, rp_t, v_base, c=c, cp=cp, k=k, gu=gu, gv=gv, wv=wv)
+            d_grid = pst.fold_bwd_partials(partials, gp, gu, gv, c, cp, k)
+            return d_grid.astype(grid_dtype), zeros_rays, zeros_vb
+        d_grid = _sweep_bwd_windowed(c, k, gu, gv, wv, interp_dtype,
+                                     grid_dtype, rays_pv, v_base, g_vals)
+        return d_grid, zeros_rays, zeros_vb
 
     # NOTE: a fused Pallas bwd kernel was built and measured SLOWER than
     # this XLA rank-3 streamed transpose (6.1 ms kernel + 2.2 cotangent
@@ -276,8 +427,7 @@ def _sweep_bwd(n_channels, k, guv, dtypes, rays_pv, cts):
     d_grid = jnp.concatenate([d_slabs, d_last[None]], axis=0)
     # [Gp, Gu, Gv, C] -> [Gp, Gu, Gv*C]: contiguous, a bitcast.
     d_grid = d_grid.reshape(gp, gu, gv * c)
-    zeros_rays = jax.tree_util.tree_map(jnp.zeros_like, rays_pv)
-    return d_grid.astype(grid_dtype), zeros_rays
+    return d_grid.astype(grid_dtype), zeros_rays, zeros_vb
 
 
 station_sweep.defvjp(_sweep_fwd, _sweep_bwd)
@@ -286,7 +436,7 @@ station_sweep.defvjp(_sweep_fwd, _sweep_bwd)
 def sweep_samples(grid, mask, rays_o, rays_d, xyz_min, xyz_max, axis,
                   stepsize=0.5, interp_dtype=jnp.bfloat16,
                   march_order=True, clip_sizes=None, clip_offsets=None,
-                  pre_clipped=False, world_size=None):
+                  pre_clipped=False, world_size=None, tile_windows=None):
     """Full sweep query: density/mask/feature channels at ray stations.
 
     Args:
@@ -344,8 +494,19 @@ def sweep_samples(grid, mask, rays_o, rays_d, xyz_min, xyz_max, axis,
         p_offset = offs_f[0]
     grid_perm = permute_grid(grid, axis, dtype=interp_dtype)
     gu, gv = grid_perm.shape[1], grid_perm.shape[2] // c
-    vals, t = station_sweep(grid_perm, (o_pv, d_pv), c, k, (gu, gv),
-                            (interp_dtype, interp_dtype))
+    # Per-ray-tile v-windows (see station_sweep): only without clipping —
+    # clipped sweeps shift v by a traced offset, which would break the
+    # window starts' 8-alignment (and real full-scale runs are unclipped:
+    # compute_bbox_by_coarse_geo already fits the fine grid to the mask).
+    v_base = jnp.zeros((0,), jnp.int32)
+    wv = 0
+    if tile_windows is not None and clip_sizes is None:
+        v_base, wv = tile_windows
+        wv = int(wv)
+        if wv >= gv or v_base.shape[0] * TILE_N != rays_o.shape[0]:
+            v_base, wv = jnp.zeros((0,), jnp.int32), 0
+    vals, t = station_sweep(grid_perm, (o_pv, d_pv), v_base, c, k, (gu, gv),
+                            (interp_dtype, interp_dtype), wv)
 
     forward = d_pv[0] >= 0
     if march_order:
@@ -417,3 +578,80 @@ def topk_station_select(w_eff, topk, gather_mode=None):
         def sel_cl(x):
             return jnp.take_along_axis(x, idx[None], axis=2)
     return idx, sel_nk, sel_cl
+
+
+def build_tile_buckets(rays_o, rays_d, xyz_min, xyz_max, world_size, axis,
+                       tile_n=TILE_N, widths=(32, 64, 96)):
+    """Spatially-bucketed ray tiles for v-windowed sweeps (host-side).
+
+    Sorts a dominant-axis ray group by a 4D Morton key of each ray's (u, v)
+    at the first and last sweep planes, slices the order into tiles of
+    ``tile_n`` rays, and computes each tile's GUARANTEED v-window: u/v are
+    linear in the sweep-plane coordinate p, so over every station a ray's
+    v range is bounded by its two plane-endpoint values (clipped to the
+    grid's support [-1, Gv], outside which interp rows are zero — linearity
+    makes each ray's v(p) monotone, so clipped endpoints still bound the
+    in-support range). A tile needs window width W >= (row range) + 7: the
+    +7 covers the 8-alignment of the window start the kernel's lane-dim
+    dynamic slice requires.
+
+    Returns ``{W: (idx [n_b, tile_n] int64, vlo [n_b] int32)}`` mapping
+    each width class (plus 0 = full sweep) to its tiles; ``idx`` holds
+    positions into THIS group's ray arrays.
+    """
+    n = rays_o.shape[0]
+    n_tiles = n // tile_n
+    if n_tiles == 0:
+        return {}
+    o_pv, d_pv = rays_to_voxel(rays_o, rays_d, xyz_min, xyz_max,
+                               world_size, axis)
+    op, ou, ov = [np.asarray(x) for x in o_pv]
+    dp, du, dv = [np.asarray(x) for x in d_pv]
+    perm = _PERMS[axis]
+    gp = int(world_size[perm[0]])
+    gu = int(world_size[perm[1]])
+    gv = int(world_size[perm[2]])
+    dp_s = np.where(np.abs(dp) < 1e-10, 1e-10, dp)
+    t0 = (0.0 - op) / dp_s
+    t1 = (gp - 1.0 - op) / dp_s
+    u_ends = np.stack([ou + t0 * du, ou + t1 * du])
+    v_ends = np.stack([ov + t0 * dv, ov + t1 * dv])
+    u_ends = np.clip(u_ends, -1.0, gu)
+    v_ends = np.clip(v_ends, -1.0, gv)
+
+    def quant(x, g):
+        return np.clip((x / max(g, 1) * 1024).astype(np.int64), 0, 1023)
+
+    keys = [quant(u_ends[0], gu), quant(v_ends[0], gv),
+            quant(u_ends[1], gu), quant(v_ends[1], gv)]
+    code = np.zeros(n, np.int64)
+    for b in range(10):
+        for d_i in range(4):
+            code |= ((keys[d_i] >> b) & 1) << (b * 4 + d_i)
+    order = np.argsort(code, kind="stable")
+    idx = order[: n_tiles * tile_n].reshape(n_tiles, tile_n)
+    # (the < tile_n tail is dropped from bucketed batches; those rays are
+    # still drawn by the full-sweep fallback class below when present)
+
+    vmin = np.minimum(v_ends[0], v_ends[1])[idx].min(1)
+    vmax = np.maximum(v_ends[0], v_ends[1])[idx].max(1)
+    r0 = np.maximum(0, np.floor(vmin)).astype(np.int64)
+    r1 = np.minimum(gv - 1, np.floor(vmax) + 1).astype(np.int64)
+    needed = (r1 - r0 + 1) + 7
+    gv_p8 = _round_up(gv, 8)
+    out = {}
+    assigned = np.full(n_tiles, -1, np.int64)
+    for w in sorted(widths):
+        if w >= gv:
+            continue
+        sel_t = np.flatnonzero((assigned < 0) & (needed <= w))
+        if len(sel_t) == 0:
+            continue
+        assigned[sel_t] = w
+        vlo = (r0[sel_t] // 8 * 8).astype(np.int32)
+        vlo = np.minimum(vlo, gv_p8 - w).astype(np.int32)
+        out[int(w)] = (idx[sel_t], vlo)
+    rest = np.flatnonzero(assigned < 0)
+    if len(rest):
+        out[0] = (idx[rest], np.zeros(len(rest), np.int32))
+    return out

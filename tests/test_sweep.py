@@ -100,8 +100,9 @@ def test_sweep_custom_vjp_matches_autodiff_of_fwd_impl():
         rng.normal(size=(c, n, k * (gp - 1) + 1)).astype(np.float32))
 
     def loss_custom(g):
-        vals, _ = sweep_ops.station_sweep(g, (o, d), c, k, (gu, gv),
-                                          (F32, F32))
+        vals, _ = sweep_ops.station_sweep(g, (o, d),
+                                          jnp.zeros((0,), jnp.int32),
+                                          c, k, (gu, gv), (F32, F32), 0)
         return jnp.sum(vals * cot)
 
     def loss_auto(g):
@@ -345,3 +346,159 @@ def test_forward_sweep_topk_compaction_parity(gather_mode):
             scale = float(jnp.max(jnp.abs(a))) + 1e-12
             err = float(jnp.max(jnp.abs(a - b))) / scale
             assert err < 2e-3, (name, err)
+
+
+def test_station_sweep_tile_window_bwd_parity(monkeypatch):
+    """Windowed backward (per-ray-tile v-windows) must match the full
+    transpose exactly when every tile's rays keep their v support inside
+    the window (the engine's bucket sampler guarantees this bound).
+    The windowed backward ships off by default (slower on TPU at e2e
+    shapes — see _sweep_bwd); force it on to keep its math covered."""
+    monkeypatch.setenv("DVGO_SWEEP_BWD_WINDOWED", "1")
+    rng = np.random.default_rng(3)
+    gp, gu, gv, c, k = 10, 12, 40, 3, 2
+    n = 2 * sweep_ops.TILE_N
+    grid = jnp.asarray(rng.normal(size=(gp, gu, gv * c)).astype(np.float32))
+    op = jnp.asarray(rng.uniform(1, gp - 2, n).astype(np.float32))
+    dp = jnp.asarray(rng.uniform(0.5, 1.0, n).astype(np.float32))
+    ou = jnp.asarray(rng.uniform(1, gu - 2, n).astype(np.float32))
+    du = jnp.asarray(rng.uniform(-0.3, 0.3, n).astype(np.float32))
+    ov = np.concatenate([rng.uniform(1, 13, sweep_ops.TILE_N),
+                         rng.uniform(17, 29, sweep_ops.TILE_N)])
+    ov = jnp.asarray(ov.astype(np.float32))
+    dv = jnp.zeros(n, jnp.float32)
+    rays = ((op, ou, ov), (dp, du, dv))
+    v_base = jnp.asarray(np.array([0, 16], np.int32))
+    wv = 16
+    cot = jnp.asarray(rng.normal(
+        size=(c, n, k * (gp - 1) + 1)).astype(np.float32))
+    none_vb = jnp.zeros((0,), jnp.int32)
+
+    def loss(g, vb, w):
+        vals, _ = sweep_ops.station_sweep(g, rays, vb, c, k, (gu, gv),
+                                          (F32, F32), w)
+        return jnp.sum(vals * cot)
+
+    g_full = np.asarray(jax.grad(loss)(grid, none_vb, 0))
+    g_win = np.asarray(jax.grad(loss)(grid, v_base, wv))
+    scale = max(1.0, np.abs(g_full).max())
+    # Outside every tile's window the rays have zero interp weight, so the
+    # full transpose's cotangent is zero there too -> exact agreement.
+    assert np.abs(g_win - g_full).max() < 1e-4 * scale
+
+
+def test_build_tile_buckets_cover_guarantee():
+    """Every tile's assigned (vlo, W) must cover each member ray's v interp
+    support at EVERY station plane, and every pool ray (minus the < tile_n
+    sort tail) must land in exactly one bucket."""
+    rng = np.random.default_rng(9)
+    n = 4 * sweep_ops.TILE_N + 37   # non-multiple: exercises tail dropping
+    xyz_min, xyz_max = (-1, -1, -1), (1, 1, 1)
+    world = (48, 40, 56)
+    o = np.tile([[0.0, 0.0, 3.0]], (n, 1)).astype(np.float32)
+    o[:, :2] += rng.uniform(-0.4, 0.4, (n, 2))
+    ang = rng.uniform(-0.35, 0.35, (n, 2))
+    d = np.stack([np.tan(ang[:, 0]), np.tan(ang[:, 1]),
+                  -np.ones(n)], -1).astype(np.float32)
+    axis = 2
+    out = sweep_ops.build_tile_buckets(o, d, xyz_min, xyz_max, world, axis)
+    seen = []
+    gp = world[sweep_ops._PERMS[axis][0]]
+    gv = world[sweep_ops._PERMS[axis][2]]
+    o_pv, d_pv = sweep_ops.rays_to_voxel(o, d, xyz_min, xyz_max, world, axis)
+    op, _, ov = [np.asarray(x) for x in o_pv]
+    dp, _, dv = [np.asarray(x) for x in d_pv]
+    dp = np.where(np.abs(dp) < 1e-10, 1e-10, dp)
+    for w, (idx, vlo) in out.items():
+        assert idx.shape[1] == sweep_ops.TILE_N
+        seen.append(idx.reshape(-1))
+        if w == 0:
+            continue
+        assert (vlo % 8 == 0).all()
+        for b in range(idx.shape[0]):
+            rays = idx[b]
+            # v at every station plane, clipped to the interp support range
+            for p in np.linspace(0, gp - 1, 13):
+                t = (p - op[rays]) / dp[rays]
+                v = np.clip(ov[rays] + t * dv[rays], -1, gv)
+                rows = np.floor(v).astype(int)
+                lo, hi = vlo[b], vlo[b] + w - 1
+                r0 = np.clip(rows, 0, gv - 1)
+                r1 = np.clip(rows + 1, 0, gv - 1)
+                in_grid = (v > -1) & (v < gv)
+                assert (r0[in_grid] >= lo).all() and (r1[in_grid] <= hi).all(), \
+                    (w, b, p, r0[in_grid].min(), r1[in_grid].max(), lo, hi)
+    seen = np.concatenate(seen)
+    assert len(seen) == len(np.unique(seen))  # disjoint buckets
+    assert len(seen) == (n // sweep_ops.TILE_N) * sweep_ops.TILE_N
+
+
+def test_windowed_fwd_kernel_interpret_matches_scan():
+    """v-windowed fused fwd kernel (interpret mode) == XLA scan when tiles
+    respect their windows."""
+    from directvoxgo_tpu.ops import pallas_sweep_train as pst
+    rng = np.random.default_rng(0)
+    gp, gu, gv, c, k = 12, 16, 40, 3, 2
+    n = 2 * pst.NT
+    grid_perm = jnp.asarray(
+        rng.normal(size=(gp, gu, gv * c)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    op = rng.uniform(1, gp - 2, n); dp = rng.uniform(0.5, 1.0, n)
+    ou = rng.uniform(1, gu - 2, n); du = rng.uniform(-0.3, 0.3, n)
+    ov = np.concatenate([rng.uniform(1, 13, pst.NT),
+                         rng.uniform(17, 29, pst.NT)])
+    dv = np.zeros(n)
+    rays = [jnp.asarray(x.astype(np.float32))
+            for x in (op, ou, ov, dp, du, dv)]
+    rays_pv = ((rays[0], rays[1], rays[2]), (rays[3], rays[4], rays[5]))
+    v_base = jnp.asarray(np.array([0, 16], np.int32))
+    wv = 16
+    vals_ref, _ = sweep_ops._sweep_fwd_impl(grid_perm, rays_pv, c, k,
+                                            (gu, gv), jnp.bfloat16)
+    grid_p, cp = pst.pad_channels(grid_perm, c)
+    slabs = sweep_ops._station_slabs(grid_p, k)
+    s = k * (gp - 1) + 1
+    s_pad = pst._round_up(s, pst.S_BLK)
+    if s_pad > s:
+        slabs = jnp.concatenate(
+            [slabs, jnp.zeros((s_pad - s, gu, cp * gv), slabs.dtype)])
+    rp = jnp.stack(rays + [jnp.zeros(n, jnp.float32)] * 2)
+    vals = pst.sweep_fwd_pallas(slabs, rp, v_base, c=c, cp=cp, k=k, gu=gu,
+                                gv=gv, wv=wv, interpret=True)
+    vals = jnp.transpose(vals[:s], (1, 2, 0))
+    assert float(jnp.max(jnp.abs(vals - vals_ref))) < 1e-2
+
+
+def test_windowed_bwd_kernel_interpret_matches_xla():
+    """Flag-gated Pallas bwd partials kernel (interpret mode) == the XLA
+    windowed transpose."""
+    from directvoxgo_tpu.ops import pallas_sweep_train as pst
+    rng = np.random.default_rng(1)
+    gp, gu, gv, c, k = 12, 16, 40, 3, 2
+    n = 2 * pst.NT
+    op = jnp.asarray(rng.uniform(1, gp - 2, n).astype(np.float32))
+    dp = jnp.asarray(rng.uniform(0.5, 1.0, n).astype(np.float32))
+    ou = jnp.asarray(rng.uniform(1, gu - 2, n).astype(np.float32))
+    du = jnp.asarray(rng.uniform(-0.3, 0.3, n).astype(np.float32))
+    ov = jnp.asarray(np.concatenate(
+        [rng.uniform(2, 12, pst.NT), rng.uniform(18, 28, pst.NT)]
+    ).astype(np.float32))
+    dv = jnp.asarray(rng.uniform(-0.03, 0.03, n).astype(np.float32))
+    rays = ((op, ou, ov), (dp, du, dv))
+    v_base = jnp.asarray(np.array([0, 16], np.int32))
+    wv = 16
+    s = k * (gp - 1) + 1
+    cot = jnp.asarray(rng.normal(size=(c, n, s)).astype(np.float32))
+    d_ref = sweep_ops._sweep_bwd_windowed(
+        c, k, gu, gv, wv, jnp.float32, jnp.float32, rays, v_base, cot)
+    cp = pst._round_up(c, pst.C_TILE)
+    s_pad = pst._round_up(s, pst.S_BLK)
+    g_snc = jnp.pad(jnp.transpose(cot, (2, 1, 0)),
+                    ((0, s_pad - s), (0, 0), (0, cp - c)))
+    rp_t = jnp.stack([op, ou, ov, dp, du, dv,
+                      jnp.zeros(n), jnp.zeros(n)], axis=1)
+    partials = pst.sweep_bwd_pallas(g_snc, rp_t, v_base, c=c, cp=cp, k=k,
+                                    gu=gu, gv=gv, wv=wv, interpret=True)
+    d_k = pst.fold_bwd_partials(partials, gp, gu, gv, c, cp, k)
+    scale = float(jnp.max(jnp.abs(d_ref))) + 1e-9
+    assert float(jnp.max(jnp.abs(d_k - d_ref))) < 2e-2 * max(scale, 1.0)

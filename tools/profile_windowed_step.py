@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Windowed-sweep engine step at the REAL e2e shape: fixture_lego fine
+checkpoint (full-grid sweep, clip=None) with spatially-bucketed batches
+drawn from the real training-ray pool — the configuration run.py now uses.
+
+Compares the full sweep (wv=0) against each populated window class.
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def main():
+    from directvoxgo_tpu.engine import checkpoint as ckpt_lib
+    from directvoxgo_tpu.engine import train as train_lib
+    from directvoxgo_tpu.models.dvgo import DirectVoxGO
+    from directvoxgo_tpu.data.load_data import load_data
+    from directvoxgo_tpu import rays as ray_lib
+    from directvoxgo_tpu.ops import sweep as sweep_ops
+    from directvoxgo_tpu.config import Config, ConfigDict
+
+    cfg = Config.fromfile("configs/synthetic/fixture_lego.py")
+    data = load_data(cfg.data)
+    model = ckpt_lib.load_model(
+        DirectVoxGO, "logs/synthetic/fixture_lego/fine_last.tar")
+    model.sweep_color_topk = 48
+    i_train = data["i_train"]
+    images = np.asarray(data["images"], np.float32)[i_train]
+    rgb, ro, rd, vd, _ = ray_lib.get_training_rays_flatten(
+        rgb_tr_ori=images, train_poses=data["poses"][i_train],
+        HW=data["HW"][i_train], Ks=data["Ks"][i_train], ndc=False,
+        inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
+        flip_y=cfg.data.flip_y)
+    rgb = np.asarray(rgb).reshape(-1, 3)
+    ro = np.asarray(ro).reshape(-1, 3)
+    rd = np.asarray(rd).reshape(-1, 3)
+    vd = np.asarray(vd).reshape(-1, 3)
+    groups = sweep_ops.dominant_axis(rd, model.xyz_min, model.xyz_max,
+                                     model.world_size)
+    n_rand = 8192
+    n_tile = n_rand // sweep_ops.TILE_N
+    cfg_train = ConfigDict(
+        N_rand=n_rand, weight_main=1.0, weight_entropy_last=0.001,
+        weight_rgbper=0.01, weight_tv_density=0.0, weight_tv_k0=0.0,
+        lrate_decay=20, lrate_density=1e-1, lrate_k0=1e-1, lrate_rgbnet=1e-3,
+        skip_zero_grad_fields=["density", "k0"])
+    optimizer = train_lib.create_optimizer_or_freeze_model(model, cfg_train)
+    rk = dict(near=2.0, far=6.0, bg=1.0, stepsize=0.5)
+    pool = {"rgb": jnp.asarray(rgb), "rays_o": jnp.asarray(ro),
+            "rays_d": jnp.asarray(rd), "viewdirs": jnp.asarray(vd)}
+    rng = np.random.default_rng(0)
+
+    for axis in range(3):
+        gidx = np.flatnonzero(groups == axis)
+        bk = sweep_ops.build_tile_buckets(
+            ro[gidx], rd[gidx], model.xyz_min, model.xyz_max,
+            model.world_size, axis)
+        sizes = {w: v[0].size for w, v in bk.items()}
+        log(f"axis {axis}: pool {len(gidx)} classes {sizes}")
+        for w in sorted(bk.keys()):
+            idx, vlo = bk[w]
+            if idx.shape[0] < n_tile:
+                continue
+            step = train_lib.make_train_step(
+                model, optimizer, cfg_train, rk, apply_tv=False,
+                tv_dense=False, axis=axis, clip_sizes=None, donate=True,
+                wv=w)
+            rows = rng.integers(0, idx.shape[0], n_tile)
+            sel = jnp.asarray(gidx[idx[rows]].reshape(-1), jnp.int32)
+            vb = jnp.asarray(vlo[rows], jnp.int32)
+            extra = (vb,) if w else ()
+            params = jax.tree_util.tree_map(jnp.copy, model.params)
+            opt_state = optimizer.init(model.params)
+            co = jnp.zeros(3, jnp.int32)
+            t0 = time.time()
+            out = step(params, model.mask, opt_state, pool, sel, co, *extra)
+            params, opt_state = out[0], out[1]
+            loss0 = float(out[2])
+            log(f"  W={w}: compile+first {time.time()-t0:.1f}s "
+                f"loss={loss0:.4f}")
+            t0 = time.time()
+            for _ in range(20):
+                params, opt_state, loss, psnr = step(
+                    params, model.mask, opt_state, pool, sel, co, *extra)
+            float(loss)
+            log(f"  W={w}: step {(time.time()-t0)/20*1000:.2f} ms/iter")
+
+
+if __name__ == "__main__":
+    main()
