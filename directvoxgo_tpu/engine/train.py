@@ -262,15 +262,18 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
                        v_bases=None):
             def body(carry, xs):
                 p, o = carry
-                sel, vb = xs
-                p, o, loss, psnr = single(p, mask, o, pool, sel, clip_off,
-                                          vb)
+                sel, co, vb = xs
+                p, o, loss, psnr = single(p, mask, o, pool, sel, co, vb)
                 return (p, o), (loss, psnr)
 
             if v_bases is None:
                 v_bases = jnp.zeros((n_steps, 0), jnp.int32)
+            # clip_off may vary per sub-step (the segment-window sampler's
+            # per-batch v offsets); a single [3] is broadcast.
+            cos = clip_off if clip_off.ndim == 2 \
+                else jnp.broadcast_to(clip_off, (n_steps, 3))
             (params, opt_state), (losses, psnrs) = jax.lax.scan(
-                body, (params, opt_state), (sels, v_bases))
+                body, (params, opt_state), (sels, cos, v_bases))
             return params, opt_state, losses, psnrs
 
     # ``donate`` aliases params + optimizer state into the outputs, saving
@@ -473,14 +476,16 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             else:
                 group_gens.append(None)
 
-        # Spatially-bucketed ray tiles for v-windowed sweeps: each batch is
-        # T = N_rand/512 whole buckets from ONE window-width class, so the
-        # compiled step's static window width is guaranteed to cover every
-        # tile (ops/sweep.build_tile_buckets). Sampling stays unbiased:
-        # class chosen proportional to its ray count, buckets uniform
-        # within the class — every pool ray has the same marginal
-        # probability as the uniform sampler; only the within-batch
-        # correlation structure changes (rays arrive spatially clustered).
+        # Spatially-sorted ray SEGMENTS for v-windowed sweeps: each batch is
+        # one segment (N_rand consecutive rays of the v-endpoint Morton
+        # order) from ONE window-width class, so the compiled step's static
+        # width covers every tile's forward window AND the batch-level
+        # window the backward uses (ops/sweep.build_ray_segments). Sampling
+        # stays unbiased: class chosen proportional to its ray count,
+        # segments uniform within the class — every pool ray keeps the same
+        # marginal probability as the uniform sampler; only the
+        # within-batch correlation structure changes (rays arrive
+        # spatially clustered).
         n_tile = cfg_train.N_rand // sweep_ops.TILE_N
         bucket_ok = (bool(cfg_train.get("bucket_tiles", True))
                      and forced is None
@@ -489,7 +494,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                           or (cfg_train.N_rand
                               // int(np.prod(mesh.devices.shape)))
                           % sweep_ops.TILE_N == 0))
-        buckets = {}  # ax -> {W: (idx [n_b, 512] global, vlo [n_b])} | None
+        buckets = {}  # ax -> {W: (idx [n_seg, N_rand], seg_vlo, tile_vlo)}
 
         def build_buckets():
             buckets.clear()
@@ -500,39 +505,56 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                 if len(g) < cfg_train.N_rand:
                     buckets[ax] = None
                     continue
-                b = sweep_ops.build_tile_buckets(
+                b = sweep_ops.build_ray_segments(
                     rays_o_np[g], rays_d_np[g], model.xyz_min,
-                    model.xyz_max, model.world_size, ax)
-                b = {w: (g[idx], vlo) for w, (idx, vlo) in b.items()
+                    model.xyz_max, model.world_size, ax,
+                    n_rand=cfg_train.N_rand)
+                b = {w: (g[idx], svlo, tvlo)
+                     for w, (idx, svlo, tvlo) in b.items()
                      if idx.shape[0] > 0}
                 buckets[ax] = b or None
 
-        def next_chunk(n_sub):
+        def next_chunk(n_sub, no_window=False):
             # The axis is chosen ONCE per chunk and all n_sub batches are
             # drawn from that axis group: each sel is coupled to its group's
             # sweep axis (spacing 0.5*voxel/|d_axis| assumes the dominant
             # axis), so mixing draws from different groups under one static
             # axis would march mismatched rays with blown-up spacing.
+            #
+            # Segment draws return a WINDOW CLIP: the batch's v support fits
+            # a (full p, full u, W) box, which rides the existing clip
+            # machinery — static sizes + traced offsets — so region-grad
+            # mode and region-sliced Adam shrink every full-grid pass (cast/
+            # permute/slab-blend/backward/optimizer) by ~Gv/W as well.
             ax = int(rng.choice(3, p=group_p))
             bk = buckets.get(ax)
-            # Windows compose with clip=None only (sweep_samples): when the
-            # occupancy bbox clip is active for this axis it already
-            # shrinks the sweep, and window starts would need the traced
-            # clip offset folded in — draw unbucketed there.
+            # When the occupancy-bbox clip is active for this axis it is
+            # tighter than a ray window — draw unbucketed there. TV steps
+            # need full-grid gradients (no_window).
             clipped = clip_plan.get(ax, (None, None))[0] is not None
-            if bk is not None and not clipped:
+            if bk is not None and not clipped and not no_window:
                 ws = list(bk.keys())
                 counts = np.array([bk[w][0].size for w in ws], np.float64)
                 w = ws[int(rng.choice(len(ws), p=counts / counts.sum()))]
-                idx, vlo = bk[w]
-                sels, vbs = [], []
+                idx, svlo, _ = bk[w]
+                perm = sweep_ops._PERMS[ax]
+                gv = int(model.world_size[perm[2]])
+                sels, offs = [], []
                 for _ in range(n_sub):
-                    rows = rng.integers(0, idx.shape[0], n_tile)
-                    sels.append(idx[rows].reshape(-1))
-                    vbs.append(vlo[rows])
-                return sels, ax, int(w), np.stack(vbs)
+                    r = int(rng.integers(0, idx.shape[0]))
+                    sels.append(idx[r])
+                    # v offset clamped so the box fits the grid (the
+                    # builder clamps to the 8-PADDED extent; shifting the
+                    # window down never uncovers a ray — its upper edge
+                    # still reaches gv-1).
+                    offs.append([0, 0, min(int(svlo[r]), gv - w)])
+                if w:
+                    sizes = (int(model.world_size[perm[0]]),
+                             int(model.world_size[perm[1]]), int(w))
+                    return sels, ax, sizes, np.asarray(offs, np.int32)
+                return sels, ax, None, None
             sels = [group_gens[ax]() for _ in range(n_sub)]
-            return sels, ax, 0, None
+            return sels, ax, None, None
 
         build_buckets()
     elif cfg_train.ray_sampler in ("flatten", "in_maskcache") \
@@ -540,16 +562,16 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         index_gen = ray_lib.batch_indices_generator(
             n_pool, cfg_train.N_rand, rng=rng)
 
-        def next_chunk(n_sub):
+        def next_chunk(n_sub, no_window=False):
             return ([np.asarray(next(index_gen)) for _ in range(n_sub)],
-                    None, 0, None)
+                    None, None, None)
 
         def build_buckets():
             pass
     else:
-        def next_chunk(n_sub):
+        def next_chunk(n_sub, no_window=False):
             return ([rng.integers(0, n_pool, cfg_train.N_rand)
-                     for _ in range(n_sub)], None, 0, None)
+                     for _ in range(n_sub)], None, None, None)
 
         def build_buckets():
             pass
@@ -674,25 +696,31 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             tv_state = (apply_tv, tv_dense)
 
         n_sub = chunk_len(global_step)
-        chunk_sels, axis, wv, vbs = next_chunk(n_sub)
+        chunk_sels, axis, wsizes, woffs = next_chunk(n_sub,
+                                                     no_window=apply_tv)
         sels = np.stack([np.asarray(s) for s in chunk_sels]) if n_sub > 1 \
             else chunk_sels[0]
-        clip_sizes, clip_off = clip_plan.get(axis, (None, np.zeros(3,
-                                                                   np.int32)))
-        key = (axis, n_sub, wv)
+        if wsizes is not None:
+            # Segment-window clip: static (full, full, W) box, per-batch
+            # traced v offset (see next_chunk).
+            clip_sizes = wsizes
+            clip_off = woffs if n_sub > 1 else woffs[0]
+        else:
+            clip_sizes, clip_off = clip_plan.get(
+                axis, (None, np.zeros(3, np.int32)))
+            if n_sub > 1:
+                clip_off = np.broadcast_to(np.asarray(clip_off, np.int32),
+                                           (n_sub, 3))
+        key = (axis, n_sub, clip_sizes)
         if key not in train_steps:
             train_steps[key] = make_train_step(
                 model, optimizer, cfg_train, render_kwargs, apply_tv,
                 tv_dense, axis=axis, clip_sizes=clip_sizes, mesh=mesh,
-                n_steps=n_sub, donate=True, wv=wv)
+                n_steps=n_sub, donate=True)
         sels = jnp.asarray(sels, jnp.int32)
-        extra = ()
-        if wv:
-            vb = vbs if n_sub > 1 else vbs[0]
-            extra = (jnp.asarray(vb, jnp.int32),)
         model.params, opt_state, loss, psnr = train_steps[key](
             model.params, model.mask, opt_state, pool, sels,
-            jnp.asarray(clip_off), *extra)
+            jnp.asarray(clip_off))
         psnr_lst.append(psnr)  # scalar (n_sub==1) or [n_sub]
         global_step += n_sub - 1
 

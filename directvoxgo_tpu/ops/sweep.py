@@ -238,8 +238,11 @@ def _sweep_fwd_impl(grid_perm, rays_pv, c, k, guv, interp_dtype,
                 [slabs, jnp.zeros((s_pad - s, gu, cp * gv_k), slabs.dtype)])
         rp = jnp.stack([op, ou, ov, dp_safe, du, dv,
                         jnp.zeros_like(op), jnp.zeros_like(op)])
+        # v_base may carry a trailing batch-level entry for the backward
+        # (segment convention) — the fwd kernel wants per-tile starts only.
         vals = pst.sweep_fwd_pallas(slabs, rp,
-                                    v_base if windowed else None,
+                                    v_base[: n // pst.NT]
+                                    if windowed else None,
                                     c=c, cp=cp, k=k, gu=gu, gv=gv_k,
                                     wv=wv if windowed else 0)
         p_stations = jnp.arange(s, dtype=jnp.float32) / k
@@ -345,6 +348,48 @@ def _sweep_bwd_windowed(c, k, gu, gv, wv, interp_dtype, grid_dtype,
     return d_grid[:, :, :gv].reshape(gp, gu, gv * c).astype(grid_dtype)
 
 
+def _sweep_bwd_segment(c, k, gu, gv, wv, interp_dtype, grid_dtype,
+                       rays_pv, vb_seg, g_vals):
+    """Batch-level v-windowed transpose: the whole batch shares ONE window
+    (the engine's segment sampler draws each batch as consecutive rays of
+    the spatial sort), so every per-station cotangent keeps the efficient
+    full-N rank-3 contraction (59% MXU measured at the e2e shape) — just
+    ``wv`` wide instead of ``Gv``. Carries and outputs are window-sized;
+    one dynamic-update-slice embeds the window into the full grid."""
+    _, n, s = g_vals.shape
+    gp = (s - 1) // k + 1
+    fracs = [j / k for j in range(k)]
+    vb = vb_seg.astype(jnp.float32)
+
+    g_sta = jnp.transpose(g_vals, (2, 0, 1))  # [S, C, N]
+    g_main = g_sta[: (gp - 1) * k].reshape(gp - 1, k, c, n)
+    g_last = g_sta[-1]
+
+    def body(pending, inp):
+        g_z, z = inp
+        d_prev = pending
+        d_next = jnp.zeros_like(pending)
+        for j, f in enumerate(fracs):
+            p_s = z.astype(jnp.float32) - 1.0 + f
+            d_st = _station_cotangent_win(g_z[j], rays_pv, p_s, gu, wv, c,
+                                          vb, interp_dtype)
+            d_prev = d_prev + (1.0 - f) * d_st
+            if j > 0:
+                d_next = d_next + f * d_st
+        return d_next, d_prev
+
+    zs = jnp.arange(1, gp, dtype=jnp.int32)
+    init = jnp.zeros((gu, wv, c), jnp.float32)
+    pending, d_slabs = jax.lax.scan(body, init, (g_main, zs))
+    d_last = pending + _station_cotangent_win(
+        g_last, rays_pv, jnp.float32(gp - 1.0), gu, wv, c, vb, interp_dtype)
+    d_win = jnp.concatenate([d_slabs, d_last[None]], axis=0)
+    gv_p = _round_up(gv, 8)
+    d_grid = jnp.zeros((gp, gu, gv_p, c), jnp.float32)
+    d_grid = jax.lax.dynamic_update_slice(d_grid, d_win, (0, 0, vb_seg, 0))
+    return d_grid[:, :, :gv].reshape(gp, gu, gv * c).astype(grid_dtype)
+
+
 def _sweep_bwd(n_channels, k, guv, dtypes, wv, residuals, cts):
     """Streamed transpose: iter z emits dD[z-1], carries the pending
     contribution to dD[z] (each station between slabs z-1 and z splits its
@@ -358,13 +403,20 @@ def _sweep_bwd(n_channels, k, guv, dtypes, wv, residuals, cts):
     gp = (s - 1) // k + 1
     zeros_rays = jax.tree_util.tree_map(jnp.zeros_like, rays_pv)
     zeros_vb = np.zeros(v_base.shape, jax.dtypes.float0)
-    # Windowed BACKWARDS are off by default: at the e2e shape (162^3-ish,
-    # W=32) the XLA per-tile form loses its FLOP win to HBM round-trips
-    # (44.3 vs 41.4 ms/step) and the Pallas partials kernel to VPU glue +
-    # fold/unpad relayouts (14 + 9.6 + 3.9 ms vs ~16 for the full
-    # transpose) — tools/profile_windowed_step.py, /tmp/bwd_variants probes.
-    # The forward window alone is the win (54 -> 41 ms/step). Both backward
-    # forms are kept behind this flag for future re-tuning.
+    # v_base convention: [n_tiles] entries = per-tile forward windows only;
+    # [n_tiles + 1] entries = the engine drew the batch as one spatial
+    # SEGMENT and the last entry is its batch-level window start — the
+    # backward then keeps the efficient full-N rank-3 contraction, wv wide.
+    if wv and v_base.shape[0] == n // TILE_N + 1 and n % TILE_N == 0:
+        d_grid = _sweep_bwd_segment(c, k, gu, gv, wv, interp_dtype,
+                                    grid_dtype, rays_pv, v_base[-1], g_vals)
+        return d_grid, zeros_rays, zeros_vb
+    # PER-TILE windowed backwards are off by default: at the e2e shape
+    # (162^3-ish, W=32) the XLA per-tile form loses its FLOP win to HBM
+    # round-trips (44.3 vs 41.4 ms/step) and the Pallas partials kernel to
+    # VPU glue + fold/unpad relayouts (14 + 9.6 + 3.9 ms vs ~16 for the
+    # full transpose) — tools/profile_windowed_step.py, /tmp/bwd_variants.
+    # Kept behind this flag for future re-tuning.
     import os
     bwd_windowed = os.environ.get("DVGO_SWEEP_BWD_WINDOWED", "0") != "0"
     if wv and bwd_windowed and v_base.shape[0] > 0 and n % TILE_N == 0:
@@ -503,7 +555,9 @@ def sweep_samples(grid, mask, rays_o, rays_d, xyz_min, xyz_max, axis,
     if tile_windows is not None and clip_sizes is None:
         v_base, wv = tile_windows
         wv = int(wv)
-        if wv >= gv or v_base.shape[0] * TILE_N != rays_o.shape[0]:
+        n_tiles = rays_o.shape[0] // TILE_N
+        if (wv >= gv or rays_o.shape[0] % TILE_N
+                or v_base.shape[0] not in (n_tiles, n_tiles + 1)):
             v_base, wv = jnp.zeros((0,), jnp.int32), 0
     vals, t = station_sweep(grid_perm, (o_pv, d_pv), v_base, c, k, (gu, gv),
                             (interp_dtype, interp_dtype), wv)
@@ -654,4 +708,86 @@ def build_tile_buckets(rays_o, rays_d, xyz_min, xyz_max, world_size, axis,
     rest = np.flatnonzero(assigned < 0)
     if len(rest):
         out[0] = (idx[rest], np.zeros(len(rest), np.int32))
+    return out
+
+
+def build_ray_segments(rays_o, rays_d, xyz_min, xyz_max, world_size, axis,
+                       n_rand=8192, tile_n=TILE_N,
+                       widths=(32, 64, 96)):
+    # (W=128 measured SLOWER than the full sweep at the e2e shape — 64.8 vs
+    # 54.3 ms/step — the window machinery without a real FLOP cut; wide
+    # segments go to the full class instead. tools/profile_windowed_step.)
+    """Spatially-sorted ray SEGMENTS for two-level v-windowed sweeps.
+
+    Like :func:`build_tile_buckets` but each draw unit is one whole batch
+    (``n_rand`` consecutive rays of the sort order): all of a batch's tiles
+    then share one segment-level v-window, which lets the BACKWARD stay a
+    single full-N rank-3 contraction per station (59% MXU measured) at
+    window width instead of Gv — per-tile backward forms lose their FLOP
+    win to HBM traffic (see _sweep_bwd). The sort key is v-endpoint-major
+    (2D Morton over (v at first plane, v at last plane), u bits as a low
+    tiebreak) since only v is ever windowed.
+
+    Returns ``{W: (idx [n_seg, n_rand], seg_vlo [n_seg] int32,
+    tile_vlo [n_seg, n_rand // tile_n] int32)}``; W=0 = full sweep.
+    """
+    n = rays_o.shape[0]
+    n_seg = n // n_rand
+    if n_seg == 0:
+        return {}
+    n_tile = n_rand // tile_n
+    o_pv, d_pv = rays_to_voxel(rays_o, rays_d, xyz_min, xyz_max,
+                               world_size, axis)
+    op, ou, ov = [np.asarray(x) for x in o_pv]
+    dp, du, dv = [np.asarray(x) for x in d_pv]
+    perm = _PERMS[axis]
+    gp = int(world_size[perm[0]])
+    gu = int(world_size[perm[1]])
+    gv = int(world_size[perm[2]])
+    dp_s = np.where(np.abs(dp) < 1e-10, 1e-10, dp)
+    t0 = (0.0 - op) / dp_s
+    t1 = (gp - 1.0 - op) / dp_s
+    v_ends = np.clip(np.stack([ov + t0 * dv, ov + t1 * dv]), -1.0, gv)
+    u_ends = np.clip(np.stack([ou + t0 * du, ou + t1 * du]), -1.0, gu)
+
+    def quant(x, g):
+        return np.clip((x / max(g, 1) * 1024).astype(np.int64), 0, 1023)
+
+    kv0, kv1 = quant(v_ends[0], gv), quant(v_ends[1], gv)
+    code = np.zeros(n, np.int64)
+    for b in range(10):
+        code |= ((kv0 >> b) & 1) << (b * 2)
+        code |= ((kv1 >> b) & 1) << (b * 2 + 1)
+    code = (code << 10) | ((quant(u_ends[0], gu) >> 5) << 5) \
+        | (quant(u_ends[1], gu) >> 5)
+    order = np.argsort(code, kind="stable")
+    idx = order[: n_seg * n_rand].reshape(n_seg, n_rand)
+
+    vmin = np.minimum(v_ends[0], v_ends[1])
+    vmax = np.maximum(v_ends[0], v_ends[1])
+    r0_t = np.maximum(0, np.floor(vmin))[
+        idx.reshape(n_seg, n_tile, tile_n)].min(2)
+    r1_t = np.minimum(gv - 1, np.floor(vmax) + 1)[
+        idx.reshape(n_seg, n_tile, tile_n)].max(2)
+    r0_s, r1_s = r0_t.min(1), r1_t.max(1)
+    needed = (r1_s - r0_s + 1) + 7  # +7: fwd window starts are 8-aligned
+    gv_p8 = _round_up(gv, 8)
+    out = {}
+    assigned = np.full(n_seg, -1, np.int64)
+    for w in sorted(widths):
+        if w >= gv:
+            continue
+        sel_s = np.flatnonzero((assigned < 0) & (needed <= w))
+        if len(sel_s) == 0:
+            continue
+        assigned[sel_s] = w
+        seg_vlo = np.minimum(r0_s[sel_s].astype(np.int64) // 8 * 8,
+                             gv_p8 - w).astype(np.int32)
+        tile_vlo = np.minimum(r0_t[sel_s].astype(np.int64) // 8 * 8,
+                              gv_p8 - w).astype(np.int32)
+        out[int(w)] = (idx[sel_s], seg_vlo, tile_vlo)
+    rest = np.flatnonzero(assigned < 0)
+    if len(rest):
+        out[0] = (idx[rest], np.zeros(len(rest), np.int32),
+                  np.zeros((len(rest), n_tile), np.int32))
     return out

@@ -502,3 +502,37 @@ def test_windowed_bwd_kernel_interpret_matches_xla():
     d_k = pst.fold_bwd_partials(partials, gp, gu, gv, c, cp, k)
     scale = float(jnp.max(jnp.abs(d_ref))) + 1e-9
     assert float(jnp.max(jnp.abs(d_k - d_ref))) < 2e-2 * max(scale, 1.0)
+
+
+def test_station_sweep_segment_window_bwd_parity():
+    """Segment convention (v_base has n_tiles+1 entries; the last is the
+    batch-level window start): the windowed backward must match the full
+    transpose when the segment window covers every ray's v support."""
+    rng = np.random.default_rng(5)
+    gp, gu, gv, c, k = 10, 12, 64, 3, 2
+    n = 2 * sweep_ops.TILE_N
+    grid = jnp.asarray(rng.normal(size=(gp, gu, gv * c)).astype(np.float32))
+    op = jnp.asarray(rng.uniform(1, gp - 2, n).astype(np.float32))
+    dp = jnp.asarray(rng.uniform(0.5, 1.0, n).astype(np.float32))
+    ou = jnp.asarray(rng.uniform(1, gu - 2, n).astype(np.float32))
+    du = jnp.asarray(rng.uniform(-0.3, 0.3, n).astype(np.float32))
+    ov = jnp.asarray(np.concatenate(
+        [rng.uniform(1, 13, sweep_ops.TILE_N),
+         rng.uniform(17, 29, sweep_ops.TILE_N)]).astype(np.float32))
+    dv = jnp.zeros(n, jnp.float32)
+    rays = ((op, ou, ov), (dp, du, dv))
+    wv = 32
+    v_base = jnp.asarray(np.array([0, 8, 0], np.int32))  # tiles..., segment
+    cot = jnp.asarray(rng.normal(
+        size=(c, n, k * (gp - 1) + 1)).astype(np.float32))
+    none_vb = jnp.zeros((0,), jnp.int32)
+
+    def loss(g, vb, w):
+        vals, _ = sweep_ops.station_sweep(g, rays, vb, c, k, (gu, gv),
+                                          (F32, F32), w)
+        return jnp.sum(vals * cot)
+
+    g_full = np.asarray(jax.grad(loss)(grid, none_vb, 0))
+    g_seg = np.asarray(jax.grad(loss)(grid, v_base, wv))
+    scale = max(1.0, np.abs(g_full).max())
+    assert np.abs(g_seg - g_full).max() < 1e-4 * scale

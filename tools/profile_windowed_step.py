@@ -61,26 +61,32 @@ def main():
 
     for axis in range(3):
         gidx = np.flatnonzero(groups == axis)
-        bk = sweep_ops.build_tile_buckets(
+        bk = sweep_ops.build_ray_segments(
             ro[gidx], rd[gidx], model.xyz_min, model.xyz_max,
-            model.world_size, axis)
+            model.world_size, axis, n_rand=n_rand)
         sizes = {w: v[0].size for w, v in bk.items()}
         log(f"axis {axis}: pool {len(gidx)} classes {sizes}")
+        perm = sweep_ops._PERMS[axis]
+        gv = int(model.world_size[perm[2]])
         for w in sorted(bk.keys()):
-            idx, vlo = bk[w]
-            if idx.shape[0] < n_tile:
+            idx, svlo, tvlo = bk[w]
+            if idx.shape[0] < 1:
                 continue
+            # Window-as-clip, exactly as the engine draws it: static
+            # (full p, full u, W) box + traced v offset -> region-grad
+            # mode + region-sliced Adam shrink every full-grid pass too.
+            sizes = (int(model.world_size[perm[0]]),
+                     int(model.world_size[perm[1]]), int(w)) if w else None
             step = train_lib.make_train_step(
                 model, optimizer, cfg_train, rk, apply_tv=False,
-                tv_dense=False, axis=axis, clip_sizes=None, donate=True,
-                wv=w)
-            rows = rng.integers(0, idx.shape[0], n_tile)
-            sel = jnp.asarray(gidx[idx[rows]].reshape(-1), jnp.int32)
-            vb = jnp.asarray(vlo[rows], jnp.int32)
-            extra = (vb,) if w else ()
+                tv_dense=False, axis=axis, clip_sizes=sizes, donate=True)
+            r = int(rng.integers(0, idx.shape[0]))
+            sel = jnp.asarray(gidx[idx[r]], jnp.int32)
+            extra = ()
             params = jax.tree_util.tree_map(jnp.copy, model.params)
             opt_state = optimizer.init(model.params)
-            co = jnp.zeros(3, jnp.int32)
+            co = jnp.asarray([0, 0, min(int(svlo[r]), gv - w)] if w
+                             else [0, 0, 0], jnp.int32)
             t0 = time.time()
             out = step(params, model.mask, opt_state, pool, sel, co, *extra)
             params, opt_state = out[0], out[1]
