@@ -157,11 +157,18 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
     # box-sized — the dynamic_slice VJP otherwise pads them back to the full
     # grid with a layout copy (~1.5 ms/step at 160^3, tools/trace_train_step)
     # only for the region-sliced Adam to re-slice the box. Exact because the
-    # sweep reads nothing outside the box. TV steps need full-grid gradients,
-    # so they keep the legacy path.
-    region_mode = (axis is not None and clip_sizes is not None
-                   and not apply_tv)
+    # sweep reads nothing outside the box AND skip_zero_grad Adam leaves
+    # zero-grad voxels untouched. Plain Adam (coarse stage:
+    # skip_zero_grad_fields=[]) decays moments everywhere each step, so
+    # box-limited updates would diverge from reference semantics — those
+    # steps keep the legacy clip path (full-size grads via the slice VJP,
+    # full-grid Adam). TV steps likewise need full-grid gradients.
     grid_names = [n for n in ("density", "k0") if n in trainable_names]
+    all_skip = all(
+        bool(optimizer.group_cfg.get(n, {}).get("skip_zero_grad", False))
+        for n in grid_names)
+    region_mode = (axis is not None and clip_sizes is not None
+                   and not apply_tv and all_skip and grid_names != [])
     if region_mode:
         from ..ops import sweep as sweep_ops
         perm = sweep_ops._PERMS[axis]

@@ -137,3 +137,61 @@ def test_dryrun_multichip_engine_path():
     """The driver-facing dryrun exercises the shipping fast path."""
     import __graft_entry__ as ge
     ge.dryrun_multichip(len(jax.devices()))
+
+
+def test_clip_step_plain_adam_full_moment_decay():
+    """Clip boxes + plain Adam (coarse stage: skip_zero_grad_fields=[]):
+    region-grad mode must NOT activate — plain Adam decays moments
+    everywhere each step, so a box-limited update would diverge from
+    reference semantics (and previously crashed on a moment/grad shape
+    mismatch when the segment-window sampler introduced clip boxes to the
+    coarse stage). The clipped step must run and match the unclipped step
+    exactly (the sweep reads nothing outside the box)."""
+    model = _model()
+    cfg_train = _cfg_train()
+    cfg_train.skip_zero_grad_fields = []  # coarse-stage optimizer semantics
+    optimizer = train_lib.create_optimizer_or_freeze_model(model, cfg_train)
+    opt_state = optimizer.init(model.params)
+    # Narrow fan straight down -z so the rays' v footprint (axis-2 sweep:
+    # v = y) stays in the middle half of the grid — the W=8 window below
+    # provably covers every sample.
+    rng = np.random.default_rng(7)
+    ro = jnp.asarray(np.tile([[0.0, 0.0, 2.5]], (N_RAYS, 1)).astype(
+        np.float32))
+    d = rng.normal(size=(N_RAYS, 3)).astype(np.float32)
+    d[:, :2] *= 0.05
+    d[:, 2] = -np.abs(d[:, 2]) - 1.0
+    rd = jnp.asarray(d)
+    vd = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    pool = {"rgb": jnp.asarray(np.random.default_rng(2).uniform(
+                0, 1, (N_RAYS, 3)).astype(np.float32)),
+            "rays_o": ro, "rays_d": rd, "viewdirs": vd}
+    sel = jnp.arange(N_RAYS, dtype=jnp.int32)
+    # window-as-clip in PERMUTED (p, u, v) order, as the engine draws it
+    from directvoxgo_tpu.ops import sweep as sweep_ops
+    perm = sweep_ops._PERMS[2]
+    gp, gu, gv = (int(model.world_size[a]) for a in perm)
+    clip_sizes = (gp, gu, gv // 2)
+    clip_off = jnp.asarray([0, 0, gv // 4], jnp.int32)
+
+    step_clip = train_lib.make_train_step(
+        model, optimizer, cfg_train, RK, apply_tv=False, tv_dense=False,
+        axis=2, clip_sizes=clip_sizes)
+    p_c, o_c, loss_c, _ = step_clip(model.params, model.mask, opt_state,
+                                    pool, sel, clip_off)
+
+    step_full = train_lib.make_train_step(
+        model, optimizer, cfg_train, RK, apply_tv=False, tv_dense=False,
+        axis=2, clip_sizes=None)
+    p_f, o_f, loss_f, _ = step_full(model.params, model.mask, opt_state,
+                                    pool, sel, jnp.zeros(3, jnp.int32))
+
+    assert abs(float(loss_c) - float(loss_f)) < 1e-6
+    for n in ("density", "k0"):
+        np.testing.assert_allclose(np.asarray(p_c[n]), np.asarray(p_f[n]),
+                                   rtol=1e-4, atol=1e-6, err_msg=n)
+        # moments must have decayed OUTSIDE the clip box too (plain Adam)
+        m_c = np.asarray(o_c["exp_avg_sq"][n])
+        m_f = np.asarray(o_f["exp_avg_sq"][n])
+        np.testing.assert_allclose(m_c, m_f, rtol=1e-4, atol=1e-7,
+                                   err_msg=f"{n} moments")
