@@ -357,6 +357,17 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                              xyz_max, data_dict, stage,
                              coarse_ckpt_path=None):
     """One optimization stage (run.py:199-437)."""
+    # Stage phase timers: the first measured full-length run spent ~40% of
+    # its coarse-stage wall-clock OUTSIDE the training loop; keep the
+    # breakdown visible so setup regressions surface (PERF_LOG round 3).
+    _t_stage = time.time()
+    _t_mark = [_t_stage]
+
+    def _phase(name):
+        now = time.time()
+        print(f"scene_rep_reconstruction ({stage}): [phase] {name} "
+              f"{now - _t_mark[0]:.1f} s (t+{now - _t_stage:.1f})")
+        _t_mark[0] = now
     if stage == "fine" and not cfg.fine_model_and_render.get(
             "use_coarse_geo", True):
         coarse_ckpt_path = None
@@ -373,7 +384,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         reload_ckpt_path = None
     elif getattr(args, "ft_path", ""):
         reload_ckpt_path = args.ft_path
-    elif os.path.isfile(last_ckpt_path):
+    elif ckpt_lib.checkpoint_exists(last_ckpt_path):
         reload_ckpt_path = last_ckpt_path
     else:
         reload_ckpt_path = None
@@ -415,8 +426,10 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         "flip_x": cfg.data.flip_x, "flip_y": cfg.data.flip_y,
     }
 
+    _phase("model+optimizer init")
     rgb_tr, rays_o_tr, rays_d_tr, viewdirs_tr, imsz = gather_training_rays(
         model, cfg, cfg_train, data_dict, render_kwargs)
+    _phase("gather_training_rays")
 
     # SPMD data parallelism over a 1-D 'data' mesh (opt-in via
     # --data_parallel): ray batches shard across chips, everything else is
@@ -449,12 +462,16 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         from ..parallel import replicate
         pool = jax.device_put(pool, replicate(mesh))
     n_pool = pool["rgb"].shape[0]
+    jax.block_until_ready(pool["rgb"])
+    _phase("ray pool device put")
     rng = np.random.default_rng(getattr(args, "seed", 777))
 
     # Station-sweep fast path: group the pool by each ray's dominant axis so
     # every batch shares a static sweep axis (directvoxgo_tpu/ops/sweep.py).
     use_sweep = (getattr(model, "query_mode", "gather") == "sweep"
                  and hasattr(model, "forward_sweep"))
+    sweep_axes = []   # axes with rays (precompile_steps enumerates these)
+    bucket_ok = False
     if use_sweep:
         from ..ops import sweep as sweep_ops
         forced = getattr(model, "forced_sweep_axis", None)
@@ -463,12 +480,15 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             # sampler is a z-station sweep; models/dmpigo.py forward_sweep).
             groups = np.full(int(pool["rays_d"].shape[0]), forced, np.int64)
         else:
+            # rays_d_np is the host copy the pool was built from — pulling
+            # pool["rays_d"] back off the device costs a 77 MB tunnel
+            # round-trip (measured up to ~70 s in a bandwidth trough).
             groups = sweep_ops.dominant_axis(
-                np.asarray(pool["rays_d"]), model.xyz_min, model.xyz_max,
-                model.world_size)
+                rays_d_np, model.xyz_min, model.xyz_max, model.world_size)
         group_idx = [np.flatnonzero(groups == ax) for ax in range(3)]
         group_p = np.array([len(g) for g in group_idx], np.float64)
         group_p = group_p / group_p.sum()
+        sweep_axes = [ax for ax in range(3) if len(group_idx[ax]) > 0]
         print("gather_training_rays: sweep axis groups",
               [len(g) for g in group_idx])
         group_gens = []
@@ -503,23 +523,44 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                           % sweep_ops.TILE_N == 0))
         buckets = {}  # ax -> {W: (idx [n_seg, N_rand], seg_vlo, tile_vlo)}
 
+        # The segment sort is pure host work (3 argsorts over the pool,
+        # ~10-20 s at lego scale) on data that never changes within a pg
+        # stage — build it in a background thread and draw unbucketed (full
+        # sweeps) until it lands, instead of stalling the stage start and
+        # every pg_scale event (measured 15-74 s per build on the shared
+        # CPU, PERF_LOG round 3).
+        import threading
+        bucket_builds = {"thread": None, "epoch": 0}
+
         def build_buckets():
-            buckets.clear()
             if not bucket_ok:
                 return
-            for ax in range(3):
-                g = group_idx[ax]
-                if len(g) < cfg_train.N_rand:
-                    buckets[ax] = None
-                    continue
-                b = sweep_ops.build_ray_segments(
-                    rays_o_np[g], rays_d_np[g], model.xyz_min,
-                    model.xyz_max, model.world_size, ax,
-                    n_rand=cfg_train.N_rand)
-                b = {w: (g[idx], svlo, tvlo)
-                     for w, (idx, svlo, tvlo) in b.items()
-                     if idx.shape[0] > 0}
-                buckets[ax] = b or None
+            bucket_builds["epoch"] += 1
+            epoch = bucket_builds["epoch"]
+            buckets.clear()
+            xyz_min, xyz_max = model.xyz_min, model.xyz_max
+            world_size = tuple(int(x) for x in model.world_size)
+
+            def work():
+                for ax in range(3):
+                    g = group_idx[ax]
+                    if len(g) < cfg_train.N_rand:
+                        out = None
+                    else:
+                        b = sweep_ops.build_ray_segments(
+                            rays_o_np[g], rays_d_np[g], xyz_min, xyz_max,
+                            world_size, ax, n_rand=cfg_train.N_rand)
+                        out = {w: (g[idx], svlo, tvlo)
+                               for w, (idx, svlo, tvlo) in b.items()
+                               if idx.shape[0] > 0} or None
+                    if bucket_builds["epoch"] != epoch:
+                        return  # superseded by a pg_scale rebuild
+                    buckets[ax] = out
+
+            t = threading.Thread(target=work, daemon=True,
+                                 name="segment-sort")
+            bucket_builds["thread"] = t
+            t.start()
 
         def next_chunk(n_sub, no_window=False):
             # The axis is chosen ONCE per chunk and all n_sub batches are
@@ -540,7 +581,16 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             # need full-grid gradients (no_window).
             clipped = clip_plan.get(ax, (None, None))[0] is not None
             if bk is not None and not clipped and not no_window:
-                ws = list(bk.keys())
+                perm_w = sweep_ops._PERMS[ax]
+                full_pu = (int(model.world_size[perm_w[0]]),
+                           int(model.world_size[perm_w[1]]))
+                # Only window classes whose program already landed from the
+                # background compiler — draws never stall on a compile.
+                ws = [w for w in bk.keys()
+                      if (ax, 1, (*full_pu, int(w))) in train_steps]
+                if not ws:
+                    return ([group_gens[ax]() for _ in range(n_sub)], ax,
+                            None, None)
                 counts = np.array([bk[w][0].size for w in ws], np.float64)
                 w = ws[int(rng.choice(len(ws), p=counts / counts.sum()))]
                 idx, svlo, _ = bk[w]
@@ -564,6 +614,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             return sels, ax, None, None
 
         build_buckets()
+        _phase("build_buckets (segment sort)")
     elif cfg_train.ray_sampler in ("flatten", "in_maskcache") \
             and n_pool >= cfg_train.N_rand:
         index_gen = ray_lib.batch_indices_generator(
@@ -593,6 +644,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         opt_state = MaskedAdam.set_pervoxel_lr(opt_state, cnt)
         model.params["density"] = jnp.where(
             cnt <= 2, -100.0, model.params["density"])
+        _phase("voxel_count_views / pervoxel lr")
 
     psnr_lst = []
     time0 = time.time()
@@ -630,6 +682,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             clip_plan[ax] = new
 
     refresh_clip()
+    _phase("initial refresh_clip")
 
     # Step batching: up to K optimizer steps per dispatch via lax.scan (see
     # make_train_step). On a remote-attached chip the per-dispatch latency
@@ -641,11 +694,14 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     # share the sweep axis — chosen once per chunk, with every batch in
     # the chunk drawn from that axis group (see next_chunk).
     # Default: batch dispatches only while the step is dispatch-bound
-    # (small grids; the fixture coarse stage runs 1.7x faster at K=8). At
+    # (small grids; the lego-scale coarse loop at 106^3 ran 2.3x faster at
+    # K=8 — 94.5 -> 40.3 s per 1500 iters, /tmp/coarse_k{1,8} probes). At
     # 160^3 the step is device-bound and scanning measurably HURTS (31 ->
     # 40 ms/step: the scan body can't alias the region-sliced updates as
-    # well); cfg_train.steps_per_dispatch overrides either way.
-    small_grid = int(np.prod(model.world_size)) <= 96 ** 3
+    # well); cfg_train.steps_per_dispatch overrides either way. The 1.1M
+    # threshold deliberately covers the reference's default 100^3-class
+    # coarse stage.
+    small_grid = int(np.prod(model.world_size)) <= 1_100_000
     n_dispatch = max(int(cfg_train.get("steps_per_dispatch",
                                        8 if small_grid else 1)), 1)
     pg_set = set(cfg_train.pg_scale)
@@ -668,7 +724,102 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                     or (j - 1) % args.i_weights == 0):
                 break
             length += 1
-        return length
+        # Quantize to {1, n_dispatch}: every distinct scan length is a
+        # separately compiled program (the lax.scan trip count is static),
+        # and the first full-length run showed the (axis, n_sub, clip-class)
+        # cross-product exploding into 100+ XLA programs — more wall-clock
+        # in compiles than in training. Boundary-adjacent steps dispatch
+        # singly instead (<= n_dispatch-1 extra dispatches per boundary,
+        # ~30 ms each — noise next to a single ~2-6 s compile).
+        return length if length == n_dispatch else 1
+
+    # Compile-ahead machinery. Two tiers (measured, probe4/5: the remote
+    # XLA service serializes compile requests, so 12 windowed programs cost
+    # 68-149 s even submitted concurrently — stalling the stage/pg start
+    # that long is worse than briefly training without windows):
+    #   * FALLBACK programs (per-axis clip/full sweeps, both dispatch
+    #     widths) compile synchronously-concurrently — the loop needs one
+    #     to run its first step.
+    #   * WINDOW programs compile in a background thread while the loop
+    #     trains on fallbacks; each inserts into train_steps as it lands,
+    #     and next_chunk only draws window classes whose program is ready.
+    # Throwaway warm-up calls run each program once on copies, so jit's
+    # internal cache (not the AOT path) holds the executable the loop hits.
+    import concurrent.futures as cf
+    compile_state = {"epoch": 0,
+                     "bg": cf.ThreadPoolExecutor(
+                         max_workers=2, thread_name_prefix="step-compile")}
+
+    def _build_and_warm(key, tv_pair, epoch):
+        ax, ns, csizes = key
+        fn = make_train_step(
+            model, optimizer, cfg_train, render_kwargs, tv_pair[0],
+            tv_pair[1], axis=ax, clip_sizes=csizes, mesh=mesh,
+            n_steps=ns, donate=True)
+        n_rand = int(cfg_train.N_rand)
+        p = jax.tree_util.tree_map(jnp.copy, model.params)
+        o = jax.tree_util.tree_map(jnp.copy, opt_state)
+        sel = jnp.zeros((ns, n_rand) if ns > 1 else (n_rand,), jnp.int32)
+        co = jnp.zeros((ns, 3) if ns > 1 else (3,), jnp.int32)
+        if mesh is not None:
+            from ..parallel import replicate
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sel = jax.device_put(sel, NamedSharding(
+                mesh, P(None, "data") if ns > 1 else P("data")))
+            co = jax.device_put(co, replicate(mesh))
+        fn(p, model.mask, o, pool, sel, co)
+        # outputs (and the donated copies) drop on return; HBM frees once
+        # the throwaway step completes
+        if compile_state["epoch"] == epoch:  # stale after pg_scale/tv flip
+            train_steps[key] = fn
+
+    def precompile_steps(at_step):
+        if getattr(cfg_train, "precompile", True) is False:
+            return
+        apply_tv_n, tv_dense_n = tv_state_of(at_step)
+        epoch = compile_state["epoch"]
+        fallback, windowed = [], []
+        if use_sweep and sweep_axes:
+            from ..ops import sweep as sweep_ops
+            for ax in sweep_axes:
+                csizes = clip_plan.get(ax, (None, None))[0]
+                for ns in sorted({1, n_dispatch}):
+                    fallback.append((ax, ns, csizes))
+                if (csizes is None and bucket_ok and n_dispatch == 1
+                        and not apply_tv_n):
+                    perm = sweep_ops._PERMS[ax]
+                    gp = int(model.world_size[perm[0]])
+                    gu = int(model.world_size[perm[1]])
+                    gv = int(model.world_size[perm[2]])
+                    for w in (32, 64, 96):
+                        if w < gv:
+                            windowed.append((ax, 1, (gp, gu, w)))
+        else:
+            fallback.append((None, 1, None))
+            if n_dispatch > 1:
+                fallback.append((None, n_dispatch, None))
+        tv_pair = (apply_tv_n, tv_dense_n)
+        fallback = [k for k in fallback if k not in train_steps]
+        t0 = time.time()
+        if fallback:
+            with cf.ThreadPoolExecutor(max_workers=4) as ex:
+                list(ex.map(lambda k: _build_and_warm(k, tv_pair, epoch),
+                            fallback))
+            print(f"scene_rep_reconstruction ({stage}): [phase] "
+                  f"precompiled {len(fallback)} fallback step programs in "
+                  f"{time.time()-t0:.1f} s")
+        for k in windowed:
+            if k not in train_steps:
+                compile_state["bg"].submit(_build_and_warm, k, tv_pair,
+                                           epoch)
+
+    # Seed tv_state with the first iteration's value BEFORE precompiling:
+    # the loop clears train_steps on any tv-state change, and a None seed
+    # made the first iteration wipe every just-precompiled program (probe5:
+    # 12 x ~2.5 s re-jits right after a 68 s precompile).
+    tv_state = tv_state_of(start + 1)
+    precompile_steps(start + 1)
+    _phase("precompile_steps")
 
     global_step = start
     ran_any = False
@@ -677,8 +828,11 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         ran_any = True
         # Occupancy cache renewal (run.py:330-332).
         if (global_step + 500) % 1000 == 0:
+            _t_r = time.time()
             model.update_occupancy_cache()
             refresh_clip()
+            print(f"scene_rep_reconstruction ({stage}): [phase] renewal at "
+                  f"{global_step}: {time.time() - _t_r:.2f} s")
 
         # Progressive scaling (run.py:335-345).
         if global_step in pg_set:
@@ -692,19 +846,27 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             optimizer = create_optimizer_or_freeze_model(model, cfg_train)
             opt_state = optimizer.init(model.params)
             model.params["density"] = model.params["density"] - 1
+            compile_state["epoch"] += 1  # in-flight compiles now stale
             train_steps = {}  # shapes changed -> re-jit
             clip_plan.clear()
             refresh_clip()
             build_buckets()  # window stats are in voxel units
+            tv_state = tv_state_of(global_step)  # keep precompiles (above)
+            precompile_steps(global_step)
 
         apply_tv, tv_dense = tv_state_of(global_step)
         if tv_state != (apply_tv, tv_dense):
+            compile_state["epoch"] += 1
             train_steps = {}
             tv_state = (apply_tv, tv_dense)
 
         n_sub = chunk_len(global_step)
-        chunk_sels, axis, wsizes, woffs = next_chunk(n_sub,
-                                                     no_window=apply_tv)
+        # Windows only in single-step dispatch mode (big grids): at small
+        # grids the full sweep is cheap and dispatch-bound (that's why
+        # n_dispatch > 1 there), while windows would multiply the compiled-
+        # program count by the number of width classes.
+        chunk_sels, axis, wsizes, woffs = next_chunk(
+            n_sub, no_window=apply_tv or n_sub > 1 or n_dispatch > 1)
         sels = np.stack([np.asarray(s) for s in chunk_sels]) if n_sub > 1 \
             else chunk_sels[0]
         if wsizes is not None:
@@ -725,9 +887,17 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                 tv_dense, axis=axis, clip_sizes=clip_sizes, mesh=mesh,
                 n_steps=n_sub, donate=True)
         sels = jnp.asarray(sels, jnp.int32)
+        _t_d = time.time()
         model.params, opt_state, loss, psnr = train_steps[key](
             model.params, model.mask, opt_state, pool, sels,
             jnp.asarray(clip_off))
+        _t_d = time.time() - _t_d
+        if _t_d > 1.0:
+            # A dispatch call only blocks this long when it compiled (or a
+            # renewal sync drained the queue) — keep compiles visible, they
+            # dominated the first full-length run (PERF_LOG round 3).
+            print(f"scene_rep_reconstruction ({stage}): [phase] slow "
+                  f"dispatch at {global_step}: {_t_d:.1f} s key={key}")
         psnr_lst.append(psnr)  # scalar (n_sub==1) or [n_sub]
         global_step += n_sub - 1
 
@@ -747,11 +917,18 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             path = os.path.join(cfg.basedir, cfg.expname,
                                 f"{stage}_{global_step:06d}.tar")
             ckpt_lib.save_model_checkpoint(path, model, global_step,
-                                           opt_state)
+                                           opt_state, async_=True)
 
+    _phase("train loop")
+    compile_state["epoch"] += 1
+    compile_state["bg"].shutdown(wait=False, cancel_futures=True)
     if ran_any:
+        # Async: the ~600 MB device->host pull (minutes over a remote
+        # tunnel) overlaps the next stage's setup/compiles or eval; readers
+        # of the path get the device payload from the in-memory cache.
         ckpt_lib.save_model_checkpoint(last_ckpt_path, model, global_step,
-                                       opt_state)
+                                       opt_state, async_=True)
+        _phase("final checkpoint dispatch (async)")
     return model
 
 

@@ -337,9 +337,16 @@ class DirectVoxGO:
                                      jnp.asarray(self.xyz_max), grid.shape[:3])
         return grid_ops.trilinear_sample(grid, idx)
 
-    def hit_coarse_geo(self, rays_o, rays_d, near, far, stepsize, **_):
+    def hit_coarse_geo(self, rays_o, rays_d, near, far, stepsize,
+                       defer=False, **_):
         """True for rays whose samples hit the cached occupancy
-        (lib/dvgo.py:412-423). Chunked host wrapper around a jitted core."""
+        (lib/dvgo.py:412-423). Chunked host wrapper around a jitted core.
+
+        ``defer=True`` returns ``(device_chunks, n)`` without syncing, so a
+        caller looping over many views can dispatch every query before
+        pulling any result (each sync over the remote tunnel costs a ~27 ms+
+        round trip; the serial per-view form measured 45-66 s for a 40-view
+        400^2 gather — see rays.get_training_rays_in_maskcache_sampling)."""
         rays_o = np.asarray(rays_o, np.float32).reshape(-1, 3)
         rays_d = np.asarray(rays_d, np.float32).reshape(-1, 3)
         n = rays_o.shape[0]
@@ -356,10 +363,11 @@ class DirectVoxGO:
             outs.append(self._hit_coarse_geo_jit(
                 self.mask, ro[i:i + chunk], rd[i:i + chunk],
                 float(near), float(far), float(stepsize)))
+        if defer:
+            return outs, n
         return np.concatenate([np.asarray(o) for o in outs])[:n]
 
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
-    def _hit_coarse_geo_jit(self, mask, rays_o, rays_d, near, far, stepsize):
+    def _hit_from_rays(self, mask, rays_o, rays_d, near, far, stepsize):
         stepdist = stepsize * self.voxel_size
         n_samples = rm.max_samples_for_bbox(self.xyz_min, self.xyz_max,
                                             stepdist)
@@ -371,6 +379,55 @@ class DirectVoxGO:
         occ = grid_ops.occupancy_lookup_parts(mask, px, py, pz,
                                               bbox_min, bbox_max)
         return jnp.any(occ & valid, axis=-1)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+    def _hit_coarse_geo_jit(self, mask, rays_o, rays_d, near, far, stepsize):
+        return self._hit_from_rays(mask, rays_o, rays_d, near, far, stepsize)
+
+    def hit_coarse_geo_view(self, H, W, K, c2w, near, far, stepsize,
+                            inverse_y=False, flip_x=False, flip_y=False,
+                            **_):
+        """One whole view's hit mask with DEVICE-side ray generation.
+
+        The host-ray form ships ~3.8 MB of rays up per 400^2 view (~176 MB
+        for a 46-view gather — tens of seconds over the dev tunnel); here
+        only (K, c2w) go up and [H*W] booleans come back, and the per-pixel
+        ray math (rays.get_rays 'center' mode) runs on-device. K and c2w
+        are traced, so every view of a split shares one compiled program.
+        Returns a device array — callers batch the pulls."""
+        return self._hit_view_jit(
+            self.mask, jnp.asarray(np.asarray(K, np.float32)),
+            jnp.asarray(np.asarray(c2w, np.float32)[:3, :4]), int(H),
+            int(W), bool(inverse_y), bool(flip_x), bool(flip_y),
+            float(near), float(far), float(stepsize))
+
+    @functools.partial(jax.jit,
+                       static_argnums=(0, 4, 5, 6, 7, 8, 9, 10, 11))
+    def _hit_view_jit(self, mask, K, c2w, H, W, inverse_y, flip_x, flip_y,
+                      near, far, stepsize):
+        j, i = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                            jnp.arange(W, dtype=jnp.float32), indexing="ij")
+        i, j = i + 0.5, j + 0.5
+        if flip_x:
+            i = i[:, ::-1]
+        if flip_y:
+            j = j[::-1, :]
+        u = (i - K[0, 2]) / K[0, 0]
+        v = (j - K[1, 2]) / K[1, 1]
+        if inverse_y:
+            dirs = (u, v, jnp.ones_like(u))
+        else:
+            dirs = (u, -v, -jnp.ones_like(u))
+        # Elementwise row combination, NOT a dot: TPU matmuls default to
+        # bf16 operands, which would perturb sample points vs the host f32
+        # ray math that builds the training pool.
+        rot = c2w[:3, :3]
+        rays_d = jnp.stack(
+            [dirs[0] * rot[r, 0] + dirs[1] * rot[r, 1] + dirs[2] * rot[r, 2]
+             for r in range(3)], -1).reshape(-1, 3)
+        rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+        return self._hit_from_rays(mask, rays_o, rays_d, near, far,
+                                   stepsize)
 
     # ------------------------------------------------------------ forward
 
@@ -773,12 +830,29 @@ class DirectVoxGO:
         """Count, per voxel, how many training views touch it.
 
         The reference backprops through grid_sample of a ones-grid
-        (lib/dvgo.py:265-295); here we take the VJP of the trilinear sampler,
-        which scatters exactly the same interpolation weights.
+        (lib/dvgo.py:265-295). Two implementations:
+
+        * sweep models: the count field IS the station-sweep transpose with
+          ones cotangents — per station a dense [Gu,N]x[N,Gv] interp-row
+          product on the MXU, no scatter. The XLA scatter form below queued
+          ~165 s of TPU work at lego scale (the per-sample 8-corner
+          scatter-add is the pathological op class on TPU); this runs in a
+          few seconds. Station samples sit on sweep-axis planes rather than
+          the reference's fixed arc-length steps, so per-sample weights
+          differ by the |d_axis| spacing factor (<= sqrt(3)); the >1
+          view-threshold makes the resulting count field near-identical
+          (tested against the scatter form in tests/test_model.py).
+        * otherwise: VJP of the trilinear sampler (exact reference weights).
         """
         print("dvgo: voxel_count_views start")
         import time as _t
         t0 = _t.time()
+        if getattr(self, "query_mode", "gather") == "sweep":
+            out = self._voxel_count_views_sweep(
+                rays_o_tr, rays_d_tr, imsz, stepsize, downrate)
+            print(f"dvgo: voxel_count_views finish (sweep form, eps time: "
+                  f"{_t.time()-t0} sec)")
+            return out
         count = jnp.zeros(self.world_size, jnp.float32)
         n_samples = int(np.linalg.norm(np.array(self.world_size) + 1)
                         / stepsize) + 1
@@ -836,4 +910,72 @@ class DirectVoxGO:
                                              jnp.asarray(ray_w[i:i + CHUNK]))
             count = count + (g_view > 1).astype(jnp.float32)
         print(f"dvgo: voxel_count_views finish (eps time: {_t.time()-t0} sec)")
+        return count
+
+    def _voxel_count_views_sweep(self, rays_o_tr, rays_d_tr, imsz, stepsize,
+                                 downrate=1):
+        """Scatter-free view counting (see :meth:`voxel_count_views`)."""
+        from ..ops import sweep as sweep_ops
+
+        count = jnp.zeros(self.world_size, jnp.float32)
+        k = sweep_ops.substeps_for_stepsize(stepsize)
+        count_fns = {}  # (axis, n) -> jitted per-view count-field fn
+
+        def make_count_fn(axis, n):
+            perm = sweep_ops._PERMS[axis]
+            gp, gu, gv = (int(self.world_size[a]) for a in perm)
+            inv_perm = tuple(int(x) for x in np.argsort(perm))
+            no_vb = jnp.zeros((0,), jnp.int32)
+
+            @jax.jit
+            def count_fn(ro, rd, ray_w):
+                rays_pv = sweep_ops.rays_to_voxel(
+                    ro, rd, self.xyz_min, self.xyz_max, self.world_size,
+                    axis)
+
+                def tot(grid_perm):
+                    vals, _ = sweep_ops.station_sweep(
+                        grid_perm, rays_pv, no_vb, 1, k, (gu, gv),
+                        (jnp.float32, jnp.float32), 0)
+                    return jnp.sum(vals[0] * ray_w[:, None])
+
+                g = jax.grad(tot)(jnp.zeros((gp, gu, gv), jnp.float32))
+                return jnp.transpose(g, inv_perm)
+
+            return count_fn
+
+        views_o = np.split(np.asarray(rays_o_tr), np.cumsum(imsz)[:-1]) \
+            if not isinstance(rays_o_tr, list) else rays_o_tr
+        views_d = np.split(np.asarray(rays_d_tr), np.cumsum(imsz)[:-1]) \
+            if not isinstance(rays_d_tr, list) else rays_d_tr
+        for ro, rd in zip(views_o, views_d):
+            ro, rd = np.asarray(ro), np.asarray(rd)
+            while ro.ndim > 3:
+                ro, rd = ro[0], rd[0]
+            if ro.ndim == 3:
+                ro = ro[::downrate, ::downrate].reshape(-1, 3)
+                rd = rd[::downrate, ::downrate].reshape(-1, 3)
+            else:
+                ro = ro.reshape(-1, 3)
+                rd = rd.reshape(-1, 3)
+            # One sweep axis per view (the camera's dominant look direction
+            # by ray majority): off-axis rays still sample correctly, just
+            # at wider station spacing.
+            axes = sweep_ops.dominant_axis(rd, self.xyz_min, self.xyz_max,
+                                           self.world_size)
+            axis = int(np.bincount(axes, minlength=3).argmax())
+            n = ro.shape[0]
+            n_pad = _round_up(max(n, 1), 1024)
+            ray_w = np.zeros((n_pad,), np.float32)
+            ray_w[:n] = 1.0
+            ro = np.concatenate([ro, np.zeros((n_pad - n, 3), np.float32)])
+            rd_pad = np.ones((n_pad - n, 3), np.float32)
+            rd_pad[:, axis] = 1.0  # keep padded rays' d_p nonzero
+            rd = np.concatenate([rd, rd_pad])
+            key = (axis, n_pad)
+            if key not in count_fns:
+                count_fns[key] = make_count_fn(axis, n_pad)
+            g_view = count_fns[key](jnp.asarray(ro), jnp.asarray(rd),
+                                    jnp.asarray(ray_w))
+            count = count + (g_view > 1).astype(jnp.float32)
         return count

@@ -472,6 +472,8 @@ def _sweep_bwd(n_channels, k, guv, dtypes, wv, residuals, cts):
 
     zs = jnp.arange(1, gp, dtype=jnp.int32)
     init = jnp.zeros((gu, gv, c), jnp.float32)
+    # (scan unroll=2/4 measured 22.5/24.1 vs 21.5 ms/step at the windowed
+    # e2e shape -- no latency win to recover, the bodies are matmul-bound.)
     pending, d_slabs = jax.lax.scan(body, init, (g_main, zs))
     d_last = pending + _station_cotangent(g_last, rays_pv,
                                           jnp.float32(gp - 1.0), gu, gv, c,
@@ -736,11 +738,20 @@ def build_ray_segments(rays_o, rays_d, xyz_min, xyz_max, world_size, axis,
     if n_seg == 0:
         return {}
     n_tile = n_rand // tile_n
-    o_pv, d_pv = rays_to_voxel(rays_o, rays_d, xyz_min, xyz_max,
-                               world_size, axis)
-    op, ou, ov = [np.asarray(x) for x in o_pv]
-    dp, du, dv = [np.asarray(x) for x in d_pv]
+    # Pure-numpy voxel transform: the jnp rays_to_voxel would round-trip
+    # ~50-150 MB of per-component arrays through the device (measured 15-74 s
+    # of the stage setup over the dev tunnel), for what is six axpys.
     perm = _PERMS[axis]
+    rays_o = np.asarray(rays_o)
+    rays_d = np.asarray(rays_d)
+    opv, dpv = [], []
+    for ax in perm:
+        scale = (float(world_size[ax]) - 1.0) / (float(xyz_max[ax])
+                                                 - float(xyz_min[ax]))
+        opv.append((rays_o[:, ax] - float(xyz_min[ax])) * scale)
+        dpv.append(rays_d[:, ax] * scale)
+    op, ou, ov = opv
+    dp, du, dv = dpv
     gp = int(world_size[perm[0]])
     gu = int(world_size[perm[1]])
     gv = int(world_size[perm[2]])

@@ -126,14 +126,42 @@ def get_training_rays_in_maskcache_sampling(rgb_tr_ori, train_poses, HW, Ks,
     eps = time.time()
     total = 0
     kept = 0
-    chunks_rgb, chunks_o, chunks_d, chunks_v, imsz = [], [], [], [], []
+    # Two passes: dispatch every view's occupancy query first (device work
+    # queues asynchronously), pull and compact second — a sync per view
+    # costs a tunnel round trip each. For perspective cameras the query
+    # generates its rays ON-DEVICE from (K, c2w) (model.hit_coarse_geo_view)
+    # so no per-view ray upload happens, and the host ray math for kept
+    # pools runs in pass two, overlapped with the device queue draining.
+    device_view = (not ndc) and hasattr(model, "hit_coarse_geo_view")
+    per_view = []
     for c2w, img, (H, W), K in zip(train_poses, rgb_tr_ori, HW, Ks):
         assert img.shape[:2] == (H, W)
+        if device_view:
+            rk = {k: v for k, v in render_kwargs.items()
+                  if k not in ("inverse_y", "flip_x", "flip_y")}
+            hit = model.hit_coarse_geo_view(
+                H, W, K, c2w, inverse_y=inverse_y, flip_x=flip_x,
+                flip_y=flip_y, **rk)
+            per_view.append((img, (H, W), K, c2w, None, None, None, hit))
+            continue
         rays_o, rays_d, viewdirs = get_rays_of_a_view(
             H, W, K, c2w, ndc, inverse_y, flip_x, flip_y)
-        mask = np.asarray(model.hit_coarse_geo(
+        hit = model.hit_coarse_geo(
             rays_o=rays_o.reshape(-1, 3), rays_d=rays_d.reshape(-1, 3),
-            **render_kwargs)).reshape(H, W)
+            defer=True, **render_kwargs)
+        per_view.append((img, (H, W), K, c2w, rays_o, rays_d, viewdirs,
+                         hit))
+    chunks_rgb, chunks_o, chunks_d, chunks_v, imsz = [], [], [], [], []
+    for img, (H, W), K, c2w, rays_o, rays_d, viewdirs, hit in per_view:
+        if rays_o is None:
+            rays_o, rays_d, viewdirs = get_rays_of_a_view(
+                H, W, K, c2w, ndc, inverse_y, flip_x, flip_y)
+        if isinstance(hit, tuple):  # deferred (device_chunks, n)
+            outs, n_rays = hit
+            mask = np.concatenate(
+                [np.asarray(o) for o in outs])[:n_rays].reshape(H, W)
+        else:
+            mask = np.asarray(hit).reshape(H, W)
         n = int(mask.sum())
         chunks_rgb.append(np.asarray(img, np.float32)[mask])
         chunks_o.append(rays_o[mask])

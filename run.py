@@ -206,6 +206,10 @@ def main():
             savedir=savedir, **render_viewpoints_kwargs)
         _write_videos(savedir, rgbs, depths)
 
+    # Join async checkpoint writers before declaring the run finished (the
+    # interpreter would join the non-daemon threads anyway; doing it here
+    # keeps 'Done' truthful and surfaces write errors in-run).
+    ckpt_lib.wait_for_pending_saves()
     print('Done')
 
 

@@ -250,3 +250,86 @@ class TestImplicitVoxelFeat:
                 g[x + di - 1, y + dj - 1, z + dk - 1])
         # replicate padding at the corner
         np.testing.assert_array_equal(out[0, 0, 0, :2], g[0, 0, 0])
+
+
+def test_hit_coarse_geo_view_matches_ray_form():
+    """Device-side view hit query (rays built on-device from K/c2w) must
+    agree with the host-ray form — same sample math, only where the ray
+    arithmetic runs differs (f32 either way; no matmul rounding)."""
+    from directvoxgo_tpu.models.dvgo import DirectVoxGO
+    from directvoxgo_tpu import rays as ray_lib
+
+    model = DirectVoxGO(
+        xyz_min=[-1.0, -1.0, -1.0], xyz_max=[1.0, 1.0, 1.0],
+        num_voxels=32 ** 3, num_voxels_base=32 ** 3, alpha_init=1e-2,
+        rgbnet_dim=0)
+    rng = np.random.default_rng(3)
+    m = np.zeros((32, 32, 32), bool)
+    m[8:20, 10:26, 6:18] = rng.uniform(size=(12, 16, 12)) > 0.6
+    model.mask = jnp.asarray(m)
+
+    H = W = 48
+    K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]],
+                 np.float32)
+    from directvoxgo_tpu.data.load_blender import pose_spherical
+    for ang, iy in ((30.0, False), (120.0, True)):
+        c2w = np.asarray(pose_spherical(ang, -30.0, 3.5), np.float32)[:3]
+        rk = dict(near=0.5, far=6.0, stepsize=0.5)
+        got = np.asarray(model.hit_coarse_geo_view(
+            H, W, K, c2w, inverse_y=iy, **rk))
+        ro, rd, _ = ray_lib.get_rays_of_a_view(
+            H, W, K, c2w, ndc=False, inverse_y=iy, flip_x=False,
+            flip_y=False)
+        want = model.hit_coarse_geo(
+            rays_o=ro.reshape(-1, 3), rays_d=rd.reshape(-1, 3), **rk)
+        assert got.shape == want.shape
+        # identical up to f32 associativity at voxel-rounding knife edges
+        assert (got == want).mean() > 0.999
+
+
+def test_voxel_count_views_sweep_matches_scatter():
+    """The sweep (scatter-free) view counter must agree with the reference
+    trilinear-VJP form on nearly every voxel: station samples sit on
+    sweep-axis planes instead of fixed arc-length steps, so per-sample
+    weights differ by the |d_axis| spacing factor and only borderline
+    voxels near the >1 threshold may flip (lib/dvgo.py:265-295)."""
+    from directvoxgo_tpu.models.dvgo import DirectVoxGO
+
+    model = DirectVoxGO(
+        xyz_min=[-1.0, -1.0, -1.0], xyz_max=[1.0, 1.0, 1.0],
+        num_voxels=24 ** 3, num_voxels_base=24 ** 3, alpha_init=1e-2,
+        rgbnet_dim=0)
+    H = W = 24
+    views_o, views_d, imsz = [], [], []
+    for ang in (0.0, 0.7, 2.2):
+        # camera on a ring, looking at the origin
+        cam = np.array([3.0 * np.cos(ang), 3.0 * np.sin(ang), 1.2],
+                       np.float32)
+        fwd = -cam / np.linalg.norm(cam)
+        right = np.cross(fwd, [0.0, 0.0, 1.0])
+        right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        i, j = np.meshgrid(np.linspace(-0.35, 0.35, W),
+                           np.linspace(-0.35, 0.35, H))
+        d = (fwd[None, None] + i[..., None] * right[None, None]
+             + j[..., None] * up[None, None]).reshape(-1, 3)
+        views_o.append(np.tile(cam, (H * W, 1)).astype(np.float32))
+        views_d.append(d.astype(np.float32))
+        imsz.append(H * W)
+
+    ro = np.concatenate(views_o)
+    rd = np.concatenate(views_d)
+    kw = dict(imsz=imsz, near=0.5, far=6.0, stepsize=0.5)
+    cnt_scatter = np.asarray(model.voxel_count_views(
+        rays_o_tr=ro, rays_d_tr=rd, **kw))
+    model.query_mode = "sweep"
+    cnt_sweep = np.asarray(model.voxel_count_views(
+        rays_o_tr=ro, rays_d_tr=rd, **kw))
+    assert cnt_sweep.shape == cnt_scatter.shape
+    agree = float((cnt_sweep == cnt_scatter).mean())
+    assert agree > 0.97, f"only {agree:.3f} of voxels agree"
+    # the low-count mask that gates density init (cnt <= 2) must overlap
+    both_low = (cnt_scatter <= 2), (cnt_sweep <= 2)
+    iou = float((both_low[0] & both_low[1]).sum()
+                / max((both_low[0] | both_low[1]).sum(), 1))
+    assert iou > 0.95, f"cnt<=2 mask IoU {iou:.3f}"
