@@ -576,40 +576,50 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             # permute/slab-blend/backward/optimizer) by ~Gv/W as well.
             ax = int(rng.choice(3, p=group_p))
             bk = buckets.get(ax)
-            # When the occupancy-bbox clip is active for this axis it is
-            # tighter than a ray window — draw unbucketed there. TV steps
-            # need full-grid gradients (no_window).
-            clipped = clip_plan.get(ax, (None, None))[0] is not None
-            if bk is not None and not clipped and not no_window:
-                perm_w = sweep_ops._PERMS[ax]
-                full_pu = (int(model.world_size[perm_w[0]]),
-                           int(model.world_size[perm_w[1]]))
-                # Only window classes whose program already landed from the
-                # background compiler — draws never stall on a compile.
+            if bk is not None and not no_window:
+                # Segment v-windows COMPOSE with the occupancy clip box:
+                # both are (static sizes, traced offsets) boxes, so a
+                # windowed clipped draw uses sizes (clip_p, clip_u, W) with
+                # the v start clamped into the clip box. Exact: the batch's
+                # v support lies in [svlo, svlo+W] and everything outside
+                # the occupancy bbox contributes zero (interpolated mask
+                # == 0), so the clamped window covers support∩bbox — see
+                # the clamp-coverage argument below. Without a clip box the
+                # same formula degenerates to the grid-bounds clamp.
+                perm = sweep_ops._PERMS[ax]
+                csz, coff = clip_plan.get(ax, (None, None))
+                if csz is not None:
+                    bp, bu, bv = (int(x) for x in csz)
+                    bpo, buo, bvo = (int(x) for x in np.asarray(coff))
+                else:
+                    bp = int(model.world_size[perm[0]])
+                    bu = int(model.world_size[perm[1]])
+                    bv = int(model.world_size[perm[2]])
+                    bpo = buo = bvo = 0
+                # Window classes that (a) actually shrink the v extent and
+                # (b) whose program already landed from the background
+                # compiler — draws never stall on a compile.
                 ws = [w for w in bk.keys()
-                      if (ax, 1, (*full_pu, int(w))) in train_steps]
+                      if 0 < int(w) < bv
+                      and (ax, 1, (bp, bu, int(w))) in train_steps]
                 if not ws:
                     return ([group_gens[ax]() for _ in range(n_sub)], ax,
                             None, None)
                 counts = np.array([bk[w][0].size for w in ws], np.float64)
-                w = ws[int(rng.choice(len(ws), p=counts / counts.sum()))]
+                w = int(ws[int(rng.choice(len(ws), p=counts / counts.sum()))])
                 idx, svlo, _ = bk[w]
-                perm = sweep_ops._PERMS[ax]
-                gv = int(model.world_size[perm[2]])
                 sels, offs = [], []
                 for _ in range(n_sub):
                     r = int(rng.integers(0, idx.shape[0]))
                     sels.append(idx[r])
-                    # v offset clamped so the box fits the grid (the
-                    # builder clamps to the 8-PADDED extent; shifting the
-                    # window down never uncovers a ray — its upper edge
-                    # still reaches gv-1).
-                    offs.append([0, 0, min(int(svlo[r]), gv - w)])
-                if w:
-                    sizes = (int(model.world_size[perm[0]]),
-                             int(model.world_size[perm[1]]), int(w))
-                    return sels, ax, sizes, np.asarray(offs, np.int32)
-                return sels, ax, None, None
+                    # clamp(svlo, bvo, bvo+bv-w): if the segment window
+                    # pokes out of the clip box, shifting it back in never
+                    # uncovers support∩bbox (the uncovered rows have
+                    # mask == 0).
+                    offs.append([bpo, buo,
+                                 min(max(int(svlo[r]), bvo), bvo + bv - w)])
+                return (sels, ax, (bp, bu, w),
+                        np.asarray(offs, np.int32))
             sels = [group_gens[ax]() for _ in range(n_sub)]
             return sels, ax, None, None
 
@@ -750,15 +760,34 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                      "bg": cf.ThreadPoolExecutor(
                          max_workers=2, thread_name_prefix="step-compile")}
 
-    def _build_and_warm(key, tv_pair, epoch):
+    class _Aval:  # unregistered class -> a pytree LEAF carrying shape/dtype
+        __slots__ = ("shape", "dtype")
+
+        def __init__(self, x):
+            self.shape, self.dtype = tuple(x.shape), x.dtype
+
+    def _tree_avals(tree):
+        return jax.tree_util.tree_map(
+            lambda x: _Aval(x) if hasattr(x, "shape") else x, tree)
+
+    def _build_and_warm(key, tv_pair, epoch, avals):
+        # Warm inputs are ZEROS materialized from shape/dtype metadata —
+        # never copies of the live params/opt_state: the training loop
+        # donates those buffers concurrently, and jnp.copy of a donated
+        # array raises (which silently killed every background warm in the
+        # first composed-window run — steps stayed unwindowed at 54 ms).
         ax, ns, csizes = key
         fn = make_train_step(
             model, optimizer, cfg_train, render_kwargs, tv_pair[0],
             tv_pair[1], axis=ax, clip_sizes=csizes, mesh=mesh,
             n_steps=ns, donate=True)
         n_rand = int(cfg_train.N_rand)
-        p = jax.tree_util.tree_map(jnp.copy, model.params)
-        o = jax.tree_util.tree_map(jnp.copy, opt_state)
+        p_avals, o_avals = avals
+        mk = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda a: jnp.zeros(a.shape, a.dtype)
+            if isinstance(a, _Aval) else a, t)
+        p = mk(p_avals)
+        o = mk(o_avals)
         sel = jnp.zeros((ns, n_rand) if ns > 1 else (n_rand,), jnp.int32)
         co = jnp.zeros((ns, 3) if ns > 1 else (3,), jnp.int32)
         if mesh is not None:
@@ -772,6 +801,19 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         # the throwaway step completes
         if compile_state["epoch"] == epoch:  # stale after pg_scale/tv flip
             train_steps[key] = fn
+            return True
+        return False
+
+    def _bg_done(key, t0):
+        def cb(fut):
+            err = fut.exception()
+            if err is not None:
+                print(f"scene_rep_reconstruction ({stage}): [phase] "
+                      f"background compile FAILED for {key}: {err!r}")
+            elif fut.result():
+                print(f"scene_rep_reconstruction ({stage}): [phase] window "
+                      f"program {key} landed after {time.time()-t0:.1f} s")
+        return cb
 
     def precompile_steps(at_step):
         if getattr(cfg_train, "precompile", True) is False:
@@ -785,33 +827,38 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                 csizes = clip_plan.get(ax, (None, None))[0]
                 for ns in sorted({1, n_dispatch}):
                     fallback.append((ax, ns, csizes))
-                if (csizes is None and bucket_ok and n_dispatch == 1
-                        and not apply_tv_n):
+                if bucket_ok and n_dispatch == 1 and not apply_tv_n:
                     perm = sweep_ops._PERMS[ax]
-                    gp = int(model.world_size[perm[0]])
-                    gu = int(model.world_size[perm[1]])
-                    gv = int(model.world_size[perm[2]])
+                    if csizes is not None:
+                        gp, gu, gv = (int(x) for x in csizes)
+                    else:
+                        gp = int(model.world_size[perm[0]])
+                        gu = int(model.world_size[perm[1]])
+                        gv = int(model.world_size[perm[2]])
                     for w in (32, 64, 96):
-                        if w < gv:
+                        if w < gv:  # window-as-clip composes with the bbox
                             windowed.append((ax, 1, (gp, gu, w)))
         else:
             fallback.append((None, 1, None))
             if n_dispatch > 1:
                 fallback.append((None, n_dispatch, None))
         tv_pair = (apply_tv_n, tv_dense_n)
+        avals = (_tree_avals(model.params), _tree_avals(opt_state))
         fallback = [k for k in fallback if k not in train_steps]
         t0 = time.time()
         if fallback:
             with cf.ThreadPoolExecutor(max_workers=4) as ex:
-                list(ex.map(lambda k: _build_and_warm(k, tv_pair, epoch),
-                            fallback))
+                list(ex.map(
+                    lambda k: _build_and_warm(k, tv_pair, epoch, avals),
+                    fallback))
             print(f"scene_rep_reconstruction ({stage}): [phase] "
                   f"precompiled {len(fallback)} fallback step programs in "
                   f"{time.time()-t0:.1f} s")
         for k in windowed:
             if k not in train_steps:
-                compile_state["bg"].submit(_build_and_warm, k, tv_pair,
-                                           epoch)
+                fut = compile_state["bg"].submit(_build_and_warm, k,
+                                                 tv_pair, epoch, avals)
+                fut.add_done_callback(_bg_done(k, time.time()))
 
     # Seed tv_state with the first iteration's value BEFORE precompiling:
     # the loop clears train_steps on any tv-state change, and a None seed
@@ -830,7 +877,12 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         if (global_step + 500) % 1000 == 0:
             _t_r = time.time()
             model.update_occupancy_cache()
+            n_keys = len(train_steps)
             refresh_clip()
+            if len(train_steps) < n_keys:
+                # a clip shape bucket moved: rebuild the dropped programs
+                # (background for windows, sync for the axis fallbacks)
+                precompile_steps(global_step)
             print(f"scene_rep_reconstruction ({stage}): [phase] renewal at "
                   f"{global_step}: {time.time() - _t_r:.2f} s")
 

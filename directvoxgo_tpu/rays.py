@@ -151,6 +151,13 @@ def get_training_rays_in_maskcache_sampling(rgb_tr_ori, train_poses, HW, Ks,
             defer=True, **render_kwargs)
         per_view.append((img, (H, W), K, c2w, rays_o, rays_d, viewdirs,
                          hit))
+    if device_view and per_view:
+        # ONE batched device->host pull for every view's mask — per-view
+        # np.asarray costs a round trip each, and those pulls queue behind
+        # the previous stage's async checkpoint writer on a shared link.
+        import jax as _jax
+        pulled = iter(_jax.device_get([v[-1] for v in per_view]))
+        per_view = [(*v[:-1], next(pulled)) for v in per_view]
     chunks_rgb, chunks_o, chunks_d, chunks_v, imsz = [], [], [], [], []
     for img, (H, W), K, c2w, rays_o, rays_d, viewdirs, hit in per_view:
         if rays_o is None:

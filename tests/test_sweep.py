@@ -221,6 +221,84 @@ def test_forward_sweep_clip_equivalence(axis):
                                                     np.abs(a - b).max())
 
 
+@pytest.mark.parametrize("axis", [0, 2])
+def test_forward_sweep_window_composes_with_clip(axis):
+    """A segment v-window composed with the occupancy clip box — sizes
+    (clip_p, clip_u, W), v offset clamp(svlo, bvo, bvo+bv-W) — must match
+    the plain clip box bit-for-tolerance: the batch's v support lies inside
+    [svlo, svlo+W] and everything outside the mask bbox contributes zero
+    (engine/train.py next_chunk composed draw)."""
+    rng = np.random.default_rng(11)
+    model = DirectVoxGO(xyz_min=[-1, -1, -1], xyz_max=[1, 1, 1],
+                        num_voxels=48 ** 3, num_voxels_base=48 ** 3,
+                        alpha_init=1e-2, fast_color_thres=1e-4,
+                        rgbnet_dim=6, rgbnet_direct=True,
+                        k_density=None, k_color=0)
+    pts = np.asarray(model.grid_points())
+    # broad ellipsoid -> mask bbox v extent comfortably above the 32-wide
+    # window class, so composition actually shrinks something
+    r2 = (((pts - np.array([0.1, -0.05, 0.05])) / 0.75) ** 2).sum(-1)
+    model.params["density"] = jnp.asarray(
+        (18 * np.exp(-2 * r2) - 9).astype(np.float32))
+    model.params["k0"] = jnp.asarray(
+        rng.normal(0, 0.5, model.params["k0"].shape).astype(np.float32))
+    model.update_occupancy_cache()
+    clip_sizes, clip_off = model.sweep_clip_for_axis(axis, quantum=8)
+    assert clip_sizes is not None
+
+    # tight fan through the blob, dominant along `axis` -> narrow v support
+    n_rand = sweep_ops.TILE_N
+    n = 8 * n_rand
+    o = np.tile([[0.15, -0.1, 3.0]], (n, 1)).astype(np.float32)
+    ang = rng.uniform(-0.04, 0.04, (n, 2))
+    d3 = np.stack([np.tan(ang[:, 0]) + rng.uniform(-0.1, 0.1, n),
+                   np.tan(ang[:, 1]),
+                   -np.ones(n)], -1).astype(np.float32)
+    d3 = np.roll(d3, axis - 2, axis=1)
+    o = np.roll(o, axis - 2, axis=1)
+    vd = (d3 / np.linalg.norm(d3, axis=-1, keepdims=True)).astype(np.float32)
+
+    bk = sweep_ops.build_ray_segments(
+        o, d3, model.xyz_min, model.xyz_max, model.world_size, axis,
+        n_rand=n_rand)
+    bp, bu, bv = (int(x) for x in clip_sizes)
+    bpo, buo, bvo = (int(x) for x in np.asarray(clip_off))
+    usable = [w for w, (idx, _, _) in bk.items()
+              if 0 < int(w) < bv and idx.shape[0] > 0]
+    assert usable, f"no window class narrower than clip v={bv}: {list(bk)}"
+    w = int(min(usable))
+    idx, svlo, _ = bk[w]
+    sel = idx[0]
+    off_comp = np.asarray(
+        [bpo, buo, min(max(int(svlo[0]), bvo), bvo + bv - w)], np.int32)
+    kw = dict(near=0.5, far=6.0, bg=1.0, stepsize=0.5, render_depth=True)
+
+    def run(params, cs, co):
+        return model.forward_sweep(
+            params, model.mask, jnp.asarray(o[sel]), jnp.asarray(d3[sel]),
+            jnp.asarray(vd[sel]), axis, clip_sizes=cs,
+            clip_offsets=jnp.asarray(co), **kw)
+
+    ret_clip = run(model.params, clip_sizes, clip_off)
+    ret_comp = run(model.params, (bp, bu, w), off_comp)
+    for key in ("rgb_marched", "alphainv_last", "depth"):
+        a, b = np.asarray(ret_clip[key]), np.asarray(ret_comp[key])
+        assert np.allclose(a, b, atol=2e-5), (key, np.abs(a - b).max())
+
+    def loss(params, cs, co):
+        ret = run(params, cs, co)
+        return jnp.mean(ret["rgb_marched"] ** 2) \
+            + jnp.mean(ret["alphainv_last"])
+
+    g_a = jax.grad(loss)(model.params, clip_sizes, clip_off)
+    g_b = jax.grad(loss)(model.params, (bp, bu, w), off_comp)
+    for name in ("density", "k0"):
+        a, b = np.asarray(g_a[name]), np.asarray(g_b[name])
+        scale = max(1.0, np.abs(a).max())
+        assert np.abs(a - b).max() < 1e-5 * scale, (name,
+                                                    np.abs(a - b).max())
+
+
 def test_dominant_axis_grouping():
     d = np.array([[1.0, 0.1, 0.1], [0.1, -2.0, 0.3], [0.0, 0.1, 5.0]],
                  np.float32)
