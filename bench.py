@@ -148,26 +148,32 @@ def bench_render(model, H=800, W=800):
     return sec, sec_sync
 
 
-def _make_batches(n_rand, axis, n_batches, seed):
-    """Fresh random ray batches whose dominant voxel axis is ``axis``:
-    cameras on the -axis side looking along +axis with a +-17deg fan (so the
-    engine's dominant-axis grouping would route them to this axis group)."""
-    rng = np.random.default_rng(seed * 7 + axis)
-    out = []
-    for _ in range(n_batches):
-        ang = rng.uniform(-0.3, 0.3, (n_rand, 2))
-        d3 = np.stack([np.tan(ang[:, 0]), np.tan(ang[:, 1]),
-                       -np.ones(n_rand)], -1).astype(np.float32)
-        o3 = np.tile([[0.0, 0.0, 3.5]], (n_rand, 1)).astype(np.float32)
-        o3[:, :2] += rng.uniform(-0.2, 0.2, (n_rand, 2))
-        perm = {0: (2, 0, 1), 1: (1, 2, 0), 2: (0, 1, 2)}[axis]
-        rays_o = o3[:, perm]
-        rays_d = d3[:, perm]
-        viewdirs = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
-        target = rng.uniform(0, 1, (n_rand, 3)).astype(np.float32)
-        out.append(tuple(map(np.asarray, (rays_o, rays_d, viewdirs,
-                                          target))))
-    return out
+def _make_training_pool(n_views=12, H=400, W=400):
+    """A realistic training-ray pool: a blender-style orbit around the
+    scene (rays.get_rays_of_a_view per pose), the same ray distribution
+    run.py's 'flatten'/'in_maskcache' gather feeds the engine."""
+    from directvoxgo_tpu import rays as ray_lib
+    from directvoxgo_tpu.data.load_blender import pose_spherical
+
+    focal = 0.5 * W / np.tan(0.5 * 0.6911)
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    chunks = []
+    for i in range(n_views):
+        th = 360.0 * i / n_views
+        phi = -30.0 + 10.0 * np.sin(2.3 * i)
+        c2w = np.asarray(pose_spherical(th, phi, 4.0), np.float32)[:3]
+        ro, rd, vd = ray_lib.get_rays_of_a_view(
+            H, W, K, c2w, ndc=False, inverse_y=False, flip_x=False,
+            flip_y=False)
+        chunks.append((ro.reshape(-1, 3), rd.reshape(-1, 3),
+                       vd.reshape(-1, 3)))
+    ro = np.concatenate([c[0] for c in chunks])
+    rd = np.concatenate([c[1] for c in chunks])
+    vd = np.concatenate([c[2] for c in chunks])
+    rng = np.random.default_rng(0)
+    rgb = rng.uniform(0, 1, (ro.shape[0], 3)).astype(np.float32)
+    return ro, rd, vd, rgb
 
 
 def bench_train(model, n_rand=8192, iters=30, n_batches=4):
@@ -219,40 +225,96 @@ def bench_train(model, n_rand=8192, iters=30, n_batches=4):
             return new_params, new_opt, loss
         return step
 
-    # Train on copies: the step donates params/opt_state and bench_render
-    # still needs model.params afterwards.
-    mask = model.mask
-    per_axis = {}
-    for axis in range(3):
-        clip_sizes, clip_off = model.sweep_clip_for_axis(axis)
-        log(f"bench: axis {axis} clip sizes={clip_sizes} "
-            f"off={list(clip_off)}")
-        clip_off = jnp.asarray(clip_off)
-        batches = [tuple(jnp.asarray(x) for x in b)
-                   for b in _make_batches(n_rand, axis, n_batches, seed=1)]
-        step = make_step(axis, clip_sizes)
-        params = jax.tree_util.tree_map(jnp.copy, model.params)
-        opt_state = optimizer.init(model.params)
-        t0 = time.time()
-        params, opt_state, loss = step(params, mask, opt_state,
-                                       *batches[0], clip_off)
-        log(f"bench: axis {axis} compile+first step {time.time()-t0:.2f}s "
-            f"(loss={float(jnp.sum(loss)):.4f})")
-        t0 = time.time()
-        for i in range(iters):
-            params, opt_state, loss = step(params, mask, opt_state,
-                                           *batches[i % n_batches], clip_off)
-        float(jnp.sum(loss))  # host pull = the only real sync on this stack
-        per_axis[axis] = (time.time() - t0) / iters
-        log(f"bench: axis {axis} train step {per_axis[axis]*1000:.2f} "
-            f"ms/iter [single-step dispatch, engine default at 160^3]")
+    # Draws mirror engine/train.py next_chunk: pool rays group by dominant
+    # axis; each axis's segment buckets yield v-window classes that COMPOSE
+    # with the occupancy clip box (sizes (clip_p, clip_u, W), traced
+    # offsets); rays whose class program wouldn't pay fall back to the
+    # plain clip box. The reported number is the ray-share-weighted blend
+    # over (axis, class) — what a long run.py fine stage averages.
+    from directvoxgo_tpu.ops import sweep as sweep_ops
 
-    dt = float(np.mean(list(per_axis.values())))
+    ro, rd, vd, rgb = _make_training_pool()
+    groups = sweep_ops.dominant_axis(rd, model.xyz_min, model.xyz_max,
+                                     model.world_size)
+    mask = model.mask
+    rng = np.random.default_rng(3)
+    blend_num = 0.0
+    blend_den = 0.0
+    detail = {}
+    for axis in range(3):
+        g = np.flatnonzero(groups == axis)
+        if g.size < n_rand:
+            continue
+        clip_sizes, clip_off = model.sweep_clip_for_axis(axis)
+        perm = sweep_ops._PERMS[axis]
+        if clip_sizes is None:
+            clip_sizes = tuple(int(model.world_size[a]) for a in perm)
+            clip_off = np.zeros(3, np.int32)
+        bp, bu, bv = (int(x) for x in clip_sizes)
+        bpo, buo, bvo = (int(x) for x in np.asarray(clip_off))
+        log(f"bench: axis {axis} rays={g.size} clip=({bp},{bu},{bv}) "
+            f"off=({bpo},{buo},{bvo})")
+        bk = sweep_ops.build_ray_segments(
+            ro[g], rd[g], model.xyz_min, model.xyz_max, model.world_size,
+            axis, n_rand=n_rand)
+        # (class_w or None) -> (ray_count, batch drawer)
+        classes = {}
+        fallback_rays = g.size - sum(
+            idx.size for w, (idx, _, _) in bk.items() if 0 < int(w) < bv)
+        if fallback_rays > 0:
+            classes[None] = (fallback_rays, None)
+        for w, (idx, svlo, _) in bk.items():
+            if 0 < int(w) < bv and idx.shape[0] > 0:
+                classes[int(w)] = (idx.size, (idx, svlo))
+        for w, (count, seg) in sorted(
+                classes.items(), key=lambda kv: -kv[1][0]):
+            if w is None:
+                sizes = (bp, bu, bv)
+            else:
+                sizes = (bp, bu, w)
+            step = make_step(axis, sizes)
+            params = jax.tree_util.tree_map(jnp.copy, model.params)
+            opt_state = optimizer.init(model.params)
+
+            def draw():
+                if w is None:
+                    sel = g[rng.integers(0, g.size, n_rand)]
+                    off = np.asarray([bpo, buo, bvo], np.int32)
+                else:
+                    idx, svlo = seg
+                    r = int(rng.integers(0, idx.shape[0]))
+                    sel = g[idx[r]]
+                    off = np.asarray(
+                        [bpo, buo,
+                         min(max(int(svlo[r]), bvo), bvo + bv - w)],
+                        np.int32)
+                return (jnp.asarray(ro[sel]), jnp.asarray(rd[sel]),
+                        jnp.asarray(vd[sel]), jnp.asarray(rgb[sel]),
+                        jnp.asarray(off))
+            batches = [draw() for _ in range(n_batches)]
+            t0 = time.time()
+            params, opt_state, loss = step(params, mask, opt_state,
+                                           *batches[0])
+            log(f"bench: axis {axis} class {w} compile+first "
+                f"{time.time()-t0:.2f}s (loss={float(jnp.sum(loss)):.4f})")
+            t0 = time.time()
+            for i in range(iters):
+                params, opt_state, loss = step(params, mask, opt_state,
+                                               *batches[i % n_batches])
+            float(jnp.sum(loss))  # host pull = the real sync on this stack
+            dt_c = (time.time() - t0) / iters
+            detail[f"axis{axis}_w{w or 'full'}"] = round(dt_c * 1000, 2)
+            log(f"bench: axis {axis} class {w if w else 'full'} "
+                f"{dt_c*1000:.2f} ms/iter (ray share {count/len(groups):.2f})")
+            blend_num += count * dt_c
+            blend_den += count
+
+    dt = blend_num / max(blend_den, 1)
     proj_min = dt * 20000 / 60
-    log(f"bench: train mean over axes {dt*1000:.2f} ms/iter "
-        f"({1/dt:.1f} it/s, N_rand={n_rand})")
+    log(f"bench: train blended {dt*1000:.2f} ms/iter "
+        f"({1/dt:.1f} it/s, N_rand={n_rand}, ray-share weighted)")
     log(f"bench: projected 20k-iter fine stage: {proj_min:.2f} min")
-    return dt, {f"axis{a}": round(v * 1000, 2) for a, v in per_axis.items()}
+    return dt, detail
 
 
 def check_render_consistency(model, H=800, W=800):

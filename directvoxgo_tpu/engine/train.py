@@ -666,10 +666,15 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     # quantized clip sizes are static per compiled step; refresh them when
     # the mask changes and drop only the steps whose shape bucket moved.
     clip_plan = {}  # axis -> (sizes or None, offsets int32[3])
+    import threading
+    refresh_state = {"thread": None}  # background renewal refresh
 
-    def refresh_clip():
+    def compute_clip_plan():
+        """New clip plan for every axis (host-side; pulls the mask bbox —
+        callable from a background thread, see the renewal branch)."""
         if not use_sweep or not hasattr(model, "sweep_clip_for_axis"):
-            return
+            return {}
+        plan = {}
         for ax in range(3):
             new = model.sweep_clip_for_axis(ax)
             old = clip_plan.get(ax)
@@ -677,19 +682,27 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                     and new[0] is not None and old[0] != new[0]:
                 # Mask renewals only intersect the mask, so extents only
                 # shrink within a stage. Recompiling the axis program cost
-                # ~20 s per renewal on the remote service (measured: the
-                # fine stage alternated 8 s / 64 s per 500 iters); keep the
+                # ~20 s per renewal on the remote service; keep the
                 # compiled box shape (offsets refit) unless tightening buys
                 # >= 30% sweep volume.
                 if np.prod(new[0]) > 0.7 * np.prod(old[0]):
                     kept = model.sweep_clip_for_axis(ax, fixed_sizes=old[0])
                     if kept[0] is not None:
-                        clip_plan[ax] = kept
+                        plan[ax] = kept
                         continue
+            plan[ax] = new
+        return plan
+
+    def apply_clip_plan(plan):
+        for ax, new in plan.items():
+            old = clip_plan.get(ax)
             if old is not None and old[0] != new[0]:
                 for key in [k for k in train_steps if k[0] == ax]:
                     train_steps.pop(key)
             clip_plan[ax] = new
+
+    def refresh_clip():
+        apply_clip_plan(compute_clip_plan())
 
     refresh_clip()
     _phase("initial refresh_clip")
@@ -876,15 +889,32 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         # Occupancy cache renewal (run.py:330-332).
         if (global_step + 500) % 1000 == 0:
             _t_r = time.time()
-            model.update_occupancy_cache()
+            model.update_occupancy_cache()  # device-side, queues async
+            # Refresh the clip plan in a BACKGROUND thread: the bbox pull
+            # syncs behind the whole dispatch backlog (~23 s measured at
+            # 170^3 — it was the dominant renewal cost), while the loop can
+            # keep feeding the device. Exact with lag: renewals only
+            # INTERSECT the mask, so a stale box still covers the (shrunken)
+            # bbox — the plan update lands before a later dispatch.
+            if refresh_state["thread"] is None \
+                    or not refresh_state["thread"].is_alive():
+                def _bg_refresh():
+                    plan = compute_clip_plan()
+                    refresh_state["pending"] = plan
+                t = threading.Thread(target=_bg_refresh, daemon=True,
+                                     name="clip-refresh")
+                refresh_state["thread"] = t
+                t.start()
+            print(f"scene_rep_reconstruction ({stage}): [phase] renewal at "
+                  f"{global_step}: {time.time() - _t_r:.2f} s")
+        pending_plan = refresh_state.pop("pending", None)
+        if pending_plan is not None:
             n_keys = len(train_steps)
-            refresh_clip()
+            apply_clip_plan(pending_plan)
             if len(train_steps) < n_keys:
                 # a clip shape bucket moved: rebuild the dropped programs
                 # (background for windows, sync for the axis fallbacks)
                 precompile_steps(global_step)
-            print(f"scene_rep_reconstruction ({stage}): [phase] renewal at "
-                  f"{global_step}: {time.time() - _t_r:.2f} s")
 
         # Progressive scaling (run.py:335-345).
         if global_step in pg_set:
