@@ -254,9 +254,12 @@ def bench_train(model, n_rand=8192, iters=30, n_batches=4):
         bpo, buo, bvo = (int(x) for x in np.asarray(clip_off))
         log(f"bench: axis {axis} rays={g.size} clip=({bp},{bu},{bv}) "
             f"off=({bpo},{buo},{bvo})")
+        clipped = model.sweep_clip_for_axis(axis)[0] is not None
         bk = sweep_ops.build_ray_segments(
             ro[g], rd[g], model.xyz_min, model.xyz_max, model.world_size,
-            axis, n_rand=n_rand)
+            axis, n_rand=n_rand,
+            clip_box=(bpo, bpo + bp - 1, bvo, bvo + bv - 1) if clipped
+            else None)
         # (class_w or None) -> (ray_count, batch drawer)
         classes = {}
         fallback_rays = g.size - sum(

@@ -547,9 +547,23 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                     if len(g) < cfg_train.N_rand:
                         out = None
                     else:
+                        # Support classes measured over the occupancy clip
+                        # box when one is active: contributions outside it
+                        # are zero, so box-clipped supports stay exact and
+                        # classify far more rays into narrow window classes
+                        # (engine composes the window with the clip box).
+                        csz, coff = clip_plan.get(ax, (None, None))
+                        box = None
+                        if csz is not None:
+                            _o = np.asarray(coff)
+                            box = (float(_o[0]),
+                                   float(_o[0]) + float(csz[0]) - 1.0,
+                                   float(_o[2]),
+                                   float(_o[2]) + float(csz[2]) - 1.0)
                         b = sweep_ops.build_ray_segments(
                             rays_o_np[g], rays_d_np[g], xyz_min, xyz_max,
-                            world_size, ax, n_rand=cfg_train.N_rand)
+                            world_size, ax, n_rand=cfg_train.N_rand,
+                            clip_box=box)
                         out = {w: (g[idx], svlo, tvlo)
                                for w, (idx, svlo, tvlo) in b.items()
                                if idx.shape[0] > 0} or None
@@ -623,8 +637,8 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             sels = [group_gens[ax]() for _ in range(n_sub)]
             return sels, ax, None, None
 
-        build_buckets()
-        _phase("build_buckets (segment sort)")
+        # (the initial build_buckets() runs AFTER the first refresh_clip()
+        # below — box-clipped supports need the clip plan)
     elif cfg_train.ray_sampler in ("flatten", "in_maskcache") \
             and n_pool >= cfg_train.N_rand:
         index_gen = ray_lib.batch_indices_generator(
@@ -706,6 +720,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
 
     refresh_clip()
     _phase("initial refresh_clip")
+    build_buckets()  # background segment sort (box-clipped supports)
 
     # Step batching: up to K optimizer steps per dispatch via lax.scan (see
     # make_train_step). On a remote-attached chip the per-dispatch latency
@@ -1021,8 +1036,14 @@ def _model_class_for(cfg):
     return DirectVoxGO
 
 
-def train(args, cfg, data_dict):
-    """Full coarse->fine pipeline (run.py:440-492)."""
+def train(args, cfg, data_dict, wait_saves=True):
+    """Full coarse->fine pipeline (run.py:440-492).
+
+    ``wait_saves``: join async checkpoint writers before returning — the
+    library contract is "checkpoints exist on disk when train() returns".
+    run.py passes False and waits at its own exit instead, so the final
+    fine-checkpoint pull overlaps evaluation rendering.
+    """
     print("train: start")
     eps_time = time.time()
     os.makedirs(os.path.join(cfg.basedir, cfg.expname), exist_ok=True)
@@ -1066,5 +1087,7 @@ def train(args, cfg, data_dict):
         coarse_ckpt_path=coarse_ckpt_path)
     eps_fine = time.time() - eps_fine
     print(f"train: fine detail reconstruction in {eps_fine:.1f} s")
+    if wait_saves:
+        ckpt_lib.wait_for_pending_saves()
     print(f"train: finish (eps time {time.time()-eps_time:.1f} s)")
     return model

@@ -117,13 +117,16 @@ def main():
         sys.exit()
 
     if not args.render_only:
+        # wait_saves=False: the final checkpoint's device->host pull runs in
+        # a writer thread that overlaps the evaluation below; main() joins
+        # all writers before 'Done'.
         if args.profile_dir:
             import jax
             with jax.profiler.trace(args.profile_dir):
-                train_lib.train(args, cfg, data_dict)
+                train_lib.train(args, cfg, data_dict, wait_saves=False)
             print(f'profile: trace written to {args.profile_dir}')
         else:
-            train_lib.train(args, cfg, data_dict)
+            train_lib.train(args, cfg, data_dict, wait_saves=False)
 
     if args.render_test or args.render_train or args.render_video:
         if args.ft_path:

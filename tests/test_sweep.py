@@ -258,11 +258,14 @@ def test_forward_sweep_window_composes_with_clip(axis):
     o = np.roll(o, axis - 2, axis=1)
     vd = (d3 / np.linalg.norm(d3, axis=-1, keepdims=True)).astype(np.float32)
 
-    bk = sweep_ops.build_ray_segments(
-        o, d3, model.xyz_min, model.xyz_max, model.world_size, axis,
-        n_rand=n_rand)
     bp, bu, bv = (int(x) for x in clip_sizes)
     bpo, buo, bvo = (int(x) for x in np.asarray(clip_off))
+    # box-clipped supports: classes measured over the ray∩clip-box segment
+    # (what the engine builds when a clip is active)
+    bk = sweep_ops.build_ray_segments(
+        o, d3, model.xyz_min, model.xyz_max, model.world_size, axis,
+        n_rand=n_rand,
+        clip_box=(bpo, bpo + bp - 1, bvo, bvo + bv - 1))
     usable = [w for w, (idx, _, _) in bk.items()
               if 0 < int(w) < bv and idx.shape[0] > 0]
     assert usable, f"no window class narrower than clip v={bv}: {list(bk)}"
