@@ -739,9 +739,16 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     # well); cfg_train.steps_per_dispatch overrides either way. The 1.1M
     # threshold deliberately covers the reference's default 100^3-class
     # coarse stage.
-    small_grid = int(np.prod(model.world_size)) <= 1_100_000
-    n_dispatch = max(int(cfg_train.get("steps_per_dispatch",
-                                       8 if small_grid else 1)), 1)
+    def dispatch_width():
+        # Re-evaluated at every pg_scale event: progressive scaling grows
+        # the grid across the threshold mid-stage (67^3 -> 170^3 for the
+        # lego schedule), and a stale K=8 left the device-bound late stage
+        # scanning (slower) with windows never engaging (full run C).
+        small_grid = int(np.prod(model.world_size)) <= 1_100_000
+        return max(int(cfg_train.get("steps_per_dispatch",
+                                     8 if small_grid else 1)), 1)
+
+    n_dispatch = dispatch_width()
     pg_set = set(cfg_train.pg_scale)
 
     def tv_state_of(j):
@@ -948,6 +955,8 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             clip_plan.clear()
             refresh_clip()
             build_buckets()  # window stats are in voxel units
+            n_dispatch = dispatch_width()  # grid may have crossed the
+            # dispatch-bound/device-bound threshold
             tv_state = tv_state_of(global_step)  # keep precompiles (above)
             precompile_steps(global_step)
 
