@@ -1011,9 +1011,14 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             eps_time = time.time() - time0
             eps_str = (f"{eps_time//3600:02.0f}:{eps_time//60%60:02.0f}:"
                        f"{eps_time%60:02.0f}")
+            # ONE batched pull for the i_print window's psnr scalars + the
+            # loss: per-element np.asarray paid a tunnel round trip each
+            # (500 x RTT — run D lost ~16 min to one i_print during a
+            # bandwidth trough).
+            pulled = jax.device_get([*psnr_lst, loss])
             psnr_avg = float(np.mean(np.concatenate(
-                [np.atleast_1d(np.asarray(p)) for p in psnr_lst])))
-            last_loss = float(np.atleast_1d(np.asarray(loss))[-1])
+                [np.atleast_1d(p) for p in pulled[:-1]])))
+            last_loss = float(np.atleast_1d(pulled[-1])[-1])
             print(f"scene_rep_reconstruction ({stage}): iter "
                   f"{global_step:6d} / Loss: {last_loss:.9f} / "
                   f"PSNR: {psnr_avg:5.2f} / Eps: {eps_str}")
