@@ -680,17 +680,19 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     # quantized clip sizes are static per compiled step; refresh them when
     # the mask changes and drop only the steps whose shape bucket moved.
     clip_plan = {}  # axis -> (sizes or None, offsets int32[3])
-    import threading
-    refresh_state = {"thread": None}  # background renewal refresh
+    refresh_state = {}  # renewal-queued device bbox awaiting the next pull
 
-    def compute_clip_plan():
-        """New clip plan for every axis (host-side; pulls the mask bbox —
-        callable from a background thread, see the renewal branch)."""
+    def compute_clip_plan(bbox=None):
+        """New clip plan for every axis. ``bbox`` ((lo, hi) host rows):
+        reuse a device-computed mask bbox (the renewal path queues
+        grid_ops.mask_bbox_vox_device and pulls it with the i_print batch
+        — a direct host-side bbox pull waits behind the whole dispatch
+        backlog, ~19 s per renewal over the remote link)."""
         if not use_sweep or not hasattr(model, "sweep_clip_for_axis"):
             return {}
         plan = {}
         for ax in range(3):
-            new = model.sweep_clip_for_axis(ax)
+            new = model.sweep_clip_for_axis(ax, bbox=bbox)
             old = clip_plan.get(ax)
             if old is not None and old[0] is not None \
                     and new[0] is not None and old[0] != new[0]:
@@ -700,7 +702,8 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                 # compiled box shape (offsets refit) unless tightening buys
                 # >= 30% sweep volume.
                 if np.prod(new[0]) > 0.7 * np.prod(old[0]):
-                    kept = model.sweep_clip_for_axis(ax, fixed_sizes=old[0])
+                    kept = model.sweep_clip_for_axis(ax, fixed_sizes=old[0],
+                                                     bbox=bbox)
                     if kept[0] is not None:
                         plan[ax] = kept
                         continue
@@ -912,31 +915,18 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         if (global_step + 500) % 1000 == 0:
             _t_r = time.time()
             model.update_occupancy_cache()  # device-side, queues async
-            # Refresh the clip plan in a BACKGROUND thread: the bbox pull
-            # syncs behind the whole dispatch backlog (~23 s measured at
-            # 170^3 — it was the dominant renewal cost), while the loop can
-            # keep feeding the device. Exact with lag: renewals only
-            # INTERSECT the mask, so a stale box still covers the (shrunken)
-            # bbox — the plan update lands before a later dispatch.
-            if refresh_state["thread"] is None \
-                    or not refresh_state["thread"].is_alive():
-                def _bg_refresh():
-                    plan = compute_clip_plan()
-                    refresh_state["pending"] = plan
-                t = threading.Thread(target=_bg_refresh, daemon=True,
-                                     name="clip-refresh")
-                refresh_state["thread"] = t
-                t.start()
-            print(f"scene_rep_reconstruction ({stage}): [phase] renewal at "
-                  f"{global_step}: {time.time() - _t_r:.2f} s")
-        pending_plan = refresh_state.pop("pending", None)
-        if pending_plan is not None:
-            n_keys = len(train_steps)
-            apply_clip_plan(pending_plan)
-            if len(train_steps) < n_keys:
-                # a clip shape bucket moved: rebuild the dropped programs
-                # (background for windows, sync for the axis fallbacks)
-                precompile_steps(global_step)
+            # Queue the mask bbox ON DEVICE; the 6 scalars ride the next
+            # i_print batched pull and the clip plan updates then. Exact
+            # with lag: renewals only INTERSECT the mask, so a stale box
+            # still covers the (shrunken) bbox.
+            from ..ops import grid as grid_ops
+            if use_sweep and getattr(model.mask, "ndim", 0) == 3:
+                refresh_state["bbox_dev"] = grid_ops.mask_bbox_vox_device(
+                    model.mask)
+            _t_r = time.time() - _t_r
+            if _t_r > 1.0:
+                print(f"scene_rep_reconstruction ({stage}): [phase] "
+                      f"renewal at {global_step}: {_t_r:.2f} s")
 
         # Progressive scaling (run.py:335-345).
         if global_step in pg_set:
@@ -1012,10 +1002,23 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             eps_str = (f"{eps_time//3600:02.0f}:{eps_time//60%60:02.0f}:"
                        f"{eps_time%60:02.0f}")
             # ONE batched pull for the i_print window's psnr scalars + the
-            # loss: per-element np.asarray paid a tunnel round trip each
-            # (500 x RTT — run D lost ~16 min to one i_print during a
-            # bandwidth trough).
-            pulled = jax.device_get([*psnr_lst, loss])
+            # loss (+ any renewal-queued mask bbox): per-element np.asarray
+            # paid a tunnel round trip each (500 x RTT — run D lost ~16 min
+            # to one i_print during a bandwidth trough).
+            bbox_dev = refresh_state.pop("bbox_dev", None)
+            pulled = jax.device_get(
+                [*psnr_lst, loss] + ([bbox_dev] if bbox_dev is not None
+                                     else []))
+            if bbox_dev is not None:
+                bb = pulled[-1]
+                pulled = pulled[:-1]
+                n_keys = len(train_steps)
+                apply_clip_plan(compute_clip_plan(
+                    bbox=(bb[0].astype(np.float64),
+                          bb[1].astype(np.float64))))
+                if len(train_steps) < n_keys:
+                    # a clip shape bucket moved: rebuild dropped programs
+                    precompile_steps(global_step)
             psnr_avg = float(np.mean(np.concatenate(
                 [np.atleast_1d(p) for p in pulled[:-1]])))
             last_loss = float(np.atleast_1d(pulled[-1])[-1])

@@ -262,7 +262,8 @@ class DirectVoxGO:
             self.activate_density(self.params["density"]))
         self.mask = self.mask & (self_alpha > self.fast_color_thres)
 
-    def sweep_clip_for_axis(self, axis, quantum=16, fixed_sizes=None):
+    def sweep_clip_for_axis(self, axis, quantum=16, fixed_sizes=None,
+                            bbox=None):
         """(clip_sizes, clip_offsets) for :meth:`forward_sweep`: the occupancy
         mask's bbox in permuted order, sizes rounded up to ``quantum`` voxels
         so periodic mask renewals rarely change the compiled shape (offsets
@@ -277,12 +278,17 @@ class DirectVoxGO:
         """
         if getattr(self.mask, "ndim", 0) != 3:
             return None, np.zeros(3, np.int32)  # scene-stacked masks: skip
-        cache = getattr(self, "_mask_bbox_cache", None)
-        if cache is not None and cache[0] is self.mask:
-            lo, hi = cache[1]
+        if bbox is not None:
+            # host (lo, hi) rows precomputed on device at renewal time and
+            # pulled with the i_print batch (grid_ops.mask_bbox_vox_device)
+            lo, hi = bbox
         else:
-            lo, hi = grid_ops.mask_bbox_vox(self.mask)
-            self._mask_bbox_cache = (self.mask, (lo, hi))
+            cache = getattr(self, "_mask_bbox_cache", None)
+            if cache is not None and cache[0] is self.mask:
+                lo, hi = cache[1]
+            else:
+                lo, hi = grid_ops.mask_bbox_vox(self.mask)
+                self._mask_bbox_cache = (self.mask, (lo, hi))
         perm = sweep_ops._PERMS[axis]
         if fixed_sizes is not None:
             offs = []

@@ -14,6 +14,8 @@ voxel index 0 and ``xyz_max`` to index ``dim-1``.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,6 +44,33 @@ def mask_bbox_vox(mask):
         lo.append(max(nz[0] - 1.0, 0.0))
         hi.append(min(nz[-1] + 1.0, m.shape[a] - 1.0))
     return np.asarray(lo), np.asarray(hi)
+
+
+@functools.partial(jax.jit, static_argnums=())
+def mask_bbox_vox_device(mask):
+    """:func:`mask_bbox_vox` computed ON DEVICE, returning a [2, 3] f32
+    array (lo row, hi row) instead of pulling the whole mask to the host.
+
+    The training engine queues this at every occupancy renewal and
+    piggybacks the 6-scalar pull on the next i_print's batched transfer —
+    the host-side form's ~4 MB mask pull had to wait behind the whole
+    dispatch backlog (~19 s per renewal over the remote link, PERF_LOG
+    round 3). Empty masks return the full grid, matching the host form.
+    """
+    lo, hi = [], []
+    any_all = jnp.any(mask)
+    for a in range(3):
+        axes = tuple(x for x in range(3) if x != a)
+        line = jnp.any(mask, axis=axes)
+        iota = jnp.arange(line.shape[0], dtype=jnp.float32)
+        big = jnp.float32(line.shape[0])
+        first = jnp.min(jnp.where(line, iota, big))
+        last = jnp.max(jnp.where(line, iota, -1.0))
+        lo.append(jnp.where(any_all, jnp.maximum(first - 1.0, 0.0), 0.0))
+        hi.append(jnp.where(any_all,
+                            jnp.minimum(last + 1.0, line.shape[0] - 1.0),
+                            jnp.float32(line.shape[0] - 1.0)))
+    return jnp.stack([jnp.stack(lo), jnp.stack(hi)])
 
 # TPU layout note: the vector unit is 8x128 lanes with the LAST dim mapped to
 # lanes. Arithmetic on `[..., 3]` tensors (xyz packed in the minor dim) uses

@@ -408,3 +408,19 @@ def test_alpha2weight_saturated_alpha_grad_finite(bidir):
 
     g = jax.jit(jax.grad(f))(jnp.asarray(a))
     assert bool(jnp.isfinite(g).all())
+
+
+def test_mask_bbox_vox_device_matches_host():
+    """Device-side mask bbox (renewals queue it, i_print pulls it) must
+    match the host form, including the empty-mask full-grid fallback."""
+    import jax.numpy as jnp
+    from directvoxgo_tpu.ops.grid import mask_bbox_vox, mask_bbox_vox_device
+
+    rng = np.random.default_rng(0)
+    m = np.zeros((20, 24, 28), bool)
+    m[3:9, 10:18, 5:6] = rng.uniform(size=(6, 8, 1)) > 0.4
+    for mask in (m, np.zeros((20, 24, 28), bool)):
+        lo_h, hi_h = mask_bbox_vox(mask)
+        bb = np.asarray(mask_bbox_vox_device(jnp.asarray(mask)))
+        np.testing.assert_allclose(bb[0], lo_h)
+        np.testing.assert_allclose(bb[1], hi_h)
