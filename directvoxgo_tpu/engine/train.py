@@ -472,6 +472,9 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                  and hasattr(model, "forward_sweep"))
     sweep_axes = []   # axes with rays (precompile_steps enumerates these)
     bucket_ok = False
+    bucket2d_ok = False
+    buckets = {}
+    bucket_compile_hook = {}
     if use_sweep:
         from ..ops import sweep as sweep_ops
         forced = getattr(model, "forced_sweep_axis", None)
@@ -521,7 +524,15 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                           or (cfg_train.N_rand
                               // int(np.prod(mesh.devices.shape)))
                           % sweep_ops.TILE_N == 0))
-        buckets = {}  # ax -> {W: (idx [n_seg, N_rand], seg_vlo, tile_vlo)}
+        # Forced-axis (MPI z-sweep) models window BOTH in-plane dims:
+        # station planes are whole images there (LLFF fern: 404x323 voxels
+        # per plane vs 4096 rays — an unwindowed step costs 59 ms), and
+        # forward-facing batches drawn as Morton segments are image tiles
+        # with compact (u, v) footprints (ops/sweep.build_ray_segments_2d).
+        bucket2d_ok = (bool(cfg_train.get("bucket_tiles", True))
+                       and forced is not None and mesh is None)
+        # buckets: ax -> {W | (Wu, Wv): (idx, lo(s)...)}; the compile hook
+        # is filled in once the compile machinery below exists
 
         # The segment sort is pure host work (3 argsorts over the pool,
         # ~10-20 s at lego scale) on data that never changes within a pg
@@ -533,13 +544,31 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         bucket_builds = {"thread": None, "epoch": 0}
 
         def build_buckets():
-            if not bucket_ok:
+            if not (bucket_ok or bucket2d_ok):
                 return
             bucket_builds["epoch"] += 1
             epoch = bucket_builds["epoch"]
             buckets.clear()
             xyz_min, xyz_max = model.xyz_min, model.xyz_max
             world_size = tuple(int(x) for x in model.world_size)
+
+            def work2d():
+                ax = int(forced)
+                g = group_idx[ax]
+                if len(g) < cfg_train.N_rand:
+                    return
+                b = sweep_ops.build_ray_segments_2d(
+                    rays_o_np[g], rays_d_np[g], xyz_min, xyz_max,
+                    world_size, ax, n_rand=cfg_train.N_rand)
+                out = {wuv: (g[idx], ulo, vlo)
+                       for wuv, (idx, ulo, vlo) in b.items()
+                       if idx.shape[0] > 0} or None
+                if bucket_builds["epoch"] != epoch:
+                    return
+                buckets[ax] = out
+                hook = bucket_compile_hook.get("submit")
+                if hook is not None and out:
+                    hook(ax)
 
             def work():
                 for ax in range(3):
@@ -571,8 +600,8 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                         return  # superseded by a pg_scale rebuild
                     buckets[ax] = out
 
-            t = threading.Thread(target=work, daemon=True,
-                                 name="segment-sort")
+            t = threading.Thread(target=work2d if bucket2d_ok else work,
+                                 daemon=True, name="segment-sort")
             bucket_builds["thread"] = t
             t.start()
 
@@ -590,6 +619,41 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             # permute/slab-blend/backward/optimizer) by ~Gv/W as well.
             ax = int(rng.choice(3, p=group_p))
             bk = buckets.get(ax)
+            if bk is not None and not no_window \
+                    and any(isinstance(k, tuple) for k in bk):
+                # 2D (u, v)-windowed draws for forced-axis MPI sweeps: a
+                # segment is an image tile; its batch trains a
+                # (p, Wu, Wv) composed box (see build_ray_segments_2d).
+                perm = sweep_ops._PERMS[ax]
+                csz, coff = clip_plan.get(ax, (None, None))
+                if csz is not None:
+                    bp, bu, bv = (int(x) for x in csz)
+                    bpo, buo, bvo = (int(x) for x in np.asarray(coff))
+                else:
+                    bp = int(model.world_size[perm[0]])
+                    bu = int(model.world_size[perm[1]])
+                    bv = int(model.world_size[perm[2]])
+                    bpo = buo = bvo = 0
+                ws = [k for k in bk
+                      if isinstance(k, tuple) and k != (0, 0)
+                      and k[0] < bu and k[1] < bv
+                      and (ax, 1, (bp, k[0], k[1])) in train_steps]
+                if not ws:
+                    return ([group_gens[ax]() for _ in range(n_sub)], ax,
+                            None, None)
+                counts = np.array([bk[k][0].size for k in ws], np.float64)
+                wu, wv = ws[int(rng.choice(len(ws),
+                                           p=counts / counts.sum()))]
+                idx, ulo, vlo = bk[(wu, wv)]
+                rows = [int(rng.integers(0, idx.shape[0]))
+                        for _ in range(n_sub)]
+                sels = [idx[r] for r in rows]
+                offs = [[bpo,
+                         min(max(int(ulo[r]), buo), buo + bu - wu),
+                         min(max(int(vlo[r]), bvo), bvo + bv - wv)]
+                        for r in rows]
+                return (sels, ax, (bp, wu, wv),
+                        np.asarray(offs, np.int32))
             if bk is not None and not no_window:
                 # Segment v-windows COMPOSE with the occupancy clip box:
                 # both are (static sizes, traced offsets) boxes, so a
@@ -892,11 +956,51 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             print(f"scene_rep_reconstruction ({stage}): [phase] "
                   f"precompiled {len(fallback)} fallback step programs in "
                   f"{time.time()-t0:.1f} s")
+        sub = compile_state.setdefault("submitted", set())
         for k in windowed:
-            if k not in train_steps:
+            if k not in train_steps and (epoch, k) not in sub:
+                sub.add((epoch, k))
                 fut = compile_state["bg"].submit(_build_and_warm, k,
                                                  tv_pair, epoch, avals)
                 fut.add_done_callback(_bg_done(k, time.time()))
+        # 2D bucket classes (forced-axis models) are only known once the
+        # segment sort lands; re-submit any already-landed ones here so
+        # renewal/pg re-precompiles (and hook-set races) cover them too.
+        hook = bucket_compile_hook.get("submit")
+        if hook is not None:
+            for _ax in list(buckets):
+                hook(_ax)
+
+    def _submit_bucket_classes(ax):
+        """Background-compile the window classes a finished segment sort
+        actually produced (called from the sort thread — 2D classes aren't
+        known until the build lands)."""
+        bk = buckets.get(ax)
+        if not bk:
+            return
+        from ..ops import sweep as sweep_ops
+        perm = sweep_ops._PERMS[ax]
+        csz = clip_plan.get(ax, (None, None))[0]
+        if csz is not None:
+            bp, bu, bv = (int(x) for x in csz)
+        else:
+            bp = int(model.world_size[perm[0]])
+            bu = int(model.world_size[perm[1]])
+            bv = int(model.world_size[perm[2]])
+        epoch = compile_state["epoch"]
+        avals = (_tree_avals(model.params), _tree_avals(opt_state))
+        sub = compile_state.setdefault("submitted", set())
+        for k in bk:
+            if isinstance(k, tuple) and k != (0, 0) \
+                    and k[0] < bu and k[1] < bv:
+                key = (ax, 1, (bp, k[0], k[1]))
+                if key not in train_steps and (epoch, key) not in sub:
+                    sub.add((epoch, key))
+                    fut = compile_state["bg"].submit(
+                        _build_and_warm, key, tv_state, epoch, avals)
+                    fut.add_done_callback(_bg_done(key, time.time()))
+
+    bucket_compile_hook["submit"] = _submit_bucket_classes
 
     # Seed tv_state with the first iteration's value BEFORE precompiling:
     # the loop clears train_steps on any tv-state change, and a None seed

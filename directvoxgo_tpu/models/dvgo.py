@@ -257,10 +257,15 @@ class DirectVoxGO:
 
     def update_occupancy_cache(self):
         """Periodic mask renewal: ``mask &= maxpool(alpha) > thres``
-        (run.py:330-332)."""
-        self_alpha = grid_ops.max_pool3d_same(
-            self.activate_density(self.params["density"]))
-        self.mask = self.mask & (self_alpha > self.fast_color_thres)
+        (run.py:330-332). One jitted program — the eager op-by-op form
+        dispatched ~5 programs per renewal, each paying remote-dispatch
+        backpressure behind the training queue."""
+        self.mask = self._update_occ_jit(self.params["density"], self.mask)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _update_occ_jit(self, density, mask):
+        alpha = grid_ops.max_pool3d_same(self.activate_density(density))
+        return mask & (alpha > self.fast_color_thres)
 
     def sweep_clip_for_axis(self, axis, quantum=16, fixed_sizes=None,
                             bbox=None):

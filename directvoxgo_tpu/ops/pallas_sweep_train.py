@@ -224,12 +224,21 @@ def sweep_fwd_pallas(slabs_p, rays_packed, v_base=None, *, c, cp, k, gu, gv,
 
 def sweep_fwd_available(n, c, gu, gv):
     """Shape gate for the fused path (ray count must tile; tiny grids are
-    not worth a kernel launch and can violate Mosaic minimums).
-    ``DVGO_SWEEP_PALLAS=0`` forces the XLA scan (A/B probes)."""
+    not worth a kernel launch and can violate Mosaic minimums; very
+    anisotropic slabs blow the 64 MB scoped-VMEM budget — e.g. the
+    LLFF-class z-sweep at gu=404, gv=323 needs a ~33 MB slab block and
+    failed to compile). ``DVGO_SWEEP_PALLAS=0`` forces the XLA scan."""
     if os.environ.get("DVGO_SWEEP_PALLAS", "1") == "0":
         return False
+    cp = _round_up(c, C_TILE)
+    cgv = cp * gv
+    vmem_est = (2 * S_BLK * gu * cgv * 2        # double-buffered slab block
+                + (gu + cgv) * NT * 4           # u-hat / v-index iotas
+                + NT * cgv * 4                  # u-contraction intermediate
+                + 2 * S_BLK * cp * NT * 4)      # out block (+copy)
     return (jax.default_backend() == "tpu" and n % NT == 0
-            and gu >= 2 and gv >= 2 and c >= 1)
+            and gu >= 2 and gv >= 2 and c >= 1
+            and vmem_est <= 48 * 2 ** 20)
 
 
 @functools.partial(jax.jit,

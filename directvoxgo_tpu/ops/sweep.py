@@ -812,3 +812,113 @@ def build_ray_segments(rays_o, rays_d, xyz_min, xyz_max, world_size, axis,
         out[0] = (idx[rest], np.zeros(len(rest), np.int32),
                   np.zeros((len(rest), n_tile), np.int32))
     return out
+
+
+def build_ray_segments_2d(rays_o, rays_d, xyz_min, xyz_max, world_size,
+                          axis, n_rand=4096, widths=(32, 64, 96, 128),
+                          max_classes=4, clip_box=None):
+    """Spatially-sorted ray segments with BOTH in-plane dims windowed.
+
+    The 1D (v-only) builder assumes the sweep plane's u extent is
+    comparable to the ray count's appetite — true for cube grids, false
+    for forced-axis MPI sweeps where one station plane is the whole image
+    (LLFF fern: 404x323 voxels per z-plane vs 4096 rays; the dense
+    per-station matmul is then ~17 GFLOP/station and a training step costs
+    59 ms). Forward-facing rays are near-parallel, so a batch drawn as a
+    Morton-contiguous segment is an IMAGE TILE whose (u, v) footprint
+    across every station is a small box: drawing the batch as a composed
+    clip box (gp, Wu, Wv) with traced offsets cuts the sweep's FLOPs by
+    ~ (gu*gv)/(Wu*Wv) with the existing clip machinery — no new kernels.
+    Exact: every interp row of every ray lies inside the box (supports are
+    endpoint-bounded like the 1D builder; +-1 voxel interp margin).
+
+    Returns ``{(wu, wv): (idx [n_seg, n_rand], seg_ulo [n_seg],
+    seg_vlo [n_seg])}``; the ``(0, 0)`` key is the full-sweep fallback. At
+    most ``max_classes`` window classes are kept (each is a separately
+    compiled step program); smaller classes fold into kept covers or the
+    fallback.
+    """
+    n = rays_o.shape[0]
+    n_seg = n // n_rand
+    if n_seg == 0:
+        return {}
+    perm = _PERMS[axis]
+    rays_o = np.asarray(rays_o)
+    rays_d = np.asarray(rays_d)
+    opv, dpv = [], []
+    for ax in perm:
+        scale = (float(world_size[ax]) - 1.0) / (float(xyz_max[ax])
+                                                 - float(xyz_min[ax]))
+        opv.append((rays_o[:, ax] - float(xyz_min[ax])) * scale)
+        dpv.append(rays_d[:, ax] * scale)
+    op, ou, ov = opv
+    dp, du, dv = dpv
+    gp = int(world_size[perm[0]])
+    gu = int(world_size[perm[1]])
+    gv = int(world_size[perm[2]])
+    dp_s = np.where(np.abs(dp) < 1e-10, 1e-10, dp)
+    p_lo, p_hi = (0.0, gp - 1.0) if clip_box is None \
+        else (float(clip_box[0]), float(clip_box[1]))
+    t0 = (p_lo - op) / dp_s
+    t1 = (p_hi - op) / dp_s
+    u_ends = np.clip(np.stack([ou + t0 * du, ou + t1 * du]), -1.0, gu)
+    v_ends = np.clip(np.stack([ov + t0 * dv, ov + t1 * dv]), -1.0, gv)
+
+    def quant(x, g):
+        return np.clip((x / max(g, 1) * 1024).astype(np.int64), 0, 1023)
+
+    ku = quant(0.5 * (u_ends[0] + u_ends[1]), gu)
+    kv = quant(0.5 * (v_ends[0] + v_ends[1]), gv)
+    code = np.zeros(n, np.int64)
+    for b in range(10):
+        code |= ((ku >> b) & 1) << (b * 2)
+        code |= ((kv >> b) & 1) << (b * 2 + 1)
+    order = np.argsort(code, kind="stable")
+    idx = order[: n_seg * n_rand].reshape(n_seg, n_rand)
+
+    def seg_range(ends, g):
+        lo = np.maximum(0, np.floor(np.minimum(ends[0], ends[1])))
+        hi = np.minimum(g - 1, np.floor(np.maximum(ends[0], ends[1])) + 1)
+        r0 = lo[idx].min(1)
+        r1 = hi[idx].max(1)
+        return r0.astype(np.int64), r1.astype(np.int64)
+
+    u0, u1 = seg_range(u_ends, gu)
+    v0, v1 = seg_range(v_ends, gv)
+    need_u = u1 - u0 + 1
+    need_v = v1 - v0 + 1
+
+    def fit(need, g):
+        ws = [w for w in sorted(widths) if w < g]
+        out = np.zeros(len(need), np.int64)
+        for i, nd in enumerate(need):
+            out[i] = next((w for w in ws if nd <= w), 0)
+        return out
+
+    wu_min = fit(need_u, gu)
+    wv_min = fit(need_v, gv)
+    pairs = {}
+    for s in range(n_seg):
+        if wu_min[s] and wv_min[s]:
+            pairs.setdefault((int(wu_min[s]), int(wv_min[s])),
+                             []).append(s)
+    kept = sorted(pairs, key=lambda p: -len(pairs[p]))[:max_classes]
+    out = {}
+    assigned = np.full(n_seg, False)
+    for wu, wv in sorted(kept):
+        # every segment whose minimal pair fits under this cover
+        sel = [s for s in range(n_seg)
+               if not assigned[s] and wu_min[s] and wv_min[s]
+               and wu_min[s] <= wu and wv_min[s] <= wv]
+        if not sel:
+            continue
+        sel = np.asarray(sel)
+        assigned[sel] = True
+        ulo = np.minimum(u0[sel], gu - wu).astype(np.int32)
+        vlo = np.minimum(v0[sel], gv - wv).astype(np.int32)
+        out[(int(wu), int(wv))] = (idx[sel], ulo, vlo)
+    rest = np.flatnonzero(~assigned)
+    if len(rest):
+        out[(0, 0)] = (idx[rest], np.zeros(len(rest), np.int32),
+                       np.zeros(len(rest), np.int32))
+    return out

@@ -302,6 +302,65 @@ def test_forward_sweep_window_composes_with_clip(axis):
                                                     np.abs(a - b).max())
 
 
+def test_forward_sweep_2d_window_equivalence():
+    """2D (u, v)-windowed draws (build_ray_segments_2d) must match the full
+    sweep: a near-parallel (MPI-like) ray batch drawn as an image-tile
+    segment trains a (gp, Wu, Wv) composed box whose interp support covers
+    every ray (engine/train.py forced-axis draw path)."""
+    rng = np.random.default_rng(7)
+    model = DirectVoxGO(xyz_min=[-1, -1, -1], xyz_max=[1, 1, 1],
+                        num_voxels=64 ** 3, num_voxels_base=64 ** 3,
+                        alpha_init=1e-2, fast_color_thres=1e-4,
+                        rgbnet_dim=6, rgbnet_direct=True,
+                        k_density=None, k_color=0)
+    model.params["density"] = jnp.asarray(
+        rng.normal(-2, 2, model.params["density"].shape).astype(np.float32))
+    model.params["k0"] = jnp.asarray(
+        rng.normal(0, 0.5, model.params["k0"].shape).astype(np.float32))
+    model.update_occupancy_cache()
+
+    # forward-facing-style bundle: near-parallel -z rays from a grid of
+    # origins (like NDC rays through image pixels)
+    n_rand = 256
+    n = 8 * n_rand
+    gx, gy = np.meshgrid(np.linspace(-0.9, 0.9, 64),
+                         np.linspace(-0.9, 0.9, 32), indexing="ij")
+    o = np.stack([gx.ravel(), gy.ravel(), np.full(gx.size, 2.0)],
+                 -1).astype(np.float32)[:n]
+    d3 = np.stack([rng.uniform(-0.04, 0.04, n),
+                   rng.uniform(-0.04, 0.04, n),
+                   -np.ones(n)], -1).astype(np.float32)
+    vd = (d3 / np.linalg.norm(d3, axis=-1, keepdims=True)).astype(np.float32)
+
+    bk = sweep_ops.build_ray_segments_2d(
+        o, d3, model.xyz_min, model.xyz_max, model.world_size, 2,
+        n_rand=n_rand, widths=(16, 24, 32, 48))
+    pairs = [k for k in bk if k != (0, 0)]
+    assert pairs, f"no 2D window classes formed: {list(bk)}"
+    wu, wv = pairs[0]
+    idx, ulo, vlo = bk[(wu, wv)]
+    sel = idx[0]
+    perm = sweep_ops._PERMS[2]
+    gp = int(model.world_size[perm[0]])
+    gu = int(model.world_size[perm[1]])
+    gv = int(model.world_size[perm[2]])
+    off = np.asarray([0, min(int(ulo[0]), gu - wu),
+                      min(int(vlo[0]), gv - wv)], np.int32)
+    kw = dict(near=0.5, far=6.0, bg=1.0, stepsize=0.5, render_depth=True)
+
+    def run(cs, co):
+        return model.forward_sweep(
+            model.params, model.mask, jnp.asarray(o[sel]),
+            jnp.asarray(d3[sel]), jnp.asarray(vd[sel]), 2, clip_sizes=cs,
+            clip_offsets=None if co is None else jnp.asarray(co), **kw)
+
+    ret_full = run(None, None)
+    ret_win = run((gp, wu, wv), off)
+    for key in ("rgb_marched", "alphainv_last", "depth"):
+        a, b = np.asarray(ret_full[key]), np.asarray(ret_win[key])
+        assert np.allclose(a, b, atol=2e-5), (key, np.abs(a - b).max())
+
+
 def test_dominant_axis_grouping():
     d = np.array([[1.0, 0.1, 0.1], [0.1, -2.0, 0.3], [0.0, 0.1, 5.0]],
                  np.float32)

@@ -73,8 +73,37 @@ def ndc_batch(model, n_rand, seed=0):
                  (flat(rays_o), flat(rays_d), flat(viewdirs), target))
 
 
+def ndc_pool(model, n_views=3, H=756, W=1008, seed=0):
+    """Whole-image NDC ray pools from a few jittered forward-facing poses
+    (what run.py's flatten gather feeds the engine for LLFF)."""
+    from directvoxgo_tpu import rays as ray_lib
+    rng = np.random.default_rng(seed)
+    focal = 815.0
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    chunks = []
+    for i in range(n_views):
+        c2w = np.eye(4, dtype=np.float32)[:3]
+        c2w[:2, 3] = rng.uniform(-0.15, 0.15, 2)
+        ro, rd, vd = ray_lib.get_rays_of_a_view(
+            H, W, K, c2w, ndc=True, inverse_y=False, flip_x=False,
+            flip_y=False)
+        chunks.append((ro.reshape(-1, 3), rd.reshape(-1, 3),
+                       vd.reshape(-1, 3)))
+    ro = np.concatenate([c[0] for c in chunks])
+    rd = np.concatenate([c[1] for c in chunks])
+    vd = np.concatenate([c[2] for c in chunks])
+    rgb = rng.uniform(0, 1, (ro.shape[0], 3)).astype(np.float32)
+    return ro, rd, vd, rgb
+
+
 def bench_train(model, n_rand=4096, iters=30):
+    """Engine-faithful step timing: batches drawn as 2D (u, v)-windowed
+    image-tile segments (ops/sweep.build_ray_segments_2d — the engine's
+    forced-axis draw path), blended by ray share, with the unwindowed full
+    z-sweep as the fallback class."""
     from directvoxgo_tpu.engine import train as train_lib
+    from directvoxgo_tpu.ops import sweep as sweep_ops
     from directvoxgo_tpu.config import ConfigDict
     cfg_train = ConfigDict(
         N_rand=n_rand, weight_main=1.0, weight_entropy_last=0.001,
@@ -83,29 +112,59 @@ def bench_train(model, n_rand=4096, iters=30):
         lrate_rgbnet=1e-3, skip_zero_grad_fields=["density", "k0"])
     optimizer = train_lib.create_optimizer_or_freeze_model(model, cfg_train)
     render_kwargs = dict(near=0.0, far=1.0, bg=1.0, stepsize=1.0)
-    clip_sizes, clip_off = model.sweep_clip_for_axis(2)
-    log(f"dmpigo bench: clip={clip_sizes} off={list(np.asarray(clip_off))}")
-    step = train_lib.make_train_step(
-        model, optimizer, cfg_train, render_kwargs, apply_tv=False,
-        tv_dense=False, axis=2, clip_sizes=clip_sizes, donate=True)
-    b = ndc_batch(model, n_rand)
-    pool = {"rays_o": b[0], "rays_d": b[1], "viewdirs": b[2], "rgb": b[3]}
-    sel = jnp.arange(n_rand, dtype=jnp.int32)
-    params = jax.tree_util.tree_map(jnp.copy, model.params)
-    opt_state = optimizer.init(model.params)
-    co = jnp.asarray(clip_off)
-    t0 = time.time()
-    params, opt_state, loss, psnr = step(params, model.mask, opt_state,
-                                         pool, sel, co)
-    log(f"dmpigo bench: compile+first {time.time()-t0:.1f}s "
-        f"loss={float(loss):.4f}")
-    t0 = time.time()
-    for _ in range(iters):
+    ro, rd, vd, rgb = ndc_pool(model)
+    bk = sweep_ops.build_ray_segments_2d(
+        ro, rd, model.xyz_min, model.xyz_max, model.world_size, 2,
+        n_rand=n_rand)
+    perm = sweep_ops._PERMS[2]
+    gp = int(model.world_size[perm[0]])
+    gu = int(model.world_size[perm[1]])
+    gv = int(model.world_size[perm[2]])
+    share = {k: v[0].size / ro.shape[0] for k, v in bk.items()}
+    log(f"dmpigo bench: 2D window classes {share}")
+    rng = np.random.default_rng(1)
+    blend_num = blend_den = 0.0
+    for wuv, (idx, ulo, vlo) in sorted(
+            bk.items(), key=lambda kv: -kv[1][0].size):
+        wu, wv = wuv
+        if wuv == (0, 0):
+            sizes, tag = None, "full"
+        else:
+            sizes, tag = (gp, wu, wv), f"{wu}x{wv}"
+        step = train_lib.make_train_step(
+            model, optimizer, cfg_train, render_kwargs, apply_tv=False,
+            tv_dense=False, axis=2, clip_sizes=sizes, donate=True)
+        r = int(rng.integers(0, idx.shape[0]))
+        sel = idx[r]
+        off = np.asarray(
+            [0, min(int(ulo[r]), gu - wu) if wu else 0,
+             min(int(vlo[r]), gv - wv) if wv else 0], np.int32)
+        pool = {"rays_o": jnp.asarray(ro[sel]),
+                "rays_d": jnp.asarray(rd[sel]),
+                "viewdirs": jnp.asarray(vd[sel]),
+                "rgb": jnp.asarray(rgb[sel])}
+        selj = jnp.arange(n_rand, dtype=jnp.int32)
+        params = jax.tree_util.tree_map(jnp.copy, model.params)
+        opt_state = optimizer.init(model.params)
+        co = jnp.asarray(off)
+        t0 = time.time()
         params, opt_state, loss, psnr = step(params, model.mask, opt_state,
-                                             pool, sel, co)
-    float(loss)
-    dt = (time.time() - t0) / iters
-    log(f"dmpigo bench: train step {dt*1000:.2f} ms/iter (N_rand={n_rand})")
+                                             pool, selj, co)
+        log(f"dmpigo bench: class {tag} compile+first {time.time()-t0:.1f}s"
+            f" loss={float(loss):.4f}")
+        t0 = time.time()
+        for _ in range(iters):
+            params, opt_state, loss, psnr = step(
+                params, model.mask, opt_state, pool, selj, co)
+        float(loss)
+        dt_c = (time.time() - t0) / iters
+        log(f"dmpigo bench: class {tag} {dt_c*1000:.2f} ms/iter "
+            f"(ray share {share[wuv]:.2f})")
+        blend_num += share[wuv] * dt_c
+        blend_den += share[wuv]
+    dt = blend_num / max(blend_den, 1e-9)
+    log(f"dmpigo bench: train blended {dt*1000:.2f} ms/iter "
+        f"(N_rand={n_rand}, ray-share weighted)")
     log(f"dmpigo bench: projected 30k-iter llff stage: {dt*30000/60:.2f} min"
         f" (reference ~5.5 min/scene total, IMPROVING_LOG.md:119)")
     return dt
