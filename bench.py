@@ -32,6 +32,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _round_up(x, m):
+    return (int(x) + m - 1) // m * m
+
+
 def build_fine_model():
     import jax.numpy as jnp
     from directvoxgo_tpu.models.dvgo import DirectVoxGO

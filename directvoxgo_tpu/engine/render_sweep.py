@@ -47,10 +47,15 @@ from ..ops import sweep as sweep_ops
 
 # Intermediate-image oversampling vs screen pixel density, and the shape
 # quantum that bounds recompiles across poses (orbit renders then share a
-# handful of compiled shapes). Remote XLA compiles cost minutes, so coarse
-# quantization (fewer distinct shapes) beats tight footprints.
-OVERSAMPLE = 1.25
-SHAPE_QUANTUM = 512
+# handful of compiled shapes; the persistent compilation cache keeps warm
+# starts cheap). Retuned round 3: 1.25/512 -> 1.1/128 cut the 800^2 x
+# 160^3 frame 59.6 -> 39.3 ms at unchanged cross-implementation agreement
+# (52.8 dB frame-vs-per-ray-sweep) — the 512 quantum was padding the
+# 880-pixel intermediate back up to 1024, and oversampling also densifies
+# stations (spacing /= OVERSAMPLE). 1.1 keeps a sharpness margin over 1.0
+# (36.1 ms) for scenes with more high-frequency content than the fixture.
+OVERSAMPLE = 1.1
+SHAPE_QUANTUM = 128
 # Station-count quantum (padded with inert mask=0 slabs).
 S_QUANTUM = 64
 # Minimum |unit_d_axis| over the frame's corner rays. Station spacing along
