@@ -21,22 +21,49 @@ from .. import rays as ray_lib
 from .load_blender import pose_spherical
 
 
-def teacher_grids(resolution=64):
-    """Analytic density/rgb voxel grids for the fixture scene."""
+def teacher_grids(resolution=64, variant="blobs"):
+    """Analytic density/rgb voxel grids for the fixture scene.
+
+    ``variant``:
+      * "blobs" (default, frozen — golden tests depend on it): three broad
+        gaussian blobs whose tails span most of the volume. Adversarial
+        for free-space machinery (the occupancy bbox is the whole grid).
+      * "lego": seven compact, sharp-edged primitives inside ~55% of the
+        extent — occupancy statistics like the real lego scene (a tight
+        coarse-geometry bbox and ~5-10%% of fine voxels above threshold),
+        so clip boxes and windows engage the way they do on the
+        reference's headline benchmark.
+    """
     lin = np.linspace(-1.0, 1.0, resolution, dtype=np.float32)
     x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
     density = np.full_like(x, -6.0)
-    # Three gaussian blobs with distinct colors.
-    blobs = [
-        ((0.35, 0.0, 0.0), 0.35, 9.0, (0.9, 0.2, 0.2)),
-        ((-0.3, 0.25, 0.1), 0.28, 9.0, (0.2, 0.8, 0.3)),
-        ((0.0, -0.3, -0.25), 0.30, 9.0, (0.25, 0.35, 0.95)),
-    ]
+    if variant == "lego":
+        blobs = [
+            ((0.30, 0.10, -0.15), 0.20, 14.0, (0.9, 0.75, 0.2)),
+            ((-0.28, 0.18, -0.05), 0.17, 14.0, (0.75, 0.2, 0.15)),
+            ((0.05, -0.30, 0.10), 0.19, 14.0, (0.2, 0.55, 0.85)),
+            ((0.02, 0.25, 0.28), 0.14, 14.0, (0.3, 0.8, 0.3)),
+            ((-0.20, -0.22, -0.30), 0.15, 14.0, (0.85, 0.4, 0.1)),
+            ((0.33, -0.12, 0.30), 0.12, 14.0, (0.6, 0.6, 0.65)),
+            ((-0.05, 0.02, -0.02), 0.22, 14.0, (0.5, 0.5, 0.2)),
+        ]
+        sharp = 6.0  # steep falloff: tails die within ~r/2
+    else:
+        blobs = [
+            ((0.35, 0.0, 0.0), 0.35, 9.0, (0.9, 0.2, 0.2)),
+            ((-0.3, 0.25, 0.1), 0.28, 9.0, (0.2, 0.8, 0.3)),
+            ((0.0, -0.3, -0.25), 0.30, 9.0, (0.25, 0.35, 0.95)),
+        ]
+        sharp = 2.0
     rgb_num = np.zeros((*x.shape, 3), np.float32)
     w_sum = np.zeros_like(x)
     for (cx, cy, cz), r, peak, color in blobs:
         d2 = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
-        w = np.exp(-d2 / (2 * (r / 2) ** 2)).astype(np.float32)
+        if sharp == 2.0:  # bit-exact original form (frozen goldens)
+            w = np.exp(-d2 / (2 * (r / 2) ** 2)).astype(np.float32)
+        else:
+            w = np.exp(-(d2 / (r / 2) ** 2) ** (sharp / 2)
+                       / 2).astype(np.float32)
         density = np.maximum(density, peak * w - 6.0)
         rgb_num += w[..., None] * np.asarray(color, np.float32)
         w_sum += w
@@ -194,6 +221,7 @@ def make_ndc_fixture_dataset(n_train=12, n_val=2, n_test=3, H=64, W=64,
 
 def make_synthetic_dataset(n_train=16, n_val=2, n_test=4, H=64, W=64,
                            teacher_res=64, white_bkgd=True, seed=0,
+                           variant="blobs",
                            cache_dir="/tmp/dvgo_fixture_cache"):
     """Build a data_dict with the same keys as load_everything
     (lib/load_data.py:188-218).
@@ -220,13 +248,14 @@ def make_synthetic_dataset(n_train=16, n_val=2, n_test=4, H=64, W=64,
     cache_path = None
     if cache_dir:
         key = f"{n_train}_{n_val}_{n_test}_{H}_{W}_{teacher_res}_" \
-              f"{int(white_bkgd)}_{seed}_v2"
+              f"{int(white_bkgd)}_{seed}_v2" \
+              + (f"_{variant}" if variant != "blobs" else "")
         cache_path = os.path.join(cache_dir, f"fixture_{key}.npz")
     if cache_path and os.path.isfile(cache_path):
         with np.load(cache_path) as z:
             images = z["images"]
     else:
-        density, rgb = teacher_grids(teacher_res)
+        density, rgb = teacher_grids(teacher_res, variant=variant)
         images = np.stack([
             _render_view(density, rgb, H, W, K, c2w[:3, :4], near, far, bg)
             for c2w in poses], 0)

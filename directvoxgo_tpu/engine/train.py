@@ -937,7 +937,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                         gp = int(model.world_size[perm[0]])
                         gu = int(model.world_size[perm[1]])
                         gv = int(model.world_size[perm[2]])
-                    for w in (32, 64, 96):
+                    for w in (32, 48, 64, 96):
                         if w < gv:  # window-as-clip composes with the bbox
                             windowed.append((ax, 1, (gp, gu, w)))
         else:

@@ -190,6 +190,7 @@ def alpha2weight_dense(alpha, valid):
     return weights, alphainv_last, live & valid
 
 
+@jax.custom_vjp
 def alpha2weight_dense_bidir(alpha, valid, forward):
     """:func:`alpha2weight_dense` for rows that march in either direction.
 
@@ -200,12 +201,30 @@ def alpha2weight_dense_bidir(alpha, valid, forward):
     per row — sums used downstream (rgb compositing, losses, depth) are
     order-free.
 
+    Hand-derived VJP: XLA's autodiff of the shifted-cumprod construction
+    spends ~2x the necessary [N,S] passes (cumprod VJPs, concat/flip/slice
+    transposes) in the train step's latency-bound tail; the closed form is
+    the reference backward's ``back_cum`` recurrence
+    (render_utils_kernel.cu:507-561) as two exclusive cumsums:
+
+      dL/da_k = keep_k * dw_k * T_k
+                - valid_k * (S_k + live_k * dA * A) / om_k
+
+    with ``S_k = sum over samples AFTER k in march order of dw_i * w_i``.
+    The termination mask ``live`` is treated as locally constant, exactly
+    like autodiff of the comparison.
+
     Args:
       alpha, valid: [n_rays, n_samples].
       forward: [n_rays] bool; True = row marches left-to-right.
     """
-    alpha = jnp.where(valid, alpha, 0.0)
-    one_minus = jnp.where(valid, 1.0 - alpha + T_EPS, 1.0)
+    out, _ = _a2w_bidir_fwd(alpha, valid, forward)
+    return out
+
+
+def _a2w_bidir_fwd(alpha, valid, forward):
+    alpha_m = jnp.where(valid, alpha, 0.0)
+    one_minus = jnp.where(valid, 1.0 - alpha_m + T_EPS, 1.0)
     # Exclusive products via shifted cumprods (NOT cumprod/one_minus): see
     # :func:`alpha2weight_dense` on the saturated-alpha NaN the division
     # form produces under jit.
@@ -217,9 +236,36 @@ def alpha2weight_dense_bidir(alpha, valid, forward):
         -1)[..., ::-1]
     t_excl = jnp.where(forward[:, None], t_excl_f, t_excl_b)
     live = t_excl >= T_TERMINATE
-    weights = jnp.where(valid & live, t_excl * alpha, 0.0)
+    weights = jnp.where(valid & live, t_excl * alpha_m, 0.0)
     alphainv_last = jnp.prod(jnp.where(live, one_minus, 1.0), axis=-1)
-    return weights, alphainv_last, live & valid
+    out = (weights, alphainv_last, live & valid)
+    res = (weights, alphainv_last, t_excl, one_minus, live, valid, forward)
+    return out, res
+
+
+def _a2w_bidir_bwd(res, cts):
+    d_w, d_inv, _ = cts  # the boolean live-mask output carries no gradient
+    weights, alphainv_last, t_excl, one_minus, live, valid, forward = res
+    keep = valid & live
+    wd = d_w * weights  # dw_i * w_i (weights already masked by keep)
+    # S_k = sum of wd over samples strictly AFTER k in march order:
+    # forward rows -> right-exclusive cumsum; backward rows -> left.
+    csum = jnp.cumsum(wd, axis=-1)
+    total = csum[..., -1:]
+    s_fwd = total - csum            # sum_{i>k}
+    s_bwd = csum - wd               # sum_{i<k}
+    s = jnp.where(forward[:, None], s_fwd, s_bwd)
+    a_term = jnp.where(live, (d_inv * alphainv_last)[:, None], 0.0)
+    # re-clamp before the reciprocal: under jit XLA reassociates the
+    # forward's (1 - alpha) + eps into 1 - (alpha - eps) which rounds to 0
+    # at saturated alpha in f32 (--xla_allow_excess_precision) — the very
+    # NaN the shifted-cumprod forward exists to avoid
+    inv_om = jnp.where(valid, 1.0 / jnp.maximum(one_minus, T_EPS), 0.0)
+    d_alpha = jnp.where(keep, d_w * t_excl, 0.0) - (s + a_term) * inv_om
+    return d_alpha, None, None
+
+
+alpha2weight_dense_bidir.defvjp(_a2w_bidir_fwd, _a2w_bidir_bwd)
 
 
 def compact_by_key(key, k, *arrays, fill_values=None):

@@ -715,7 +715,7 @@ def build_tile_buckets(rays_o, rays_d, xyz_min, xyz_max, world_size, axis,
 
 def build_ray_segments(rays_o, rays_d, xyz_min, xyz_max, world_size, axis,
                        n_rand=8192, tile_n=TILE_N,
-                       widths=(32, 64, 96), clip_box=None):
+                       widths=(32, 48, 64, 96), clip_box=None):
     # (W=128 measured SLOWER than the full sweep at the e2e shape — 64.8 vs
     # 54.3 ms/step — the window machinery without a real FLOP cut; wide
     # segments go to the full class instead. tools/profile_windowed_step.)

@@ -424,3 +424,54 @@ def test_mask_bbox_vox_device_matches_host():
         bb = np.asarray(mask_bbox_vox_device(jnp.asarray(mask)))
         np.testing.assert_allclose(bb[0], lo_h)
         np.testing.assert_allclose(bb[1], hi_h)
+
+
+def test_alpha2weight_bidir_custom_vjp_matches_autodiff():
+    """The hand-derived compositing backward (the reference back_cum
+    recurrence as two cumsums) must match autodiff of the plain shifted-
+    cumprod construction — including saturated alphas, invalid slots and
+    mixed march directions."""
+    import jax
+    import jax.numpy as jnp
+    from directvoxgo_tpu.ops import raymarch as rm
+
+    def plain(alpha, valid, forward):
+        alpha = jnp.where(valid, alpha, 0.0)
+        om = jnp.where(valid, 1.0 - alpha + rm.T_EPS, 1.0)
+        ones = jnp.ones_like(om[..., :1])
+        t_f = jnp.cumprod(jnp.concatenate([ones, om[..., :-1]], -1), -1)
+        t_b = jnp.cumprod(jnp.concatenate([om[..., 1:], ones],
+                                          -1)[..., ::-1], -1)[..., ::-1]
+        t = jnp.where(forward[:, None], t_f, t_b)
+        live = t >= rm.T_TERMINATE
+        w = jnp.where(valid & live, t * alpha, 0.0)
+        ainv = jnp.prod(jnp.where(live, om, 1.0), axis=-1)
+        return w, ainv
+
+    rng = np.random.default_rng(0)
+    n, s = 32, 48
+    alpha = rng.uniform(0, 0.6, (n, s)).astype(np.float32)
+    alpha[rng.uniform(size=(n, s)) < 0.1] = 0.9999  # near-saturated
+    alpha[0, 5] = 1.0  # exactly saturated
+    valid = rng.uniform(size=(n, s)) > 0.25
+    forward = rng.uniform(size=n) > 0.5
+    cw = rng.normal(size=(n, s)).astype(np.float32)
+    ci = rng.normal(size=n).astype(np.float32)
+
+    def loss_custom(a):
+        w, ainv, _ = rm.alpha2weight_dense_bidir(
+            a, jnp.asarray(valid), jnp.asarray(forward))
+        return jnp.sum(w * cw) + jnp.sum(ainv * ci)
+
+    def loss_plain(a):
+        w, ainv = plain(a, jnp.asarray(valid), jnp.asarray(forward))
+        return jnp.sum(w * cw) + jnp.sum(ainv * ci)
+
+    a = jnp.asarray(alpha)
+    v1 = float(loss_custom(a))
+    v2 = float(loss_plain(a))
+    assert abs(v1 - v2) < 1e-4 * max(abs(v2), 1.0)
+    g1 = np.asarray(jax.grad(loss_custom)(a))
+    g2 = np.asarray(jax.grad(loss_plain)(a))
+    scale = max(1.0, np.abs(g2).max())
+    assert np.abs(g1 - g2).max() < 2e-5 * scale, np.abs(g1 - g2).max()
