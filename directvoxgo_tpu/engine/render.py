@@ -17,6 +17,12 @@ def _round_up(x, m):
     return ((int(x) + m - 1) // m) * m
 
 
+# Minimum station-plane area (voxels) for 2D-windowed chunk rendering —
+# below this the window bookkeeping can't pay for itself. Patchable so
+# tests can force the windowed path on tiny grids.
+WINDOWED_RENDER_MIN_PLANE = 128 * 128
+
+
 def render_viewpoints(model, render_poses, HW, Ks, ndc, render_kwargs,
                       gt_imgs=None, savedir=None, render_factor=0,
                       eval_ssim=False, eval_lpips_alex=False,
@@ -147,6 +153,10 @@ def render_rays_chunked(render_fn, model, rays_o, rays_d, viewdirs, chunk):
     if getattr(render_fn, "use_sweep", False):
         forced = getattr(model, "forced_sweep_axis", None)
         if forced is not None:
+            out = _render_rays_windowed_2d(render_fn, model, rays_o, rays_d,
+                                           viewdirs, chunk, int(forced))
+            if out is not None:
+                return out
             parts = [(int(forced), np.arange(n))]
         else:
             from ..ops import sweep as sweep_ops
@@ -181,3 +191,91 @@ def render_rays_chunked(render_fn, model, rays_o, rays_d, viewdirs, chunk):
         rgb_out[idx] = rgb_g
         dep_out[idx] = dep_g
     return rgb_out, dep_out
+
+
+def _render_rays_windowed_2d(render_fn, model, rays_o, rays_d, viewdirs,
+                             chunk, axis):
+    """2D (u, v)-windowed chunked rendering for forced-axis MPI sweeps.
+
+    A z-station of an MPI grid is a whole image plane (LLFF fern:
+    404x323 voxels vs a 4096-ray chunk), so an unwindowed chunk pays
+    ``gu*gv`` FLOPs per station regardless of how few pixels it covers.
+    Frame rays are forward-facing and near-parallel, so Morton-contiguous
+    segments are image TILES with compact in-plane footprints across every
+    depth — the same observation the training engine exploits
+    (ops/sweep.build_ray_segments_2d; engine/train.py next_chunk). Each
+    (Wu, Wv) class renders as a composed clip box with traced offsets
+    through the already-jitted ``render_fn`` — one extra compile per class,
+    shared across all frames of an eval run. Exact, not approximate: every
+    interp row of every segment ray lies inside its box (endpoint-bounded
+    supports, +-1 voxel margin), identical to the training-step guarantee.
+
+    Returns ``(rgb, depth)`` numpy arrays, or None when windows can't help
+    (tiny planes / everything falls back) — caller uses the plain path.
+    """
+    from ..ops import sweep as sweep_ops
+    perm = sweep_ops._PERMS[axis]
+    gp = int(model.world_size[perm[0]])
+    gu = int(model.world_size[perm[1]])
+    gv = int(model.world_size[perm[2]])
+    if gu * gv < WINDOWED_RENDER_MIN_PLANE:
+        return None
+    n = rays_o.shape[0]
+    n_pad = _round_up(max(n, 1), chunk)
+    # The segment builder keeps only full n_rand-sized segments; pad with
+    # copies of ray 0 (NOT zeros — pads must classify like real rays) so
+    # every real ray lands in exactly one segment.
+    pad = n_pad - n
+    ro = np.concatenate([rays_o, np.repeat(rays_o[:1], pad, 0)]) \
+        .astype(np.float32)
+    rd = np.concatenate([rays_d, np.repeat(rays_d[:1], pad, 0)]) \
+        .astype(np.float32)
+    vd = np.concatenate([viewdirs, np.repeat(viewdirs[:1], pad, 0)]) \
+        .astype(np.float32)
+    # Compose with the occupancy clip box exactly like the training draws:
+    # window offsets are clamped into the box; clamping never uncovers
+    # support∩bbox (rows outside the bbox have interpolated mask == 0).
+    if hasattr(model, "sweep_clip_for_axis"):
+        csz, coff = model.sweep_clip_for_axis(axis)
+    else:
+        csz, coff = None, np.zeros(3, np.int32)
+    if csz is not None:
+        bp, bu, bv = (int(x) for x in csz)
+        bpo, buo, bvo = (int(x) for x in np.asarray(coff))
+    else:
+        bp, bu, bv = gp, gu, gv
+        bpo = buo = bvo = 0
+    buckets = sweep_ops.build_ray_segments_2d(
+        ro, rd, model.xyz_min, model.xyz_max, model.world_size, axis,
+        n_rand=chunk, clip_box=(bpo, bpo + bp - 1) if csz is not None
+        else None)
+    if not buckets or all(k == (0, 0) or (k[0] >= bu and k[1] >= bv)
+                          for k in buckets):
+        return None
+    rgb_out = np.empty((n_pad, 3), np.float32)
+    dep_out = np.empty((n_pad,), np.float32)
+    pend = []
+    full_off = jnp.asarray(np.asarray([bpo, buo, bvo], np.int32))
+    for key in sorted(buckets):
+        idx, ulo, vlo = buckets[key]
+        wu, wv = key
+        windowed = key != (0, 0) and wu < bu and wv < bv
+        for s in range(idx.shape[0]):
+            sel = idx[s]
+            if windowed:
+                off = np.asarray(
+                    [bpo,
+                     min(max(int(ulo[s]), buo), buo + bu - wu),
+                     min(max(int(vlo[s]), bvo), bvo + bv - wv)], np.int32)
+                sizes, off_j = (bp, wu, wv), jnp.asarray(off)
+            else:
+                sizes, off_j = (csz, full_off) if csz is not None \
+                    else (None, full_off)
+            o = render_fn(model.params, model.mask, jnp.asarray(ro[sel]),
+                          jnp.asarray(rd[sel]), jnp.asarray(vd[sel]),
+                          axis, sizes, off_j)
+            pend.append((sel, o))
+    for sel, (rgb, dep) in pend:  # one late sync: device pulls amortize
+        rgb_out[sel] = np.asarray(rgb)
+        dep_out[sel] = np.asarray(dep)
+    return rgb_out[:n], dep_out[:n]

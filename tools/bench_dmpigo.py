@@ -170,8 +170,14 @@ def bench_train(model, n_rand=4096, iters=30):
     return dt
 
 
-def bench_render(model, H=756, W=1008, iters=8):
-    """NDC render via per-ray sweep chunks (no frame kernel for NDC yet)."""
+def bench_render(model, H=756, W=1008, iters=8, chunk=8192):
+    """NDC render through the 2D-windowed chunked path.
+
+    Goes through engine.render.render_rays_chunked so the bench measures
+    exactly what run.py eval would: build_ray_segments_2d tiles the frame
+    into (Wu, Wv) window classes and each chunk renders a composed clip box
+    (engine/render._render_rays_windowed_2d). Reference class: ~0.36 s/frame
+    LLFF renders on a 2080 Ti (IMPROVING_LOG.md:119-132)."""
     from directvoxgo_tpu.engine import render as render_lib
     from directvoxgo_tpu import rays as ray_lib
     focal = 815.0
@@ -184,30 +190,18 @@ def bench_render(model, H=756, W=1008, iters=8):
     render_fn = render_lib.make_render_fn(model, rk)
     rays_o, rays_d, viewdirs = ray_lib.get_rays_of_a_view(
         H, W, K, c2w, ndc=True, inverse_y=False, flip_x=False, flip_y=False)
-    ro = jnp.asarray(np.asarray(rays_o).reshape(-1, 3))
-    rd = jnp.asarray(np.asarray(rays_d).reshape(-1, 3))
-    vd = jnp.asarray(np.asarray(viewdirs).reshape(-1, 3))
-    chunk = 65536
-    n = ro.shape[0]
-    n_pad = (n + chunk - 1) // chunk * chunk
-    pad = lambda a: jnp.concatenate(  # noqa: E731
-        [a, jnp.zeros((n_pad - n, 3), a.dtype)])
-    ro, rd, vd = pad(ro), pad(rd), pad(vd)
+    ro = np.asarray(rays_o).reshape(-1, 3)
+    rd = np.asarray(rays_d).reshape(-1, 3)
+    vd = np.asarray(viewdirs).reshape(-1, 3)
     t0 = time.time()
-    outs = [render_fn(model.params, model.mask, ro[i:i + chunk],
-                      rd[i:i + chunk], vd[i:i + chunk])
-            for i in range(0, n_pad, chunk)]
-    float(jnp.sum(outs[-1]["rgb_marched"][0]))
+    render_lib.render_rays_chunked(render_fn, model, ro, rd, vd, chunk)
     log(f"dmpigo bench: render compile+first frame {time.time()-t0:.1f}s")
     t0 = time.time()
     for _ in range(iters):
-        outs = [render_fn(model.params, model.mask, ro[i:i + chunk],
-                          rd[i:i + chunk], vd[i:i + chunk])
-                for i in range(0, n_pad, chunk)]
-        float(jnp.sum(outs[-1]["rgb_marched"][0]))
+        render_lib.render_rays_chunked(render_fn, model, ro, rd, vd, chunk)
     sec = (time.time() - t0) / iters
-    log(f"dmpigo bench: render {H}x{W} {sec*1000:.1f} ms/frame "
-        f"(per-ray sweep chunks; reference 0.36 s-class)")
+    log(f"dmpigo bench: render {H}x{W} chunk={chunk} {sec*1000:.1f} ms/frame "
+        f"(2D-windowed sweep chunks; reference 0.36 s-class)")
     return sec
 
 
@@ -215,4 +209,5 @@ if __name__ == "__main__":
     log("devices:", jax.devices())
     model = build_model()
     bench_train(model)
-    bench_render(model)
+    bench_render(model, chunk=8192)
+    bench_render(model, chunk=4096)
