@@ -397,7 +397,7 @@ class DirectVoxGO:
 
     def hit_coarse_geo_view(self, H, W, K, c2w, near, far, stepsize,
                             inverse_y=False, flip_x=False, flip_y=False,
-                            **_):
+                            packed=False, **_):
         """One whole view's hit mask with DEVICE-side ray generation.
 
         The host-ray form ships ~3.8 MB of rays up per 400^2 view (~176 MB
@@ -405,17 +405,23 @@ class DirectVoxGO:
         only (K, c2w) go up and [H*W] booleans come back, and the per-pixel
         ray math (rays.get_rays 'center' mode) runs on-device. K and c2w
         are traced, so every view of a split shares one compiled program.
-        Returns a device array — callers batch the pulls."""
+        Returns a device array — callers batch the pulls.
+
+        ``packed=True`` returns a ``uint8[ceil(H*W/8)]`` bit-pack instead
+        (np.unpackbits bit order): the pull is the gather's last big
+        transfer (100 x 800^2 bools = 64 MB over the dev tunnel measured as
+        the bulk of a 90 s fine-stage gather), and packing on-device cuts
+        it 8x. Decode with ``np.unpackbits(a)[:H*W]``."""
         return self._hit_view_jit(
             self.mask, jnp.asarray(np.asarray(K, np.float32)),
             jnp.asarray(np.asarray(c2w, np.float32)[:3, :4]), int(H),
             int(W), bool(inverse_y), bool(flip_x), bool(flip_y),
-            float(near), float(far), float(stepsize))
+            float(near), float(far), float(stepsize), bool(packed))
 
     @functools.partial(jax.jit,
-                       static_argnums=(0, 4, 5, 6, 7, 8, 9, 10, 11))
+                       static_argnums=(0, 4, 5, 6, 7, 8, 9, 10, 11, 12))
     def _hit_view_jit(self, mask, K, c2w, H, W, inverse_y, flip_x, flip_y,
-                      near, far, stepsize):
+                      near, far, stepsize, packed=False):
         j, i = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                             jnp.arange(W, dtype=jnp.float32), indexing="ij")
         i, j = i + 0.5, j + 0.5
@@ -437,8 +443,15 @@ class DirectVoxGO:
             [dirs[0] * rot[r, 0] + dirs[1] * rot[r, 1] + dirs[2] * rot[r, 2]
              for r in range(3)], -1).reshape(-1, 3)
         rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
-        return self._hit_from_rays(mask, rays_o, rays_d, near, far,
-                                   stepsize)
+        hit = self._hit_from_rays(mask, rays_o, rays_d, near, far,
+                                  stepsize)
+        if not packed:
+            return hit
+        n8 = -(-(H * W) // 8) * 8
+        bits = jnp.pad(hit, (0, n8 - H * W)).reshape(-1, 8)
+        weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+        return jnp.sum(bits.astype(jnp.uint8) * weights, axis=-1,
+                       dtype=jnp.uint8)
 
     # ------------------------------------------------------------ forward
 

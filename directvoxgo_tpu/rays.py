@@ -141,7 +141,7 @@ def get_training_rays_in_maskcache_sampling(rgb_tr_ori, train_poses, HW, Ks,
                   if k not in ("inverse_y", "flip_x", "flip_y")}
             hit = model.hit_coarse_geo_view(
                 H, W, K, c2w, inverse_y=inverse_y, flip_x=flip_x,
-                flip_y=flip_y, **rk)
+                flip_y=flip_y, packed=True, **rk)
             per_view.append((img, (H, W), K, c2w, None, None, None, hit))
             continue
         rays_o, rays_d, viewdirs = get_rays_of_a_view(
@@ -155,9 +155,14 @@ def get_training_rays_in_maskcache_sampling(rgb_tr_ori, train_poses, HW, Ks,
         # ONE batched device->host pull for every view's mask — per-view
         # np.asarray costs a round trip each, and those pulls queue behind
         # the previous stage's async checkpoint writer on a shared link.
+        # Masks arrive BIT-PACKED (uint8, 8x smaller): the raw-bool pull is
+        # the gather's dominant transfer (100 x 800^2 = 64 MB; measured as
+        # the bulk of a 90 s fine-stage gather over the dev tunnel).
         import jax as _jax
         pulled = iter(_jax.device_get([v[-1] for v in per_view]))
-        per_view = [(*v[:-1], next(pulled)) for v in per_view]
+        per_view = [(*v[:-1],
+                     np.unpackbits(next(pulled))[:v[1][0] * v[1][1]]
+                     .astype(bool)) for v in per_view]
     chunks_rgb, chunks_o, chunks_d, chunks_v, imsz = [], [], [], [], []
     for img, (H, W), K, c2w, rays_o, rays_d, viewdirs, hit in per_view:
         if rays_o is None:

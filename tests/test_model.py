@@ -285,6 +285,14 @@ def test_hit_coarse_geo_view_matches_ray_form():
         assert got.shape == want.shape
         # identical up to f32 associativity at voxel-rounding knife edges
         assert (got == want).mean() > 0.999
+        # bit-packed pull form (8x smaller tunnel transfer) decodes to
+        # exactly the boolean mask
+        packed = np.asarray(model.hit_coarse_geo_view(
+            H, W, K, c2w, inverse_y=iy, packed=True, **rk))
+        assert packed.dtype == np.uint8
+        assert packed.shape == (-(-(H * W) // 8),)
+        np.testing.assert_array_equal(
+            np.unpackbits(packed)[:H * W].astype(bool), got)
 
 
 def test_voxel_count_views_sweep_matches_scatter():
