@@ -247,9 +247,16 @@ def _render_rays_windowed_2d(render_fn, model, rays_o, rays_d, viewdirs,
         bpo = buo = bvo = 0
     buckets = sweep_ops.build_ray_segments_2d(
         ro, rd, model.xyz_min, model.xyz_max, model.world_size, axis,
-        n_rand=chunk, clip_box=(bpo, bpo + bp - 1) if csz is not None
+        n_rand=chunk, clip_box=(bpo, bpo + bp - 1, buo, buo + bu - 1,
+                                bvo, bvo + bv - 1) if csz is not None
         else None)
-    if not buckets or all(k == (0, 0) or (k[0] >= bu and k[1] >= bv)
+
+    def eff(k):
+        # a 0 slot (or a window >= the box extent) means full extent
+        return (k[0] if 0 < k[0] < bu else bu,
+                k[1] if 0 < k[1] < bv else bv)
+
+    if not buckets or all(k == (0, 0) or eff(k) == (bu, bv)
                           for k in buckets):
         return None
     rgb_out = np.empty((n_pad, 3), np.float32)
@@ -258,8 +265,8 @@ def _render_rays_windowed_2d(render_fn, model, rays_o, rays_d, viewdirs,
     full_off = jnp.asarray(np.asarray([bpo, buo, bvo], np.int32))
     for key in sorted(buckets):
         idx, ulo, vlo = buckets[key]
-        wu, wv = key
-        windowed = key != (0, 0) and wu < bu and wv < bv
+        wu, wv = eff(key)
+        windowed = key != (0, 0) and (wu, wv) != (bu, bv)
         for s in range(idx.shape[0]):
             sel = idx[s]
             if windowed:

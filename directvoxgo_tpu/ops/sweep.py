@@ -833,10 +833,12 @@ def build_ray_segments_2d(rays_o, rays_d, xyz_min, xyz_max, world_size,
     endpoint-bounded like the 1D builder; +-1 voxel interp margin).
 
     Returns ``{(wu, wv): (idx [n_seg, n_rand], seg_ulo [n_seg],
-    seg_vlo [n_seg])}``; the ``(0, 0)`` key is the full-sweep fallback. At
-    most ``max_classes`` window classes are kept (each is a separately
-    compiled step program); smaller classes fold into kept covers or the
-    fallback.
+    seg_vlo [n_seg])}``; a 0 in one slot means FULL EXTENT for that dim
+    (e.g. ``(0, 48)`` = full-u, 48-voxel v window — how perspective cube
+    sweeps with plane-spanning u support keep their v windows), and the
+    ``(0, 0)`` key is the full-sweep fallback. At most ``max_classes``
+    window classes are kept (each is a separately compiled step program);
+    smaller classes fold into kept covers or the fallback.
     """
     n = rays_o.shape[0]
     n_seg = n // n_rand
@@ -857,12 +859,20 @@ def build_ray_segments_2d(rays_o, rays_d, xyz_min, xyz_max, world_size,
     gu = int(world_size[perm[1]])
     gv = int(world_size[perm[2]])
     dp_s = np.where(np.abs(dp) < 1e-10, 1e-10, dp)
+    # clip_box: (p_lo, p_hi) or (p_lo, p_hi, u_lo, u_hi, v_lo, v_hi),
+    # inclusive voxel bounds in permuted order. Support outside the
+    # occupancy box contributes zero (interpolated mask == 0), so clamping
+    # the measured u/v supports to it stays exact and classifies far more
+    # segments into narrow classes (same argument as the 1D builder).
     p_lo, p_hi = (0.0, gp - 1.0) if clip_box is None \
         else (float(clip_box[0]), float(clip_box[1]))
+    u_lo, u_hi, v_lo, v_hi = (-1.0, float(gu), -1.0, float(gv)) \
+        if clip_box is None or len(clip_box) < 6 \
+        else tuple(float(x) for x in clip_box[2:6])
     t0 = (p_lo - op) / dp_s
     t1 = (p_hi - op) / dp_s
-    u_ends = np.clip(np.stack([ou + t0 * du, ou + t1 * du]), -1.0, gu)
-    v_ends = np.clip(np.stack([ov + t0 * dv, ov + t1 * dv]), -1.0, gv)
+    u_ends = np.clip(np.stack([ou + t0 * du, ou + t1 * du]), u_lo, u_hi)
+    v_ends = np.clip(np.stack([ov + t0 * dv, ov + t1 * dv]), v_lo, v_hi)
 
     def quant(x, g):
         return np.clip((x / max(g, 1) * 1024).astype(np.int64), 0, 1023)
@@ -897,25 +907,38 @@ def build_ray_segments_2d(rays_o, rays_d, xyz_min, xyz_max, world_size,
 
     wu_min = fit(need_u, gu)
     wv_min = fit(need_v, gv)
+    # A 0 in a class key means FULL EXTENT for that dim: perspective rays
+    # (dominant-axis cube sweeps) often have compact v support but u spans
+    # the plane — (0, wv) keeps the v window instead of dropping the
+    # segment to the full-sweep fallback. (0, 0) stays the fallback.
     pairs = {}
     for s in range(n_seg):
-        if wu_min[s] and wv_min[s]:
+        if wu_min[s] or wv_min[s]:
             pairs.setdefault((int(wu_min[s]), int(wv_min[s])),
                              []).append(s)
+
+    def fits(s, wu, wv):
+        ok_u = wu == 0 or (wu_min[s] != 0 and wu_min[s] <= wu)
+        ok_v = wv == 0 or (wv_min[s] != 0 and wv_min[s] <= wv)
+        return ok_u and ok_v
+
     kept = sorted(pairs, key=lambda p: -len(pairs[p]))[:max_classes]
     out = {}
     assigned = np.full(n_seg, False)
-    for wu, wv in sorted(kept):
-        # every segment whose minimal pair fits under this cover
+    # Tightest covers claim segments first (a (64, 48) segment must not be
+    # swallowed by a more popular (0, 96) cover when its own class is kept).
+    for wu, wv in sorted(kept, key=lambda p: ((p[0] or 1 << 20)
+                                              * (p[1] or 1 << 20))):
         sel = [s for s in range(n_seg)
-               if not assigned[s] and wu_min[s] and wv_min[s]
-               and wu_min[s] <= wu and wv_min[s] <= wv]
+               if not assigned[s] and fits(s, wu, wv)]
         if not sel:
             continue
         sel = np.asarray(sel)
         assigned[sel] = True
-        ulo = np.minimum(u0[sel], gu - wu).astype(np.int32)
-        vlo = np.minimum(v0[sel], gv - wv).astype(np.int32)
+        ulo = (np.zeros(len(sel), np.int32) if wu == 0
+               else np.minimum(u0[sel], gu - wu).astype(np.int32))
+        vlo = (np.zeros(len(sel), np.int32) if wv == 0
+               else np.minimum(v0[sel], gv - wv).astype(np.int32))
         out[(int(wu), int(wv))] = (idx[sel], ulo, vlo)
     rest = np.flatnonzero(~assigned)
     if len(rest):

@@ -335,7 +335,9 @@ def test_forward_sweep_2d_window_equivalence():
     bk = sweep_ops.build_ray_segments_2d(
         o, d3, model.xyz_min, model.xyz_max, model.world_size, 2,
         n_rand=n_rand, widths=(16, 24, 32, 48))
-    pairs = [k for k in bk if k != (0, 0)]
+    # fully-windowed pairs only (0-slot keys mean full extent for that
+    # dim and are exercised by the perspective compose test below)
+    pairs = [k for k in bk if k[0] > 0 and k[1] > 0]
     assert pairs, f"no 2D window classes formed: {list(bk)}"
     wu, wv = pairs[0]
     idx, ulo, vlo = bk[(wu, wv)]
@@ -676,3 +678,90 @@ def test_station_sweep_segment_window_bwd_parity():
     g_seg = np.asarray(jax.grad(loss)(grid, v_base, wv))
     scale = max(1.0, np.abs(g_full).max())
     assert np.abs(g_seg - g_full).max() < 1e-4 * scale
+
+
+@pytest.mark.parametrize("axis", [0, 2])
+def test_forward_sweep_2d_window_composes_with_clip_perspective(axis):
+    """Perspective (dominant-axis) batches drawn as 2D (wu, wv) composed
+    boxes must match the plain clip box. Covers the 6-bound clip_box form
+    (u/v supports clamped to the box) and 0-slot classes meaning full
+    extent for that dim (engine/train.py next_chunk 2D draw + eff())."""
+    rng = np.random.default_rng(19)
+    model = DirectVoxGO(xyz_min=[-1, -1, -1], xyz_max=[1, 1, 1],
+                        num_voxels=48 ** 3, num_voxels_base=48 ** 3,
+                        alpha_init=1e-2, fast_color_thres=1e-4,
+                        rgbnet_dim=6, rgbnet_direct=True,
+                        k_density=None, k_color=0)
+    pts = np.asarray(model.grid_points())
+    r2 = (((pts - np.array([0.1, -0.05, 0.05])) / 0.75) ** 2).sum(-1)
+    model.params["density"] = jnp.asarray(
+        (18 * np.exp(-2 * r2) - 9).astype(np.float32))
+    model.params["k0"] = jnp.asarray(
+        rng.normal(0, 0.5, model.params["k0"].shape).astype(np.float32))
+    model.update_occupancy_cache()
+    clip_sizes, clip_off = model.sweep_clip_for_axis(axis, quantum=8)
+    assert clip_sizes is not None
+
+    # tight fan through the blob, dominant along `axis`
+    n_rand = sweep_ops.TILE_N
+    n = 8 * n_rand
+    o = np.tile([[0.15, -0.1, 3.0]], (n, 1)).astype(np.float32)
+    ang = rng.uniform(-0.04, 0.04, (n, 2))
+    d3 = np.stack([np.tan(ang[:, 0]) + rng.uniform(-0.1, 0.1, n),
+                   np.tan(ang[:, 1]),
+                   -np.ones(n)], -1).astype(np.float32)
+    d3 = np.roll(d3, axis - 2, axis=1)
+    o = np.roll(o, axis - 2, axis=1)
+    vd = (d3 / np.linalg.norm(d3, axis=-1, keepdims=True)).astype(np.float32)
+
+    bp, bu, bv = (int(x) for x in clip_sizes)
+    bpo, buo, bvo = (int(x) for x in np.asarray(clip_off))
+    bk = sweep_ops.build_ray_segments_2d(
+        o, d3, model.xyz_min, model.xyz_max, model.world_size, axis,
+        n_rand=n_rand, widths=(16, 32),
+        clip_box=(bpo, bpo + bp - 1, buo, buo + bu - 1,
+                  bvo, bvo + bv - 1))
+    usable = [k for k in bk if k != (0, 0)]
+    assert usable, f"no 2D window class: {list(bk)}"
+    kw = dict(near=0.5, far=6.0, bg=1.0, stepsize=0.5, render_depth=True)
+
+    def run(sel, params, cs, co):
+        return model.forward_sweep(
+            params, model.mask, jnp.asarray(o[sel]), jnp.asarray(d3[sel]),
+            jnp.asarray(vd[sel]), axis, clip_sizes=cs,
+            clip_offsets=jnp.asarray(co), **kw)
+
+    for key2d in usable:
+        wu, wv = key2d
+        eu = wu if 0 < wu < bu else bu
+        ev = wv if 0 < wv < bv else bv
+        if (eu, ev) == (bu, bv):
+            continue
+        idx, ulo, vlo = bk[key2d]
+        sel = idx[0]
+        off = np.asarray(
+            [bpo,
+             min(max(int(ulo[0]), buo), buo + bu - eu),
+             min(max(int(vlo[0]), bvo), bvo + bv - ev)], np.int32)
+        ret_clip = run(sel, model.params, clip_sizes, clip_off)
+        ret_comp = run(sel, model.params, (bp, eu, ev), off)
+        for name in ("rgb_marched", "alphainv_last", "depth"):
+            a = np.asarray(ret_clip[name])
+            b = np.asarray(ret_comp[name])
+            # 5e-5: f32 reassociation across the window's station blend
+            # order (the 1D compose test's 2e-5 sat exactly at the edge
+            # for narrow u windows)
+            assert np.allclose(a, b, atol=5e-5), (key2d, name,
+                                                  np.abs(a - b).max())
+
+        def loss(params, cs, co):
+            ret = run(sel, params, cs, co)
+            return jnp.mean(ret["rgb_marched"] ** 2) \
+                + jnp.mean(ret["alphainv_last"])
+
+        g_a = jax.grad(loss)(model.params, clip_sizes, clip_off)
+        g_b = jax.grad(loss)(model.params, (bp, eu, ev), off)
+        for name in ("density", "k0"):
+            a, b = np.asarray(g_a[name]), np.asarray(g_b[name])
+            scale = max(1.0, np.abs(a).max())
+            assert np.abs(a - b).max() < 1e-5 * scale, (key2d, name)

@@ -126,9 +126,13 @@ def bench_train(model, n_rand=4096, iters=30):
     blend_num = blend_den = 0.0
     for wuv, (idx, ulo, vlo) in sorted(
             bk.items(), key=lambda kv: -kv[1][0].size):
-        wu, wv = wuv
-        if wuv == (0, 0):
+        # a 0 slot means full extent for that dim (ops/sweep
+        # build_ray_segments_2d); (0, 0) is the unwindowed fallback
+        wu = wuv[0] if 0 < wuv[0] < gu else gu
+        wv = wuv[1] if 0 < wuv[1] < gv else gv
+        if wuv == (0, 0) or (wu, wv) == (gu, gv):
             sizes, tag = None, "full"
+            wu = wv = 0
         else:
             sizes, tag = (gp, wu, wv), f"{wu}x{wv}"
         step = train_lib.make_train_step(
