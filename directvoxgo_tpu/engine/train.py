@@ -531,6 +531,10 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         # with compact (u, v) footprints (ops/sweep.build_ray_segments_2d).
         bucket2d_ok = (bool(cfg_train.get("bucket_tiles", True))
                        and forced is not None and mesh is None)
+        # Perspective sweeps window BOTH in-plane dims too (segment-level
+        # (wu, wv) composed boxes; 0 in a slot = full extent). Same sort
+        # machinery as the 1D v-windows it supersedes.
+        persp2d = bucket_ok and bool(cfg_train.get("bucket_2d", True))
         # buckets: ax -> {W | (Wu, Wv): (idx, lo(s)...)}; the compile hook
         # is filled in once the compile machinery below exists
 
@@ -582,28 +586,76 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                         # classify far more rays into narrow window classes
                         # (engine composes the window with the clip box).
                         csz, coff = clip_plan.get(ax, (None, None))
-                        box = None
+                        box = box6 = None
                         if csz is not None:
                             _o = np.asarray(coff)
                             box = (float(_o[0]),
                                    float(_o[0]) + float(csz[0]) - 1.0,
                                    float(_o[2]),
                                    float(_o[2]) + float(csz[2]) - 1.0)
-                        b = sweep_ops.build_ray_segments(
-                            rays_o_np[g], rays_d_np[g], xyz_min, xyz_max,
-                            world_size, ax, n_rand=cfg_train.N_rand,
-                            clip_box=box)
-                        out = {w: (g[idx], svlo, tvlo)
-                               for w, (idx, svlo, tvlo) in b.items()
-                               if idx.shape[0] > 0} or None
+                            box6 = (box[0], box[1],
+                                    float(_o[1]),
+                                    float(_o[1]) + float(csz[1]) - 1.0,
+                                    box[2], box[3])
+                        if persp2d:
+                            # BOTH in-plane dims windowed for perspective
+                            # sweeps too: a Morton segment's u support over
+                            # its clip-box traversal is often compact as
+                            # well, and (wu, wv) composed boxes cut the
+                            # remaining ~bu/wu FLOP factor the v-only
+                            # windows leave on the table. Keys with a 0
+                            # slot mean full extent for that dim (the old
+                            # v-only classes come back as (0, wv)).
+                            b2 = sweep_ops.build_ray_segments_2d(
+                                rays_o_np[g], rays_d_np[g], xyz_min,
+                                xyz_max, world_size, ax,
+                                n_rand=cfg_train.N_rand,
+                                widths=(32, 48, 64, 96),
+                                max_classes=6, clip_box=box6)
+                            out = {wuv: (g[idx], ulo, vlo)
+                                   for wuv, (idx, ulo, vlo) in b2.items()
+                                   if idx.shape[0] > 0} or None
+                        else:
+                            b = sweep_ops.build_ray_segments(
+                                rays_o_np[g], rays_d_np[g], xyz_min,
+                                xyz_max, world_size, ax,
+                                n_rand=cfg_train.N_rand, clip_box=box)
+                            out = {w: (g[idx], svlo, tvlo)
+                                   for w, (idx, svlo, tvlo) in b.items()
+                                   if idx.shape[0] > 0} or None
                     if bucket_builds["epoch"] != epoch:
                         return  # superseded by a pg_scale rebuild
                     buckets[ax] = out
+                    if persp2d and out:
+                        # 2D classes aren't enumerable in advance —
+                        # background-compile what the sort produced
+                        # (forced-axis models do the same, work2d above).
+                        hook = bucket_compile_hook.get("submit")
+                        if hook is not None:
+                            hook(ax)
 
             t = threading.Thread(target=work2d if bucket2d_ok else work,
                                  daemon=True, name="segment-sort")
             bucket_builds["thread"] = t
             t.start()
+
+        def _pick_axis(n_sub):
+            # Prefer axes whose fallback program for this dispatch width
+            # already landed: stage/pg starts sync-compile ONE axis and land
+            # the rest in background (remote XLA serializes compiles — six
+            # up-front cost 17-33 s per pg event), so early chunks draw from
+            # whichever axis can run without a blocking compile. Steady
+            # state (all landed, a few seconds in) is exactly the group_p
+            # draw; the brief single-axis skew self-corrects over the pool
+            # epoch (groups partition the pool; marginal ray probability
+            # within a group is unchanged).
+            ready = [ax for ax in range(3) if group_p[ax] > 0
+                     and (ax, n_sub, clip_plan.get(ax, (None, None))[0])
+                     in train_steps]
+            if ready:
+                p = np.asarray([group_p[ax] for ax in ready], np.float64)
+                return int(ready[int(rng.choice(len(ready), p=p / p.sum()))])
+            return int(rng.choice(3, p=group_p))
 
         def next_chunk(n_sub, no_window=False):
             # The axis is chosen ONCE per chunk and all n_sub batches are
@@ -617,7 +669,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             # machinery — static sizes + traced offsets — so region-grad
             # mode and region-sliced Adam shrink every full-grid pass (cast/
             # permute/slab-blend/backward/optimizer) by ~Gv/W as well.
-            ax = int(rng.choice(3, p=group_p))
+            ax = _pick_axis(n_sub)
             bk = buckets.get(ax)
             if bk is not None and not no_window \
                     and any(isinstance(k, tuple) for k in bk):
@@ -634,25 +686,33 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                     bu = int(model.world_size[perm[1]])
                     bv = int(model.world_size[perm[2]])
                     bpo = buo = bvo = 0
+                def eff(k):
+                    # a 0 slot (and any window >= the box extent) means
+                    # full extent for that dim
+                    eu = k[0] if 0 < k[0] < bu else bu
+                    ev = k[1] if 0 < k[1] < bv else bv
+                    return eu, ev
+
                 ws = [k for k in bk
                       if isinstance(k, tuple) and k != (0, 0)
-                      and k[0] < bu and k[1] < bv
-                      and (ax, 1, (bp, k[0], k[1])) in train_steps]
+                      and eff(k) != (bu, bv)
+                      and (ax, 1, (bp, *eff(k))) in train_steps]
                 if not ws:
                     return ([group_gens[ax]() for _ in range(n_sub)], ax,
                             None, None)
                 counts = np.array([bk[k][0].size for k in ws], np.float64)
-                wu, wv = ws[int(rng.choice(len(ws),
-                                           p=counts / counts.sum()))]
-                idx, ulo, vlo = bk[(wu, wv)]
+                key2d = ws[int(rng.choice(len(ws),
+                                          p=counts / counts.sum()))]
+                eu, ev = eff(key2d)
+                idx, ulo, vlo = bk[key2d]
                 rows = [int(rng.integers(0, idx.shape[0]))
                         for _ in range(n_sub)]
                 sels = [idx[r] for r in rows]
                 offs = [[bpo,
-                         min(max(int(ulo[r]), buo), buo + bu - wu),
-                         min(max(int(vlo[r]), bvo), bvo + bv - wv)]
+                         min(max(int(ulo[r]), buo), buo + bu - eu),
+                         min(max(int(vlo[r]), bvo), bvo + bv - ev)]
                         for r in rows]
-                return (sels, ax, (bp, wu, wv),
+                return (sels, ax, (bp, eu, ev),
                         np.asarray(offs, np.int32))
             if bk is not None and not no_window:
                 # Segment v-windows COMPOSE with the occupancy clip box:
@@ -722,6 +782,17 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         def build_buckets():
             pass
 
+    # Queue the mask bbox BEFORE voxel_count_views floods the dispatch
+    # queue: the initial clip plan needs it, and the host-side bbox form
+    # (full mask pull) had to drain the whole backlog first — the coarse
+    # stage measured 48 s waiting at 'initial refresh_clip'. Computed
+    # first, the 6-scalar pull returns immediately.
+    bbox0_dev = None
+    if use_sweep and getattr(model.mask, "ndim", 0) == 3 \
+            and hasattr(model, "sweep_clip_for_axis"):
+        from ..ops import grid as grid_ops
+        bbox0_dev = grid_ops.mask_bbox_vox_device(model.mask)
+
     # View-count-based per-voxel lr (run.py:311-320).
     if cfg_train.pervoxel_lr:
         cnt = model.voxel_count_views(
@@ -735,6 +806,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         _phase("voxel_count_views / pervoxel lr")
 
     psnr_lst = []
+    axis_stats = {}  # axis -> [sum dispatch s, n steps] per i_print window
     time0 = time.time()
     global_step = -1
     train_steps = {}  # (axis or None) -> jitted step for current tv state
@@ -785,7 +857,12 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     def refresh_clip():
         apply_clip_plan(compute_clip_plan())
 
-    refresh_clip()
+    if bbox0_dev is not None:
+        bb0 = np.asarray(jax.device_get(bbox0_dev))
+        apply_clip_plan(compute_clip_plan(
+            bbox=(bb0[0].astype(np.float64), bb0[1].astype(np.float64))))
+    else:
+        refresh_clip()
     _phase("initial refresh_clip")
     build_buckets()  # background segment sort (box-clipped supports)
 
@@ -908,13 +985,16 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
 
     def _bg_done(key, t0):
         def cb(fut):
+            if fut.cancelled():  # stage end / pg_scale cancels the queue
+                return
             err = fut.exception()
             if err is not None:
                 print(f"scene_rep_reconstruction ({stage}): [phase] "
                       f"background compile FAILED for {key}: {err!r}")
             elif fut.result():
-                print(f"scene_rep_reconstruction ({stage}): [phase] window "
-                      f"program {key} landed after {time.time()-t0:.1f} s")
+                print(f"scene_rep_reconstruction ({stage}): [phase] "
+                      f"background program {key} landed after "
+                      f"{time.time()-t0:.1f} s")
         return cb
 
     def precompile_steps(at_step):
@@ -947,16 +1027,37 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         tv_pair = (apply_tv_n, tv_dense_n)
         avals = (_tree_avals(model.params), _tree_avals(opt_state))
         fallback = [k for k in fallback if k not in train_steps]
+        # The remote XLA service serializes compile requests, so blocking on
+        # every axis's program costs 17-33 s per stage/pg start. Compile
+        # only the MAJORITY axis synchronously (the loop needs one program
+        # to run its first chunk); the other axes land in background while
+        # training proceeds on ready axes (next_chunk._pick_axis).
+        sub = compile_state.setdefault("submitted", set())
+        if use_sweep and sweep_axes and len(fallback) > 2:
+            ax_major = max(sweep_axes,
+                           key=lambda ax: len(group_idx[ax]))
+            sync_keys = [k for k in fallback if k[0] == ax_major]
+        else:
+            sync_keys = fallback
         t0 = time.time()
-        if fallback:
+        if sync_keys:
             with cf.ThreadPoolExecutor(max_workers=4) as ex:
                 list(ex.map(
                     lambda k: _build_and_warm(k, tv_pair, epoch, avals),
-                    fallback))
+                    sync_keys))
             print(f"scene_rep_reconstruction ({stage}): [phase] "
-                  f"precompiled {len(fallback)} fallback step programs in "
-                  f"{time.time()-t0:.1f} s")
-        sub = compile_state.setdefault("submitted", set())
+                  f"precompiled {len(sync_keys)} fallback step programs in "
+                  f"{time.time()-t0:.1f} s "
+                  f"({len(fallback)-len(sync_keys)} backgrounded)")
+        # Submit the non-majority axes AFTER the sync compiles: the remote
+        # XLA service serializes requests, so submitting first would queue
+        # the programs the loop is waiting on behind the deferred ones.
+        for k in fallback:
+            if k not in sync_keys and (epoch, k) not in sub:
+                sub.add((epoch, k))
+                fut = compile_state["bg"].submit(
+                    _build_and_warm, k, tv_pair, epoch, avals)
+                fut.add_done_callback(_bg_done(k, time.time()))
         for k in windowed:
             if k not in train_steps and (epoch, k) not in sub:
                 sub.add((epoch, k))
@@ -991,9 +1092,12 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         avals = (_tree_avals(model.params), _tree_avals(opt_state))
         sub = compile_state.setdefault("submitted", set())
         for k in bk:
-            if isinstance(k, tuple) and k != (0, 0) \
-                    and k[0] < bu and k[1] < bv:
-                key = (ax, 1, (bp, k[0], k[1]))
+            if isinstance(k, tuple) and k != (0, 0):
+                eu = k[0] if 0 < k[0] < bu else bu
+                ev = k[1] if 0 < k[1] < bv else bv
+                if (eu, ev) == (bu, bv):
+                    continue  # wouldn't shrink anything
+                key = (ax, 1, (bp, eu, ev))
                 if key not in train_steps and (epoch, key) not in sub:
                     sub.add((epoch, key))
                     fut = compile_state["bg"].submit(
@@ -1092,6 +1196,14 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             model.params, model.mask, opt_state, pool, sels,
             jnp.asarray(clip_off))
         _t_d = time.time() - _t_d
+        # Per-axis dispatch-time accounting (printed each i_print window).
+        # Async dispatch means _t_d is enqueue time, but at steady state the
+        # in-flight queue backpressures, so the window sums track real
+        # per-axis throughput — surfacing axis-imbalance regressions (the
+        # three clip shapes differ per axis) without extra syncs.
+        st = axis_stats.setdefault(axis, [0.0, 0])
+        st[0] += _t_d
+        st[1] += n_sub
         if _t_d > 1.0:
             # A dispatch call only blocks this long when it compiled (or a
             # renewal sync drained the queue) — keep compiles visible, they
@@ -1126,10 +1238,17 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             psnr_avg = float(np.mean(np.concatenate(
                 [np.atleast_1d(p) for p in pulled[:-1]])))
             last_loss = float(np.atleast_1d(pulled[-1])[-1])
+            ax_str = " / ".join(
+                f"ax{a if a is not None else '-'} "
+                f"{1e3 * t / max(n, 1):.1f}ms*{n}"
+                for a, (t, n) in sorted(
+                    axis_stats.items(), key=lambda kv: str(kv[0])))
             print(f"scene_rep_reconstruction ({stage}): iter "
                   f"{global_step:6d} / Loss: {last_loss:.9f} / "
-                  f"PSNR: {psnr_avg:5.2f} / Eps: {eps_str}")
+                  f"PSNR: {psnr_avg:5.2f} / Eps: {eps_str}"
+                  + (f" / {ax_str}" if ax_str else ""))
             psnr_lst = []
+            axis_stats = {}
 
         if global_step % args.i_weights == 0:
             path = os.path.join(cfg.basedir, cfg.expname,
