@@ -20,7 +20,6 @@ import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-import functools
 import json
 import sys
 import time
@@ -180,13 +179,18 @@ def _make_training_pool(n_views=12, H=400, W=400):
     return ro, rd, vd, rgb
 
 
-def bench_train(model, n_rand=8192, iters=30, n_batches=4):
-    """Train-step timing the way run.py would run it: per-axis compiled
-    steps, fresh batches rotating within each axis group, engine-default
-    dispatch mode (single-step above 96^3 — engine/train.py), region-sliced
-    MaskedAdam inside the step."""
+def bench_train(model, n_rand=8192, iters=30):
+    """Train-step timing through the ENGINE's own make_train_step: device-
+    resident ray pool, per-step host->device sel upload (32 KB int32), the
+    on-device jnp.take gather, region-sliced MaskedAdam, donated buffers —
+    exactly the program + host traffic run.py's fine stage dispatches per
+    step (engine/train.py). Earlier rounds timed a hand-rolled step fed
+    pre-staged device ray batches, which under-reports the real loop by
+    the per-step upload + gather."""
     import jax
     import jax.numpy as jnp
+    from directvoxgo_tpu.config import ConfigDict
+    from directvoxgo_tpu.engine.train import make_train_step
     from directvoxgo_tpu.optim import MaskedAdam
 
     optimizer = MaskedAdam({
@@ -194,40 +198,17 @@ def bench_train(model, n_rand=8192, iters=30, n_batches=4):
         "k0": {"lr": 1e-1, "skip_zero_grad": True},
         "rgbnet": {"lr": 1e-3},
     }, lr_decay_factor=0.1 ** (1 / 20000))
+    # configs/default.py fine_train loss weights (tv benched off: tv_every
+    # steps are <0.1% of a real stage after tv_after)
+    cfg_train = ConfigDict(dict(
+        weight_main=1.0, weight_entropy_last=0.001, weight_rgbper=0.01,
+        weight_tv_density=0.0, weight_tv_k0=0.0, N_rand=n_rand))
+    rk = dict(near=2.0, far=6.0, bg=1.0, stepsize=0.5)
 
     def make_step(axis, clip_sizes):
-        @functools.partial(jax.jit, donate_argnums=(0, 2))
-        def step(params, mask, opt_state, rays_o, rays_d, viewdirs, target,
-                 clip_off):
-            def loss_fn(params):
-                ret = model.forward_sweep(params, mask, rays_o, rays_d,
-                                          viewdirs, axis, near=2.0, far=6.0,
-                                          bg=1.0, stepsize=0.5,
-                                          clip_sizes=clip_sizes,
-                                          clip_offsets=clip_off)
-                mse = jnp.mean((ret["rgb_marched"] - target) ** 2)
-                pout = jnp.clip(ret["alphainv_last"], 1e-6, 1 - 1e-6)
-                ent = -jnp.mean(pout * jnp.log(pout)
-                                + (1 - pout) * jnp.log(1 - pout))
-                rgbper = jnp.sum(
-                    (ret["raw_rgb_cl"] - target.T[:, :, None]) ** 2, axis=0)
-                rl = jnp.sum(rgbper
-                             * jax.lax.stop_gradient(ret["weights"])) \
-                    / n_rand
-                return mse + 0.001 * ent + 0.01 * rl
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            # region-sliced Adam, as the train engine applies it (permuted
-            # (p,u,v) -> xyz order; engine/train.py make_train_step)
-            from directvoxgo_tpu.ops import sweep as sweep_ops
-            perm = sweep_ops._PERMS[axis]
-            inv = {ax: i for i, ax in enumerate(perm)}
-            offs = tuple(clip_off[inv[a]] for a in range(3))
-            sizes = tuple(clip_sizes[inv[a]] for a in range(3))
-            regions = {n: (offs, sizes) for n in ("density", "k0")}
-            new_params, new_opt = optimizer.update(params, grads, opt_state,
-                                                   regions=regions)
-            return new_params, new_opt, loss
-        return step
+        return make_train_step(model, optimizer, cfg_train, rk,
+                               apply_tv=False, tv_dense=False, axis=axis,
+                               clip_sizes=clip_sizes, n_steps=1, donate=True)
 
     # Draws mirror engine/train.py next_chunk: pool rays group by dominant
     # axis; each axis's segment buckets yield v-window classes that COMPOSE
@@ -238,6 +219,8 @@ def bench_train(model, n_rand=8192, iters=30, n_batches=4):
     from directvoxgo_tpu.ops import sweep as sweep_ops
 
     ro, rd, vd, rgb = _make_training_pool()
+    pool = {"rays_o": jnp.asarray(ro), "rays_d": jnp.asarray(rd),
+            "viewdirs": jnp.asarray(vd), "rgb": jnp.asarray(rgb)}
     groups = sweep_ops.dominant_axis(rd, model.xyz_min, model.xyz_max,
                                      model.world_size)
     mask = model.mask
@@ -259,59 +242,75 @@ def bench_train(model, n_rand=8192, iters=30, n_batches=4):
         log(f"bench: axis {axis} rays={g.size} clip=({bp},{bu},{bv}) "
             f"off=({bpo},{buo},{bvo})")
         clipped = model.sweep_clip_for_axis(axis)[0] is not None
-        bk = sweep_ops.build_ray_segments(
+        # 2D (u, v) window classes — exactly the engine's persp2d draw
+        # (engine/train.py build_buckets.work; 0 in a key slot = full
+        # extent for that dim).
+        bk = sweep_ops.build_ray_segments_2d(
             ro[g], rd[g], model.xyz_min, model.xyz_max, model.world_size,
-            axis, n_rand=n_rand,
-            clip_box=(bpo, bpo + bp - 1, bvo, bvo + bv - 1) if clipped
-            else None)
-        # (class_w or None) -> (ray_count, batch drawer)
+            axis, n_rand=n_rand, widths=(32, 48, 64, 96), max_classes=6,
+            clip_box=(bpo, bpo + bp - 1, buo, buo + bu - 1,
+                      bvo, bvo + bv - 1) if clipped else None)
+
+        def eff(k):
+            eu = k[0] if 0 < k[0] < bu else bu
+            ev = k[1] if 0 < k[1] < bv else bv
+            return eu, ev
+
+        # (class key or None) -> (ray_count, batch drawer)
         classes = {}
-        fallback_rays = g.size - sum(
-            idx.size for w, (idx, _, _) in bk.items() if 0 < int(w) < bv)
-        if fallback_rays > 0:
-            classes[None] = (fallback_rays, None)
-        for w, (idx, svlo, _) in bk.items():
-            if 0 < int(w) < bv and idx.shape[0] > 0:
-                classes[int(w)] = (idx.size, (idx, svlo))
+        windowed_rays = sum(
+            idx.size for k, (idx, _, _) in bk.items()
+            if k != (0, 0) and eff(k) != (bu, bv))
+        if g.size - windowed_rays > 0:
+            classes[None] = (g.size - windowed_rays, None)
+        for k, (idx, ulo, vlo) in bk.items():
+            if k != (0, 0) and eff(k) != (bu, bv) and idx.shape[0] > 0:
+                classes[k] = (idx.size, (idx, ulo, vlo))
         for w, (count, seg) in sorted(
-                classes.items(), key=lambda kv: -kv[1][0]):
+                classes.items(), key=lambda kv: (-kv[1][0], str(kv[0]))):
             if w is None:
                 sizes = (bp, bu, bv)
             else:
-                sizes = (bp, bu, w)
+                sizes = (bp, *eff(w))
             step = make_step(axis, sizes)
             params = jax.tree_util.tree_map(jnp.copy, model.params)
             opt_state = optimizer.init(model.params)
 
             def draw():
+                # HOST (sel, off) like the engine's next_chunk — the timed
+                # loop pays the per-step jnp.asarray upload, as run.py does.
                 if w is None:
                     sel = g[rng.integers(0, g.size, n_rand)]
                     off = np.asarray([bpo, buo, bvo], np.int32)
                 else:
-                    idx, svlo = seg
+                    idx, ulo, vlo = seg
+                    eu, ev = eff(w)
                     r = int(rng.integers(0, idx.shape[0]))
                     sel = g[idx[r]]
                     off = np.asarray(
-                        [bpo, buo,
-                         min(max(int(svlo[r]), bvo), bvo + bv - w)],
+                        [bpo,
+                         min(max(int(ulo[r]), buo), buo + bu - eu),
+                         min(max(int(vlo[r]), bvo), bvo + bv - ev)],
                         np.int32)
-                return (jnp.asarray(ro[sel]), jnp.asarray(rd[sel]),
-                        jnp.asarray(vd[sel]), jnp.asarray(rgb[sel]),
-                        jnp.asarray(off))
-            batches = [draw() for _ in range(n_batches)]
+                return sel.astype(np.int32), off
+            batches = [draw() for _ in range(iters + 1)]
             t0 = time.time()
-            params, opt_state, loss = step(params, mask, opt_state,
-                                           *batches[0])
+            params, opt_state, loss, _ = step(
+                params, mask, opt_state, pool, jnp.asarray(batches[0][0]),
+                jnp.asarray(batches[0][1]))
             log(f"bench: axis {axis} class {w} compile+first "
                 f"{time.time()-t0:.2f}s (loss={float(jnp.sum(loss)):.4f})")
             t0 = time.time()
             for i in range(iters):
-                params, opt_state, loss = step(params, mask, opt_state,
-                                               *batches[i % n_batches])
+                sel, off = batches[i + 1]
+                params, opt_state, loss, _ = step(
+                    params, mask, opt_state, pool, jnp.asarray(sel),
+                    jnp.asarray(off))
             float(jnp.sum(loss))  # host pull = the real sync on this stack
             dt_c = (time.time() - t0) / iters
-            detail[f"axis{axis}_w{w or 'full'}"] = round(dt_c * 1000, 2)
-            log(f"bench: axis {axis} class {w if w else 'full'} "
+            label = "full" if w is None else f"{eff(w)[0]}x{eff(w)[1]}"
+            detail[f"axis{axis}_w{label}"] = round(dt_c * 1000, 2)
+            log(f"bench: axis {axis} class {label} "
                 f"{dt_c*1000:.2f} ms/iter (ray share {count/len(groups):.2f})")
             blend_num += count * dt_c
             blend_den += count

@@ -158,11 +158,16 @@ def get_training_rays_in_maskcache_sampling(rgb_tr_ori, train_poses, HW, Ks,
         # Masks arrive BIT-PACKED (uint8, 8x smaller): the raw-bool pull is
         # the gather's dominant transfer (100 x 800^2 = 64 MB; measured as
         # the bulk of a 90 s fine-stage gather over the dev tunnel).
+        print(f"get_training_rays_in_maskcache_sampling: [phase] "
+              f"hit-view dispatch {time.time()-eps:.1f} s")
+        t_pull = time.time()
         import jax as _jax
         pulled = iter(_jax.device_get([v[-1] for v in per_view]))
         per_view = [(*v[:-1],
                      np.unpackbits(next(pulled))[:v[1][0] * v[1][1]]
                      .astype(bool)) for v in per_view]
+        print(f"get_training_rays_in_maskcache_sampling: [phase] "
+              f"mask pull (queue drain + transfer) {time.time()-t_pull:.1f} s")
     chunks_rgb, chunks_o, chunks_d, chunks_v, imsz = [], [], [], [], []
     for img, (H, W), K, c2w, rays_o, rays_d, viewdirs, hit in per_view:
         if rays_o is None:
