@@ -822,7 +822,8 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         _phase("voxel_count_views / pervoxel lr")
 
     psnr_lst = []
-    axis_stats = {}  # axis -> [sum dispatch s, n steps] per i_print window
+    # (axis, windowed) -> [sum dispatch s, n steps] per i_print window
+    axis_stats = {}
     time0 = time.time()
     global_step = -1
     train_steps = {}  # (axis or None) -> jitted step for current tv state
@@ -953,9 +954,21 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     # Throwaway warm-up calls run each program once on copies, so jit's
     # internal cache (not the AOT path) holds the executable the loop hits.
     import concurrent.futures as cf
-    compile_state = {"epoch": 0,
+    compile_state = {"epoch": 0, "futs": [],
                      "bg": cf.ThreadPoolExecutor(
                          max_workers=2, thread_name_prefix="step-compile")}
+
+    def _bump_compile_epoch():
+        # pg_scale / tv flips change param shapes or program semantics:
+        # queued warms for the old epoch are dead weight in the SERIALIZED
+        # remote compile queue (one backlog measured 240 s before the new
+        # epoch's fallbacks landed). Cancel what hasn't started; running/
+        # uncancellable ones early-exit on the stale-epoch check instead
+        # of crashing on inconsistent shapes.
+        compile_state["epoch"] += 1
+        for f in compile_state["futs"]:
+            f.cancel()
+        compile_state["futs"].clear()
 
     class _Aval:  # unregistered class -> a pytree LEAF carrying shape/dtype
         __slots__ = ("shape", "dtype")
@@ -973,18 +986,26 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         # donates those buffers concurrently, and jnp.copy of a donated
         # array raises (which silently killed every background warm in the
         # first composed-window run — steps stayed unwindowed at 54 ms).
+        if compile_state["epoch"] != epoch:
+            return False  # stale before it even started — skip the build
         ax, ns, csizes = key
         fn = make_train_step(
             model, optimizer, cfg_train, render_kwargs, tv_pair[0],
             tv_pair[1], axis=ax, clip_sizes=csizes, mesh=mesh,
             n_steps=ns, donate=True)
         n_rand = int(cfg_train.N_rand)
-        p_avals, o_avals = avals
+        p_avals, o_avals, m_aval = avals
         mk = lambda t: jax.tree_util.tree_map(  # noqa: E731
             lambda a: jnp.zeros(a.shape, a.dtype)
             if isinstance(a, _Aval) else a, t)
         p = mk(p_avals)
         o = mk(o_avals)
+        # mask from the SAME snapshot as the params: the live model.mask
+        # may already be upscaled by a pg event that queued behind this
+        # warm, and mismatched grid/mask shapes crash the trace (observed:
+        # zeros-params (105,102,95) vs live mask (167,162,151))
+        m = (jnp.zeros(m_aval.shape, m_aval.dtype)
+             if isinstance(m_aval, _Aval) else m_aval)
         sel = jnp.zeros((ns, n_rand) if ns > 1 else (n_rand,), jnp.int32)
         co = jnp.zeros((ns, 3) if ns > 1 else (3,), jnp.int32)
         if mesh is not None:
@@ -993,7 +1014,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             sel = jax.device_put(sel, NamedSharding(
                 mesh, P(None, "data") if ns > 1 else P("data")))
             co = jax.device_put(co, replicate(mesh))
-        fn(p, model.mask, o, pool, sel, co)
+        fn(p, m, o, pool, sel, co)
         # outputs (and the donated copies) drop on return; HBM frees once
         # the throwaway step completes
         if compile_state["epoch"] == epoch:  # stale after pg_scale/tv flip
@@ -1043,7 +1064,9 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             if n_dispatch > 1:
                 fallback.append((None, n_dispatch, None))
         tv_pair = (apply_tv_n, tv_dense_n)
-        avals = (_tree_avals(model.params), _tree_avals(opt_state))
+        avals = (_tree_avals(model.params), _tree_avals(opt_state),
+                 _Aval(model.mask) if hasattr(model.mask, "shape")
+                 else model.mask)
         fallback = [k for k in fallback if k not in train_steps]
         # The remote XLA service serializes compile requests, so blocking on
         # every axis's program costs 17-33 s per stage/pg start. Compile
@@ -1076,12 +1099,14 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                 fut = compile_state["bg"].submit(
                     _build_and_warm, k, tv_pair, epoch, avals)
                 fut.add_done_callback(_bg_done(k, time.time()))
+                compile_state["futs"].append(fut)
         for k in windowed:
             if k not in train_steps and (epoch, k) not in sub:
                 sub.add((epoch, k))
                 fut = compile_state["bg"].submit(_build_and_warm, k,
                                                  tv_pair, epoch, avals)
                 fut.add_done_callback(_bg_done(k, time.time()))
+                compile_state["futs"].append(fut)
         # 2D bucket classes (forced-axis models) are only known once the
         # segment sort lands; re-submit any already-landed ones here so
         # renewal/pg re-precompiles (and hook-set races) cover them too.
@@ -1107,7 +1132,9 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             bu = int(model.world_size[perm[1]])
             bv = int(model.world_size[perm[2]])
         epoch = compile_state["epoch"]
-        avals = (_tree_avals(model.params), _tree_avals(opt_state))
+        avals = (_tree_avals(model.params), _tree_avals(opt_state),
+                 _Aval(model.mask) if hasattr(model.mask, "shape")
+                 else model.mask)
         sub = compile_state.setdefault("submitted", set())
         for k in bk:
             if isinstance(k, tuple) and k != (0, 0):
@@ -1121,6 +1148,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                     fut = compile_state["bg"].submit(
                         _build_and_warm, key, tv_state, epoch, avals)
                     fut.add_done_callback(_bg_done(key, time.time()))
+                    compile_state["futs"].append(fut)
 
     bucket_compile_hook["submit"] = _submit_bucket_classes
 
@@ -1160,6 +1188,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             n_rest_scales = len(cfg_train.pg_scale) \
                 - list(cfg_train.pg_scale).index(global_step) - 1
             cur_voxels = int(cfg_model.num_voxels / (2 ** n_rest_scales))
+            _t_pg = time.time()
             if hasattr(model, "mpi_depth"):
                 model.scale_volume_grid(cur_voxels, model.mpi_depth)
             else:
@@ -1167,10 +1196,12 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             optimizer = create_optimizer_or_freeze_model(model, cfg_train)
             opt_state = optimizer.init(model.params)
             model.params["density"] = model.params["density"] - 1
-            compile_state["epoch"] += 1  # in-flight compiles now stale
+            _t_pg1 = time.time()
+            _bump_compile_epoch()  # in-flight compiles now stale
             train_steps = {}  # shapes changed -> re-jit
             clip_plan.clear()
             refresh_clip()
+            _t_pg2 = time.time()
             n_dispatch = dispatch_width()  # grid may have crossed the
             # dispatch-bound/device-bound threshold
             tv_state = tv_state_of(global_step)  # keep precompiles (above)
@@ -1180,11 +1211,16 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             # 1/2 for ~135 s of single-axis training (remote XLA serializes
             # compiles; fallbacks must reach the queue first)
             precompile_steps(global_step)
+            _t_pg3 = time.time()
             build_buckets()  # window stats are in voxel units
+            print(f"scene_rep_reconstruction ({stage}): [phase] pg_scale "
+                  f"at {global_step}: rescale+opt {_t_pg1-_t_pg:.1f} s / "
+                  f"refresh_clip {_t_pg2-_t_pg1:.1f} s / precompile "
+                  f"{_t_pg3-_t_pg2:.1f} s")
 
         apply_tv, tv_dense = tv_state_of(global_step)
         if tv_state != (apply_tv, tv_dense):
-            compile_state["epoch"] += 1
+            _bump_compile_epoch()
             train_steps = {}
             tv_state = (apply_tv, tv_dense)
 
@@ -1225,7 +1261,8 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         # in-flight queue backpressures, so the window sums track real
         # per-axis throughput — surfacing axis-imbalance regressions (the
         # three clip shapes differ per axis) without extra syncs.
-        st = axis_stats.setdefault(axis, [0.0, 0])
+        st = axis_stats.setdefault(
+            (axis, wsizes is not None), [0.0, 0])
         st[0] += _t_d
         st[1] += n_sub
         if _t_d > 1.0:
@@ -1262,10 +1299,12 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             psnr_avg = float(np.mean(np.concatenate(
                 [np.atleast_1d(p) for p in pulled[:-1]])))
             last_loss = float(np.atleast_1d(pulled[-1])[-1])
+            # 'w' marks segment-windowed draws — fallback-only lines after
+            # a stage/pg start mean the window programs haven't landed
             ax_str = " / ".join(
-                f"ax{a if a is not None else '-'} "
+                f"ax{a if a is not None else '-'}{'w' if w else ''} "
                 f"{1e3 * t / max(n, 1):.1f}ms*{n}"
-                for a, (t, n) in sorted(
+                for (a, w), (t, n) in sorted(
                     axis_stats.items(), key=lambda kv: str(kv[0])))
             print(f"scene_rep_reconstruction ({stage}): iter "
                   f"{global_step:6d} / Loss: {last_loss:.9f} / "
