@@ -250,34 +250,53 @@ def bench_train(model, n_rand=8192, iters=30):
         log(f"bench: axis {axis} rays={g.size} clip=({bp},{bu},{bv}) "
             f"off=({bpo},{buo},{bvo})")
         clipped = model.sweep_clip_for_axis(axis)[0] is not None
-        # 2D (u, v) window classes — exactly the engine's persp2d draw
-        # (engine/train.py build_buckets.work; 0 in a key slot = full
-        # extent for that dim).
-        bk = sweep_ops.build_ray_segments_2d(
-            ro[g], rd[g], model.xyz_min, model.xyz_max, model.world_size,
-            axis, n_rand=n_rand, widths=(32, 48, 64, 96), max_classes=6,
-            clip_box=(bpo, bpo + bp - 1, buo, buo + bu - 1,
-                      bvo, bvo + bv - 1) if clipped else None)
+        box6 = (bpo, bpo + bp - 1, buo, buo + bu - 1,
+                bvo, bvo + bv - 1) if clipped else None
+        gu_f = int(model.world_size[perm[1]])
+        gv_f = int(model.world_size[perm[2]])
+        use_blocked = os.environ.get("DVGO_BENCH_BUCKETS",
+                                     "2d") == "blocked"
+        if use_blocked:
+            # Blocked per-p-block (u, v) window classes — the engine's
+            # blocked draw (build_buckets.work / next_chunk).
+            bk = sweep_ops.build_ray_segments_blocked(
+                ro[g], rd[g], model.xyz_min, model.xyz_max,
+                model.world_size, axis, n_rand=n_rand, n_blocks=6,
+                widths=(32, 48, 64, 96), max_classes=6, clip_box=box6)
+        else:
+            # whole-traversal 2D classes (DVGO_BENCH_BUCKETS=2d)
+            bk = sweep_ops.build_ray_segments_2d(
+                ro[g], rd[g], model.xyz_min, model.xyz_max,
+                model.world_size, axis, n_rand=n_rand,
+                widths=(32, 48, 64, 96), max_classes=6, clip_box=box6)
 
         def eff(k):
-            eu = k[0] if 0 < k[0] < bu else bu
-            ev = k[1] if 0 < k[1] < bv else bv
+            if use_blocked:
+                eu = k[0] if 0 < k[0] < gu_f else gu_f
+                ev = k[1] if 0 < k[1] < gv_f else gv_f
+            else:
+                eu = k[0] if 0 < k[0] < bu else bu
+                ev = k[1] if 0 < k[1] < bv else bv
             return eu, ev
 
         # (class key or None) -> (ray_count, batch drawer)
         classes = {}
         windowed_rays = sum(
             idx.size for k, (idx, _, _) in bk.items()
-            if k != (0, 0) and eff(k) != (bu, bv))
+            if k != (0, 0) and (use_blocked or eff(k) != (bu, bv)))
         if g.size - windowed_rays > 0:
             classes[None] = (g.size - windowed_rays, None)
         for k, (idx, ulo, vlo) in bk.items():
-            if k != (0, 0) and eff(k) != (bu, bv) and idx.shape[0] > 0:
+            if k != (0, 0) and idx.shape[0] > 0 \
+                    and (use_blocked or eff(k) != (bu, bv)):
                 classes[k] = (idx.size, (idx, ulo, vlo))
         for w, (count, seg) in sorted(
                 classes.items(), key=lambda kv: (-kv[1][0], str(kv[0]))):
             if w is None:
                 sizes = (bp, bu, bv)
+            elif use_blocked:
+                nb_b = seg[1].shape[1]
+                sizes = ("blk", nb_b, *eff(w))
             else:
                 sizes = (bp, *eff(w))
             step = make_step(axis, sizes)
@@ -290,6 +309,11 @@ def bench_train(model, n_rand=8192, iters=30):
                 if w is None:
                     sel = g[rng.integers(0, g.size, n_rand)]
                     off = np.asarray([bpo, buo, bvo], np.int32)
+                elif use_blocked:
+                    idx, uo, vo = seg
+                    r = int(rng.integers(0, idx.shape[0]))
+                    sel = g[idx[r]]
+                    off = np.stack([uo[r], vo[r]], axis=1).astype(np.int32)
                 else:
                     idx, ulo, vlo = seg
                     eu, ev = eff(w)

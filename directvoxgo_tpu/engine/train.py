@@ -167,6 +167,13 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
     all_skip = all(
         bool(optimizer.group_cfg.get(n, {}).get("skip_zero_grad", False))
         for n in grid_names)
+    # Blocked draws: clip_sizes ('blk', B, eu, ev) selects the per-p-block
+    # windowed sweep (ops/sweep.sweep_samples_blocked); the step's clip_off
+    # argument then carries the [B, 2] per-block (u, v) window starts.
+    blocked = None
+    if clip_sizes is not None and clip_sizes[0] == "blk":
+        blocked = tuple(int(x) for x in clip_sizes[1:])  # (B, eu, ev)
+        clip_sizes = None
     region_mode = (axis is not None and clip_sizes is not None
                    and not apply_tv and all_skip and grid_names != [])
     if region_mode:
@@ -198,6 +205,14 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
             if axis is None:
                 ret = model.forward({**trainable, **frozen}, mask,
                                     rays_o, rays_d, viewdirs, **kwargs)
+            elif blocked is not None:
+                nb, eu, ev = blocked
+                ret = model.forward_sweep(
+                    {**trainable, **frozen}, mask_g, rays_o, rays_d,
+                    viewdirs, axis,
+                    block_windows=((nb, eu, ev),
+                                   (clip_off[:, 0], clip_off[:, 1])),
+                    **kwargs)
             else:
                 ret = model.forward_sweep({**trainable, **frozen}, mask_g,
                                           rays_o, rays_d, viewdirs, axis,
@@ -597,7 +612,27 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                                     float(_o[1]),
                                     float(_o[1]) + float(csz[1]) - 1.0,
                                     box[2], box[3])
-                        if persp2d:
+                        if persp2d and bool(cfg_train.get("bucket_blocked",
+                                                          False)):
+                            # Per-p-BLOCK (u, v) windows: the full-traversal
+                            # drift that forces 2D classes to ~full-u
+                            # shrinks B-fold per block, and the 4-endpoint
+                            # sort groups same-direction rays — measured
+                            # blend 0.16x of the full sweep vs 0.59x for
+                            # the whole-traversal 2D classes
+                            # (tools/analyze_blocked_windows.py).
+                            bb = sweep_ops.build_ray_segments_blocked(
+                                rays_o_np[g], rays_d_np[g], xyz_min,
+                                xyz_max, world_size, ax,
+                                n_rand=cfg_train.N_rand,
+                                n_blocks=int(cfg_train.get(
+                                    "bucket_blocks", 6)),
+                                widths=(32, 48, 64, 96),
+                                max_classes=6, clip_box=box6)
+                            out = {("blk", *wuv): (g[idx], uo, vo)
+                                   for wuv, (idx, uo, vo) in bb.items()
+                                   if idx.shape[0] > 0} or None
+                        elif persp2d:
                             # BOTH in-plane dims windowed for perspective
                             # sweeps too: a Morton segment's u support over
                             # its clip-box traversal is often compact as
@@ -684,6 +719,52 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             # permute/slab-blend/backward/optimizer) by ~Gv/W as well.
             ax = _pick_axis(n_sub)
             bk = buckets.get(ax)
+            if bk is not None and not no_window \
+                    and any(isinstance(k, tuple) and len(k) == 3
+                            and k[0] == "blk" for k in bk):
+                # Blocked per-p-block (u, v)-windowed draws (perspective
+                # cube sweeps): a segment trains as B composed clip boxes
+                # concatenated along the station axis
+                # (ops/sweep.build_ray_segments_blocked). Classes whose
+                # program landed draw proportional to ray count; the
+                # fallback ('blk', 0, 0) class draws through the plain
+                # fallback program so its rays keep training.
+                perm = sweep_ops._PERMS[ax]
+                gu_f = int(model.world_size[perm[1]])
+                gv_f = int(model.world_size[perm[2]])
+
+                def eff_blk(kk):
+                    eu = kk[1] if 0 < kk[1] < gu_f else gu_f
+                    ev = kk[2] if 0 < kk[2] < gv_f else gv_f
+                    return eu, ev
+
+                cands, counts = [], []
+                for kk in bk:
+                    if not (isinstance(kk, tuple) and len(kk) == 3
+                            and kk[0] == "blk"):
+                        continue
+                    if kk[1] == 0 and kk[2] == 0:
+                        cands.append((kk, None))   # fallback class
+                        counts.append(bk[kk][0].size)
+                        continue
+                    eu, ev = eff_blk(kk)
+                    nb_b = bk[kk][1].shape[1]
+                    skey = ("blk", nb_b, eu, ev)
+                    if (ax, 1, skey) in train_steps:
+                        cands.append((kk, skey))
+                        counts.append(bk[kk][0].size)
+                if not cands or all(s is None for _, s in cands):
+                    return ([group_gens[ax]() for _ in range(n_sub)], ax,
+                            None, None)
+                counts = np.asarray(counts, np.float64)
+                kk, skey = cands[int(rng.choice(len(cands),
+                                                p=counts / counts.sum()))]
+                idx, uo, vo = bk[kk]
+                r = int(rng.integers(0, idx.shape[0]))
+                if skey is None:  # fallback class -> plain (clipped) draw
+                    return [idx[r]], ax, None, None
+                offs = np.stack([uo[r], vo[r]], axis=1).astype(np.int32)
+                return [idx[r]], ax, skey, offs[None]
             if bk is not None and not no_window \
                     and any(isinstance(k, tuple) for k in bk):
                 # 2D (u, v)-windowed draws for forced-axis MPI sweeps: a
@@ -1007,7 +1088,10 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         m = (jnp.zeros(m_aval.shape, m_aval.dtype)
              if isinstance(m_aval, _Aval) else m_aval)
         sel = jnp.zeros((ns, n_rand) if ns > 1 else (n_rand,), jnp.int32)
-        co = jnp.zeros((ns, 3) if ns > 1 else (3,), jnp.int32)
+        if csizes is not None and csizes[0] == "blk":
+            co = jnp.zeros((int(csizes[1]), 2), jnp.int32)
+        else:
+            co = jnp.zeros((ns, 3) if ns > 1 else (3,), jnp.int32)
         if mesh is not None:
             from ..parallel import replicate
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -1048,7 +1132,12 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                 csizes = clip_plan.get(ax, (None, None))[0]
                 for ns in sorted({1, n_dispatch}):
                     fallback.append((ax, ns, csizes))
-                if bucket_ok and n_dispatch == 1 and not apply_tv_n:
+                if (bucket_ok and n_dispatch == 1 and not apply_tv_n
+                        and not (bool(cfg_train.get("bucket_2d", True))
+                                 and bool(cfg_train.get("bucket_blocked",
+                                                        False)))):
+                    # (static 1D v-window classes are superseded by the
+                    # hook-submitted blocked classes when those are on)
                     perm = sweep_ops._PERMS[ax]
                     if csizes is not None:
                         gp, gu, gv = (int(x) for x in csizes)
@@ -1136,7 +1225,23 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                  _Aval(model.mask) if hasattr(model.mask, "shape")
                  else model.mask)
         sub = compile_state.setdefault("submitted", set())
+        gu_f = int(model.world_size[perm[1]])
+        gv_f = int(model.world_size[perm[2]])
         for k in bk:
+            if isinstance(k, tuple) and len(k) == 3 and k[0] == "blk":
+                if k[1] == 0 and k[2] == 0:
+                    continue  # fallback class uses the plain program
+                eu = k[1] if 0 < k[1] < gu_f else gu_f
+                ev = k[2] if 0 < k[2] < gv_f else gv_f
+                nb_b = bk[k][1].shape[1]
+                key = (ax, 1, ("blk", nb_b, eu, ev))
+                if key not in train_steps and (epoch, key) not in sub:
+                    sub.add((epoch, key))
+                    fut = compile_state["bg"].submit(
+                        _build_and_warm, key, tv_state, epoch, avals)
+                    fut.add_done_callback(_bg_done(key, time.time()))
+                    compile_state["futs"].append(fut)
+                continue
             if isinstance(k, tuple) and k != (0, 0):
                 eu = k[0] if 0 < k[0] < bu else bu
                 ev = k[1] if 0 < k[1] < bv else bv

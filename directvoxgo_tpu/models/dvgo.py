@@ -660,7 +660,8 @@ class DirectVoxGO:
     def forward_sweep(self, params, mask, rays_o, rays_d, viewdirs, axis,
                       *, near, far, bg, stepsize, render_depth=False,
                       clip_sizes=None, clip_offsets=None,
-                      grids_pre_clipped=False, tile_windows=None, **_):
+                      grids_pre_clipped=False, tile_windows=None,
+                      block_windows=None, **_):
         """Station-sweep volume rendering (the TPU fast path).
 
         Same math as :meth:`forward` but every grid query is an MXU matmul
@@ -709,14 +710,25 @@ class DirectVoxGO:
 
         bbox_min = tuple(float(v) for v in self.xyz_min)
         bbox_max = tuple(float(v) for v in self.xyz_max)
-        out = sweep_ops.sweep_samples(grid_cat, None, rays_o, rays_d,
-                                      bbox_min, bbox_max, axis,
-                                      stepsize=stepsize, march_order=False,
-                                      clip_sizes=clip_sizes,
-                                      clip_offsets=clip_offsets,
-                                      pre_clipped=True,
-                                      world_size=tuple(self.world_size),
-                                      tile_windows=tile_windows)
+        if block_windows is not None and clip_sizes is None:
+            # Per-p-block (u, v) windows: B composed clip-box sub-sweeps
+            # concatenated along the station axis (see
+            # ops/sweep.build_ray_segments_blocked for the exactness
+            # argument and the measured ~0.16x FLOP blend).
+            block_sizes, (u_off, v_off) = block_windows
+            out = sweep_ops.sweep_samples_blocked(
+                grid_cat, rays_o, rays_d, bbox_min, bbox_max, axis,
+                block_sizes, u_off, v_off, stepsize=stepsize)
+        else:
+            out = sweep_ops.sweep_samples(grid_cat, None, rays_o, rays_d,
+                                          bbox_min, bbox_max, axis,
+                                          stepsize=stepsize,
+                                          march_order=False,
+                                          clip_sizes=clip_sizes,
+                                          clip_offsets=clip_offsets,
+                                          pre_clipped=True,
+                                          world_size=tuple(self.world_size),
+                                          tile_windows=tile_windows)
         # vals is channels-LEADING [C, N, S]: slicing channels off the
         # leading dim keeps every downstream tensor [N, S] or [N, S, >=128]
         # (TPU tiles pad the minor dim to 128 lanes; [N, S, smallC]

@@ -877,12 +877,20 @@ def build_ray_segments_2d(rays_o, rays_d, xyz_min, xyz_max, world_size,
     def quant(x, g):
         return np.clip((x / max(g, 1) * 1024).astype(np.int64), 0, 1023)
 
-    ku = quant(0.5 * (u_ends[0] + u_ends[1]), gu)
-    kv = quant(0.5 * (v_ends[0] + v_ends[1]), gv)
+    # 4-endpoint Morton sort: (u, v) at BOTH clip planes. A midpoint sort
+    # mixes rays from different views that cross near the scene center but
+    # fan apart toward the traversal ends — their segments then need
+    # ~full-u windows. Endpoint agreement = direction agreement, so
+    # segments become per-view-ish bundles with compact whole-traversal
+    # supports: measured class blend 0.26 vs ~0.6 of the full sweep on the
+    # trained sparse-fixture pool (tools/analyze_blocked_windows.py);
+    # near-parallel MPI pools are unaffected (endpoints ~= midpoints).
+    keys = [quant(u_ends[0], gu), quant(v_ends[0], gv),
+            quant(u_ends[1], gu), quant(v_ends[1], gv)]
     code = np.zeros(n, np.int64)
     for b in range(10):
-        code |= ((ku >> b) & 1) << (b * 2)
-        code |= ((kv >> b) & 1) << (b * 2 + 1)
+        for d_i, kk in enumerate(keys):
+            code |= ((kk >> b) & 1) << (b * 4 + d_i)
     order = np.argsort(code, kind="stable")
     idx = order[: n_seg * n_rand].reshape(n_seg, n_rand)
 
@@ -945,3 +953,219 @@ def build_ray_segments_2d(rays_o, rays_d, xyz_min, xyz_max, world_size,
         out[(0, 0)] = (idx[rest], np.zeros(len(rest), np.int32),
                        np.zeros(len(rest), np.int32))
     return out
+
+
+def build_ray_segments_blocked(rays_o, rays_d, xyz_min, xyz_max, world_size,
+                               axis, n_rand=8192, n_blocks=6,
+                               widths=(32, 48, 64, 96), max_classes=6,
+                               clip_box=None):
+    """Spatially-sorted ray segments with per-p-BLOCK (u, v) windows.
+
+    The 2D builder (:func:`build_ray_segments_2d`) measures one (u, v)
+    window per segment over the FULL p traversal — a perspective ray's own
+    in-plane drift across gp stations is ~gp*tan(angle-to-axis) voxels, so
+    multi-view pools land in wide classes (measured blend 0.59 of the full
+    sweep at the lego-scale fixture). Splitting the traversal into
+    ``n_blocks`` consecutive p-blocks bounds the drift per block to
+    ~(gp/B)*tan, and sorting rays by a Morton code of their (u, v) at BOTH
+    clip planes groups same-direction rays (endpoint agreement = direction
+    agreement), so per-block supports shrink to drift + segment spread:
+    measured blend 0.16 of the full sweep at B=6 on the same pool — the
+    engine then draws each segment as B composed clip boxes
+    (p-rows static, (u, v) offsets traced) concatenated along the station
+    axis, reusing the clip machinery end to end.
+
+    Exactness is the standard endpoint-support argument per block: u/v are
+    linear in p, so a ray's in-block range is bounded by its values at the
+    block's edge planes (clamped to the grid's interp support and, when
+    ``clip_box`` is given, to the occupancy box — outside it every
+    contribution is zero through the swept mask channel).
+
+    Returns ``{(wu, wv): (idx [n_seg, n_rand], u_off [n_seg, B] int32,
+    v_off [n_seg, B] int32)}`` — (wu, wv) are the static per-block window
+    extents (0 = full extent for that dim; (0, 0) = the unblocked
+    full-sweep fallback, whose offsets are zeros). Block b covers slab rows
+    [b*pb, min((b+1)*pb, gp-1)] with ``pb = ceil((gp-1)/B)`` — the same
+    static split :func:`blocked_p_rows` gives the sweep.
+    """
+    n = rays_o.shape[0]
+    n_seg = n // n_rand
+    if n_seg == 0:
+        return {}
+    perm = _PERMS[axis]
+    rays_o = np.asarray(rays_o)
+    rays_d = np.asarray(rays_d)
+    opv, dpv = [], []
+    for ax in perm:
+        scale = (float(world_size[ax]) - 1.0) / (float(xyz_max[ax])
+                                                 - float(xyz_min[ax]))
+        opv.append((rays_o[:, ax] - float(xyz_min[ax])) * scale)
+        dpv.append(rays_d[:, ax] * scale)
+    op, ou, ov = opv
+    dp, du, dv = dpv
+    gp = int(world_size[perm[0]])
+    gu = int(world_size[perm[1]])
+    gv = int(world_size[perm[2]])
+    dp_s = np.where(np.abs(dp) < 1e-10, 1e-10, dp)
+    p_lo, p_hi = (0.0, gp - 1.0) if clip_box is None \
+        else (float(clip_box[0]), float(clip_box[1]))
+    u_lo, u_hi, v_lo, v_hi = (-1.0, float(gu), -1.0, float(gv)) \
+        if clip_box is None or len(clip_box) < 6 \
+        else tuple(float(x) for x in clip_box[2:6])
+
+    def u_at(pv):
+        t = (pv - op) / dp_s
+        return np.clip(ou + t * du, u_lo, u_hi)
+
+    def v_at(pv):
+        t = (pv - op) / dp_s
+        return np.clip(ov + t * dv, v_lo, v_hi)
+
+    # 4-endpoint Morton sort: (u, v) at both CLIP planes.
+    def quant(x, g):
+        return np.clip((x / max(g, 1) * 1024).astype(np.int64), 0, 1023)
+
+    keys = [quant(u_at(p_lo), gu), quant(v_at(p_lo), gv),
+            quant(u_at(p_hi), gu), quant(v_at(p_hi), gv)]
+    code = np.zeros(n, np.int64)
+    for b in range(10):
+        for d_i, kk in enumerate(keys):
+            code |= ((kk >> b) & 1) << (b * 4 + d_i)
+    order = np.argsort(code, kind="stable")
+    idx = order[: n_seg * n_rand].reshape(n_seg, n_rand)
+
+    rows = blocked_p_rows(gp, n_blocks)
+    nb = len(rows)
+    u0_bl = np.zeros((nb, n_seg), np.int64)
+    u1_bl = np.zeros((nb, n_seg), np.int64)
+    v0_bl = np.zeros((nb, n_seg), np.int64)
+    v1_bl = np.zeros((nb, n_seg), np.int64)
+    for b, (r0, r1) in enumerate(rows):
+        ub = np.stack([u_at(float(r0)), u_at(float(r1))])
+        vb = np.stack([v_at(float(r0)), v_at(float(r1))])
+
+        def rng_of(ends, g):
+            lo = np.maximum(0, np.floor(np.minimum(ends[0], ends[1])))
+            hi = np.minimum(g - 1.0,
+                            np.floor(np.maximum(ends[0], ends[1])) + 1)
+            return (lo[idx].min(1).astype(np.int64),
+                    hi[idx].max(1).astype(np.int64))
+
+        u0_bl[b], u1_bl[b] = rng_of(ub, gu)
+        v0_bl[b], v1_bl[b] = rng_of(vb, gv)
+
+    need_u = (u1_bl - u0_bl + 1).max(0)   # [n_seg] max over blocks
+    need_v = (v1_bl - v0_bl + 1).max(0)
+
+    def fit(nd, g):
+        for w in sorted(widths):
+            if w < g and nd <= w:
+                return w
+        return 0
+
+    wu_min = np.asarray([fit(x, gu) for x in need_u], np.int64)
+    wv_min = np.asarray([fit(x, gv) for x in need_v], np.int64)
+    pairs = {}
+    for s in range(n_seg):
+        if wu_min[s] or wv_min[s]:
+            pairs.setdefault((int(wu_min[s]), int(wv_min[s])), []).append(s)
+
+    def fits(s, wu, wv):
+        ok_u = wu == 0 or (wu_min[s] != 0 and wu_min[s] <= wu)
+        ok_v = wv == 0 or (wv_min[s] != 0 and wv_min[s] <= wv)
+        return ok_u and ok_v
+
+    kept = sorted(pairs, key=lambda p: -len(pairs[p]))[:max_classes]
+    out = {}
+    assigned = np.full(n_seg, False)
+    for wu, wv in sorted(kept, key=lambda p: ((p[0] or 1 << 20)
+                                              * (p[1] or 1 << 20))):
+        sel = [s for s in range(n_seg) if not assigned[s] and fits(s, wu, wv)]
+        if not sel:
+            continue
+        sel = np.asarray(sel)
+        assigned[sel] = True
+        if wu == 0:
+            uo = np.zeros((len(sel), nb), np.int32)
+        else:
+            uo = np.minimum(u0_bl[:, sel].T, gu - wu).astype(np.int32)
+        if wv == 0:
+            vo = np.zeros((len(sel), nb), np.int32)
+        else:
+            vo = np.minimum(v0_bl[:, sel].T, gv - wv).astype(np.int32)
+        out[(int(wu), int(wv))] = (idx[sel], uo, vo)
+    rest = np.flatnonzero(~assigned)
+    if len(rest):
+        out[(0, 0)] = (idx[rest], np.zeros((len(rest), nb), np.int32),
+                       np.zeros((len(rest), nb), np.int32))
+    return out
+
+
+def blocked_p_rows(gp, n_blocks):
+    """Static per-block slab-row ranges for a blocked sweep: block b covers
+    rows [b*pb, min((b+1)*pb, gp-1)] inclusive, pb = ceil((gp-1)/B).
+    Consecutive blocks SHARE their boundary row (each block's sub-sweep
+    needs both bounding slabs); the sweep drops each non-final block's last
+    station so the concatenated station set exactly tiles [0, gp-1]."""
+    pb = max(1, -(-(gp - 1) // max(1, n_blocks)))
+    rows = []
+    r = 0
+    while r < gp - 1:
+        rows.append((r, min(r + pb, gp - 1)))
+        r += pb
+    return rows
+
+
+def sweep_samples_blocked(grid, rays_o, rays_d, xyz_min, xyz_max, axis,
+                          block_sizes, u_off, v_off, stepsize=0.5,
+                          interp_dtype=jnp.bfloat16):
+    """Blocked sweep: B composed clip-box sub-sweeps, concatenated along S.
+
+    The full station range is split into static p-blocks
+    (:func:`blocked_p_rows`); each block sweeps only the
+    ``(rows_b + 1, Wu, Wv)`` sub-box at its traced per-block (u, v) offsets
+    (:func:`build_ray_segments_blocked`), so the per-station matmul runs at
+    window size instead of plane size — the FLOP term drops from
+    ``S*Gu*Gv`` to ``S*Wu*Wv`` (measured blend 0.16 of the full sweep at
+    the lego-scale fixture, B=6). Each sub-sweep is a plain clipped
+    :func:`sweep_samples` call, so the pallas forward and the streamed
+    XLA backward are reused at the small shape per block.
+
+    Args:
+      grid: [Gx, Gy, Gz, C] stacked channels (same as sweep_samples).
+      block_sizes: static (n_blocks, wu, wv); 0 in wu/wv = full extent.
+      u_off, v_off: [B] traced int32 per-block window starts (permuted
+        in-plane order), already clamped to [0, G - W] by the builder.
+
+    Returns the same dict as :func:`sweep_samples` (march_order=False),
+    with stations tiling the full [0, Gp-1] range exactly once (each
+    non-final block's shared-boundary station is dropped).
+    """
+    n_blocks, wu_w, wv_w = block_sizes
+    perm = _PERMS[axis]
+    world_size = grid.shape[:3]
+    gp = int(world_size[perm[0]])
+    gu = int(world_size[perm[1]])
+    gv = int(world_size[perm[2]])
+    eu = int(wu_w) if wu_w else gu
+    ev = int(wv_w) if wv_w else gv
+    rows = blocked_p_rows(gp, n_blocks)
+    vals_parts, t_parts = [], []
+    out_b = None
+    for b, (r0, r1) in enumerate(rows):
+        offs = jnp.stack([jnp.int32(r0),
+                          u_off[b].astype(jnp.int32),
+                          v_off[b].astype(jnp.int32)])
+        out_b = sweep_samples(grid, None, rays_o, rays_d, xyz_min, xyz_max,
+                              axis, stepsize=stepsize,
+                              interp_dtype=interp_dtype, march_order=False,
+                              clip_sizes=(r1 - r0 + 1, eu, ev),
+                              clip_offsets=offs)
+        last = b == len(rows) - 1
+        vals_parts.append(out_b["vals"] if last else out_b["vals"][:, :, :-1])
+        t_parts.append(out_b["t"] if last else out_b["t"][:, :-1])
+    return {"vals": jnp.concatenate(vals_parts, axis=2),
+            "t": jnp.concatenate(t_parts, axis=1),
+            "forward": out_b["forward"],
+            "interval": out_b["interval"],
+            "p_offset": jnp.float32(0.0)}

@@ -765,3 +765,78 @@ def test_forward_sweep_2d_window_composes_with_clip_perspective(axis):
             a, b = np.asarray(g_a[name]), np.asarray(g_b[name])
             scale = max(1.0, np.abs(a).max())
             assert np.abs(a - b).max() < 1e-5 * scale, (key2d, name)
+
+
+@pytest.mark.parametrize("axis", [0, 2])
+def test_forward_sweep_blocked_equivalence(axis):
+    """Blocked per-p-block (u, v) windows (build_ray_segments_blocked +
+    sweep_samples_blocked) must match the plain full sweep: forward outputs
+    AND grid gradients, for a perspective multi-view-style batch whose
+    per-block supports the builder guarantees (engine blocked draw path)."""
+    rng = np.random.default_rng(23)
+    model = DirectVoxGO(xyz_min=[-1, -1, -1], xyz_max=[1, 1, 1],
+                        num_voxels=56 ** 3, num_voxels_base=56 ** 3,
+                        alpha_init=1e-2, fast_color_thres=1e-4,
+                        rgbnet_dim=6, rgbnet_direct=True,
+                        k_density=None, k_color=0)
+    pts = np.asarray(model.grid_points())
+    r2 = (((pts - np.array([0.05, -0.1, 0.0])) / 0.6) ** 2).sum(-1)
+    model.params["density"] = jnp.asarray(
+        (16 * np.exp(-2 * r2) - 8).astype(np.float32))
+    model.params["k0"] = jnp.asarray(
+        rng.normal(0, 0.5, model.params["k0"].shape).astype(np.float32))
+    model.update_occupancy_cache()
+
+    # two camera bundles from different directions (both dominant along
+    # `axis`): endpoint sorting separates them, per-block windows tighten
+    n_rand = 2 * sweep_ops.TILE_N
+    n = 4 * n_rand
+    o = np.zeros((n, 3), np.float32)
+    d3 = np.zeros((n, 3), np.float32)
+    half = n // 2
+    for i, (ox, tilt) in enumerate(((0.4, 0.35), (-0.5, -0.3))):
+        sl = slice(i * half, (i + 1) * half)
+        o[sl] = np.array([ox, 0.1 * i, 3.0], np.float32)
+        ang = rng.uniform(-0.12, 0.12, (half, 2))
+        d3[sl] = np.stack([np.tan(ang[:, 0]) + tilt,
+                           np.tan(ang[:, 1]) + 0.2 * i,
+                           -np.ones(half)], -1)
+    o = np.roll(o, axis - 2, axis=1)
+    d3 = np.roll(d3, axis - 2, axis=1)
+    vd = (d3 / np.linalg.norm(d3, axis=-1, keepdims=True)).astype(np.float32)
+
+    bk = sweep_ops.build_ray_segments_blocked(
+        o, d3, model.xyz_min, model.xyz_max, model.world_size, axis,
+        n_rand=n_rand, n_blocks=4, widths=(16, 24, 32, 40, 48))
+    wins = [k for k in bk if k != (0, 0) and bk[k][0].shape[0] > 0]
+    assert wins, f"no windowed blocked class: {list(bk)}"
+    wu, wv = wins[0]
+    idx, uo, vo = bk[(wu, wv)]
+    sel = idx[0]
+    kw = dict(near=0.5, far=6.0, bg=1.0, stepsize=0.5, render_depth=True)
+
+    def run(params, bw):
+        return model.forward_sweep(
+            params, model.mask, jnp.asarray(o[sel]), jnp.asarray(d3[sel]),
+            jnp.asarray(vd[sel]), axis, block_windows=bw, **kw)
+
+    nb = uo.shape[1]
+    bw = ((nb, wu, wv), (jnp.asarray(uo[0]), jnp.asarray(vo[0])))
+    ret_full = run(model.params, None)
+    ret_blk = run(model.params, bw)
+    for key in ("rgb_marched", "alphainv_last", "depth"):
+        a, b = np.asarray(ret_full[key]), np.asarray(ret_blk[key])
+        assert np.allclose(a, b, atol=3e-5), (key, np.abs(a - b).max())
+
+    def loss(params, bwin):
+        ret = run(params, bwin)
+        return jnp.mean(ret["rgb_marched"] ** 2) \
+            + jnp.mean(ret["alphainv_last"])
+
+    g_a = jax.grad(loss)(model.params, None)
+    g_b = jax.grad(loss)(model.params, bw)
+    for name in ("density", "k0"):
+        a, b = np.asarray(g_a[name]), np.asarray(g_b[name])
+        scale = max(1.0, np.abs(a).max())
+        assert np.abs(a - b).max() < 2e-5 * scale, (name,
+                                                    np.abs(a - b).max())
