@@ -661,6 +661,14 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                     if bucket_builds["epoch"] != epoch:
                         return  # superseded by a pg_scale rebuild
                     buckets[ax] = out
+                    if out:
+                        shares = {k: v[0].size for k, v in out.items()}
+                        tot = max(sum(shares.values()), 1)
+                        print(f"scene_rep_reconstruction ({stage}): [phase]"
+                              f" segment classes ax{ax}: "
+                              + " ".join(f"{k}:{c/tot:.2f}" for k, c in
+                                         sorted(shares.items(),
+                                                key=lambda kv: -kv[1])))
                     if persp2d and out:
                         # 2D classes aren't enumerable in advance —
                         # background-compile what the sort produced
@@ -905,6 +913,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     psnr_lst = []
     # (axis, windowed) -> [sum dispatch s, n steps] per i_print window
     axis_stats = {}
+    draw_counts = {}  # step key -> iters drawn, whole stage
     time0 = time.time()
     global_step = -1
     train_steps = {}  # (axis or None) -> jitted step for current tv state
@@ -1370,6 +1379,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             (axis, wsizes is not None), [0.0, 0])
         st[0] += _t_d
         st[1] += n_sub
+        draw_counts[key] = draw_counts.get(key, 0) + n_sub
         if _t_d > 1.0:
             # A dispatch call only blocks this long when it compiled (or a
             # renewal sync drained the queue) — keep compiles visible, they
@@ -1424,6 +1434,11 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             ckpt_lib.save_model_checkpoint(path, model, global_step,
                                            opt_state, async_=True)
 
+    if draw_counts:
+        tot_d = max(sum(draw_counts.values()), 1)
+        top = sorted(draw_counts.items(), key=lambda kv: -kv[1])[:12]
+        print(f"scene_rep_reconstruction ({stage}): [phase] draw classes: "
+              + " ".join(f"{k}:{c/tot_d:.2f}" for k, c in top))
     _phase("train loop")
     compile_state["epoch"] += 1
     compile_state["bg"].shutdown(wait=False, cancel_futures=True)

@@ -43,6 +43,30 @@ def _round_up(x, m):
     return ((int(x) + m - 1) // m) * m
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("new_size", "act_shift", "interval",
+                                    "thres", "c_bounds"))
+def _pg_rescale_jit(density, k0, c_mask, xs, ys, zs, *, new_size,
+                    act_shift, interval, thres, c_bounds):
+    """Progressive-scaling rescale as ONE compiled program: trilinear
+    upsample of density/k0 + self-alpha occupancy + coarse-ckpt mask
+    lookup. Same math as the previous eager composition (maxpool of the
+    activated density; device-broadcast point lattice), fused so a pg
+    event costs one compile + one dispatch instead of ~40 shape-fresh
+    eager programs over the remote tunnel (36-66 s measured, PERF_LOG)."""
+    d = grid_ops.resize_trilinear(density, new_size)
+    k = grid_ops.resize_trilinear(k0, new_size) if k0 is not None else None
+    alpha = grid_ops.max_pool3d_same(rm.raw2alpha(d, act_shift, interval))
+    mask = alpha > thres
+    if c_mask is not None:
+        mn, mx = c_bounds
+        cm = grid_ops.occupancy_lookup_parts(
+            c_mask, xs[:, None, None], ys[None, :, None],
+            zs[None, None, :], mn, mx)
+        mask = cm & mask
+    return d, k, mask
+
+
 class DirectVoxGO:
     """Per-scene voxel-grid radiance field (reference lib/dvgo.py:30-577)."""
 
@@ -173,21 +197,46 @@ class DirectVoxGO:
         print("dvgo: world_size      ", self.world_size)
         print("dvgo: voxel_size_ratio", self.voxel_size_ratio)
 
+    def _coarse_mask_src(self, path, thres):
+        """(coarse occupancy grid, bounds) from a coarse ckpt, cached —
+        pg_scale re-evaluates the fine-resolution mask at every rescale,
+        but the coarse-side derivation (ckpt read, maxpool, alpha) never
+        changes (lib/dvgo.py:583-593, 139-148)."""
+        cache = getattr(self, "_coarse_mask_cache", None)
+        if cache is None or cache[0] != (path, thres):
+            from ..engine import checkpoint as ckpt_lib
+            st = ckpt_lib.load_checkpoint_file(path)
+            c_kwargs = st["model_kwargs"]
+            c_density = jnp.asarray(st["model_state_dict"]["density"])
+            pooled = grid_ops.max_pool3d_same(c_density)
+            alpha = rm.raw2alpha(pooled, c_kwargs["act_shift"],
+                                 c_kwargs["voxel_size_ratio"])
+            c_mask = alpha >= thres
+            c_min = tuple(float(v) for v in
+                          np.asarray(c_kwargs["xyz_min"], np.float64))
+            c_max = tuple(float(v) for v in
+                          np.asarray(c_kwargs["xyz_max"], np.float64))
+            cache = ((path, thres), c_mask, c_min, c_max)
+            self._coarse_mask_cache = cache
+        return cache[1], cache[2], cache[3]
+
     def _mask_from_coarse_ckpt(self, path, thres):
-        """Occupancy from a coarse ckpt: maxpool density -> alpha >= thres,
-        evaluated at this grid's points (lib/dvgo.py:583-593, 139-148)."""
-        from ..engine import checkpoint as ckpt_lib
-        st = ckpt_lib.load_checkpoint_file(path)
-        c_kwargs = st["model_kwargs"]
-        c_density = jnp.asarray(st["model_state_dict"]["density"])
-        pooled = grid_ops.max_pool3d_same(c_density)
-        alpha = rm.raw2alpha(pooled, c_kwargs["act_shift"],
-                             c_kwargs["voxel_size_ratio"])
-        c_mask = alpha >= thres
-        c_min = np.asarray(c_kwargs["xyz_min"], np.float32)
-        c_max = np.asarray(c_kwargs["xyz_max"], np.float32)
-        pts = self.grid_points()
-        return grid_ops.occupancy_lookup(c_mask, pts, c_min, c_max)
+        """Coarse-ckpt occupancy evaluated at this grid's points. The point
+        lattice is built from three 1-D axis vectors broadcast on device —
+        the previous host meshgrid + upload moved [X,Y,Z,3] floats (~50 MB
+        at the 170-class stage) over the dev tunnel per call."""
+        c_mask, c_min, c_max = self._coarse_mask_src(path, thres)
+        # numpy float64 linspaces cast to f32: bit-identical coordinates to
+        # the old meshgrid path, but only 3 tiny 1-D uploads.
+        xs = jnp.asarray(np.linspace(self.xyz_min[0], self.xyz_max[0],
+                                     self.world_size[0]), jnp.float32)
+        ys = jnp.asarray(np.linspace(self.xyz_min[1], self.xyz_max[1],
+                                     self.world_size[1]), jnp.float32)
+        zs = jnp.asarray(np.linspace(self.xyz_min[2], self.xyz_max[2],
+                                     self.world_size[2]), jnp.float32)
+        return grid_ops.occupancy_lookup_parts(
+            c_mask, xs[:, None, None], ys[None, :, None], zs[None, None, :],
+            c_min, c_max)
 
     def grid_points(self):
         """[X, Y, Z, 3] world coords of every voxel center (align-corners)."""
@@ -233,27 +282,39 @@ class DirectVoxGO:
     def scale_volume_grid(self, num_voxels):
         """Progressive scaling: trilinear-upsample grids, refresh the mask
         (lib/dvgo.py:228-263)."""
+        import time as _t
+        _t0 = _t.time()
         print("dvgo: scale_volume_grid start")
         ori = self.world_size
         self._set_grid_resolution(num_voxels)
         print("dvgo: scale_volume_grid from", ori, "to", self.world_size)
-        self.params["density"] = grid_ops.resize_trilinear(
-            self.params["density"], self.world_size)
-        if self.k0_dim > 0:
-            self.params["k0"] = grid_ops.resize_trilinear(
-                self.params["k0"], self.world_size)
-        else:
-            self.params["k0"] = jnp.zeros((*self.world_size, self.k0_dim),
-                                          jnp.float32)
-        self_alpha = grid_ops.max_pool3d_same(self.activate_density(
-            self.params["density"]))
-        mask = self_alpha > self.fast_color_thres
+        # ONE jitted program per pg event. The previous eager composition
+        # (resize x2, maxpool/alpha chain, coarse-mask lookup, ~40 small
+        # programs) re-compiled at every new grid shape — sub-second
+        # compiles the persistent cache doesn't keep — and measured
+        # 36-66 s per pg event over the remote tunnel (PERF_LOG run4).
+        c_mask = c_bounds = None
+        xs = ys = zs = None
         if self.mask_cache_path:
-            coarse_mask = self._mask_from_coarse_ckpt(
+            c_mask, c_mn, c_mx = self._coarse_mask_src(
                 self.mask_cache_path, self.mask_cache_thres)
-            mask = coarse_mask & mask
+            c_bounds = (c_mn, c_mx)
+            xs, ys, zs = (jnp.asarray(np.linspace(
+                float(self.xyz_min[a]), float(self.xyz_max[a]),
+                self.world_size[a]), jnp.float32) for a in range(3))
+        k0 = self.params["k0"] if self.k0_dim > 0 else None
+        d, k, mask = _pg_rescale_jit(
+            self.params["density"], k0, c_mask, xs, ys, zs,
+            new_size=tuple(self.world_size),
+            act_shift=float(self.act_shift),
+            interval=float(self.voxel_size_ratio),
+            thres=float(self.fast_color_thres), c_bounds=c_bounds)
+        self.params["density"] = d
+        self.params["k0"] = k if k is not None else jnp.zeros(
+            (*self.world_size, self.k0_dim), jnp.float32)
         self.mask = mask
-        print("dvgo: scale_volume_grid finish")
+        print(f"dvgo: scale_volume_grid finish ({_t.time()-_t0:.1f} s, "
+              "fused)")
 
     def update_occupancy_cache(self):
         """Periodic mask renewal: ``mask &= maxpool(alpha) > thres``

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -298,20 +299,26 @@ def max_pool3d_same(x):
 
 
 def _interp_matrix(n_new, n_old, dtype=jnp.float32):
-    """[n_new, n_old] linear-interpolation matrix with align_corners=True."""
+    """[n_new, n_old] linear-interpolation matrix with align_corners=True.
+
+    Built host-side in numpy: shapes are static at every call site, and the
+    previous on-device `.at[].add` form dispatched two eager scatter
+    programs per axis that re-compiled at every progressive-scaling shape
+    (sub-second compiles the persistent cache doesn't keep)."""
     if n_old == 1:
-        return jnp.ones((n_new, 1), dtype)
+        return jnp.asarray(np.ones((n_new, 1), np.float32), dtype)
     if n_new == 1:
-        w = jnp.zeros((1, n_old), dtype)
-        return w.at[0, 0].set(1.0)
-    pos = jnp.arange(n_new, dtype=dtype) * ((n_old - 1) / (n_new - 1))
-    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_old - 2)
-    frac = pos - lo.astype(dtype)
-    rows = jnp.arange(n_new)
-    w = jnp.zeros((n_new, n_old), dtype)
-    w = w.at[rows, lo].add(1.0 - frac)
-    w = w.at[rows, lo + 1].add(frac)
-    return w
+        w = np.zeros((1, n_old), np.float32)
+        w[0, 0] = 1.0
+        return jnp.asarray(w, dtype)
+    pos = np.arange(n_new, dtype=np.float64) * ((n_old - 1) / (n_new - 1))
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, n_old - 2)
+    frac = (pos - lo).astype(np.float32)
+    rows = np.arange(n_new)
+    w = np.zeros((n_new, n_old), np.float32)
+    np.add.at(w, (rows, lo), 1.0 - frac)
+    np.add.at(w, (rows, lo + 1), frac)
+    return jnp.asarray(w, dtype)
 
 
 def resize_trilinear(grid, new_size):

@@ -380,7 +380,14 @@ def _sweep_bwd_segment(c, k, gu, gv, wv, interp_dtype, grid_dtype,
 
     zs = jnp.arange(1, gp, dtype=jnp.int32)
     init = jnp.zeros((gu, wv, c), jnp.float32)
-    pending, d_slabs = jax.lax.scan(body, init, (g_main, zs))
+    # Narrow windows make the body ~2 us of math in a ~28 us scan
+    # iteration (latency-bound; traced at the (167,32,32) e2e class,
+    # tools/trace_chain_floor.py) — unroll until each iteration carries
+    # >=128 columns of matmul work. At full-gv widths unroll stays 1
+    # (bodies are matmul-bound there; unroll measured neutral-to-worse).
+    unroll = max(1, min(8, 128 // max(wv, 1)))
+    pending, d_slabs = jax.lax.scan(body, init, (g_main, zs),
+                                    unroll=unroll)
     d_last = pending + _station_cotangent_win(
         g_last, rays_pv, jnp.float32(gp - 1.0), gu, wv, c, vb, interp_dtype)
     d_win = jnp.concatenate([d_slabs, d_last[None]], axis=0)
@@ -472,8 +479,10 @@ def _sweep_bwd(n_channels, k, guv, dtypes, wv, residuals, cts):
 
     zs = jnp.arange(1, gp, dtype=jnp.int32)
     init = jnp.zeros((gu, gv, c), jnp.float32)
-    # (scan unroll=2/4 measured 22.5/24.1 vs 21.5 ms/step at the windowed
-    # e2e shape -- no latency win to recover, the bodies are matmul-bound.)
+    # (scan unroll measured neutral-to-worse at every shape tried: 2/4 gave
+    # 22.5/24.1 vs 21.5 ms/step at full-gv e2e, and unroll=4 at the narrow
+    # (167,32,32) region box traced 16.0 vs 14.9 ms — the scan is carry-
+    # dependency-bound, not loop-overhead-bound.)
     pending, d_slabs = jax.lax.scan(body, init, (g_main, zs))
     d_last = pending + _station_cotangent(g_last, rays_pv,
                                           jnp.float32(gp - 1.0), gu, gv, c,
