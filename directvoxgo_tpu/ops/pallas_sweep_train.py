@@ -81,18 +81,18 @@ def pad_channels(grid_perm, c):
 
 @functools.partial(jax.jit,
                    static_argnames=("c", "cp", "k", "gu", "gv", "wv",
-                                    "interpret"))
+                                    "interpret", "s_blk", "nt"))
 def sweep_fwd_pallas(slabs_p, rays_packed, v_base=None, *, c, cp, k, gu, gv,
-                     wv=0, interpret=False):
+                     wv=0, interpret=False, s_blk=S_BLK, nt=NT):
     """All-station sweep values via the fused kernel.
 
     Args:
       slabs_p: [S_pad, Gu, Gv*Cp] bf16 v-major station slabs with channels
         padded to ``cp`` (see :func:`pad_channels`), stations padded to a
-        multiple of S_BLK (pad slabs zero).
+        multiple of s_blk (static) (pad slabs zero).
       rays_packed: [8, N] f32 rows (op, ou, ov, dp_safe, du, dv, 0, 0) with
-        dp_safe already zero-guarded; N a multiple of NT.
-      v_base: optional [N // NT] int32 per-ray-tile v-window starts (each a
+        dp_safe already zero-guarded; N a multiple of nt.
+      v_base: optional [N // nt] int32 per-ray-tile v-window starts (each a
         multiple of 8, in [0, Gv - wv]). With ``wv > 0`` each ray tile only
         reads the ``wv``-wide v-window of every slab — EXACT when every ray
         of tile j keeps its v support inside [v_base[j], v_base[j]+wv-1]:
@@ -112,8 +112,8 @@ def sweep_fwd_pallas(slabs_p, rays_packed, v_base=None, *, c, cp, k, gu, gv,
     gv_eff = wv if windowed else gv
     cgv = cp * gv
     cgv_eff = cp * gv_eff
-    assert s_pad % S_BLK == 0 and n % NT == 0 and cp % C_TILE == 0
-    nsb, nnb = s_pad // S_BLK, n // NT
+    assert s_pad % s_blk == 0 and n % nt == 0 and cp % C_TILE == 0
+    nsb, nnb = s_pad // s_blk, n // nt
     inv_k = 1.0 / float(k)
     bf16 = jnp.bfloat16
 
@@ -130,7 +130,7 @@ def sweep_fwd_pallas(slabs_p, rays_packed, v_base=None, *, c, cp, k, gu, gv,
             vb = 0
         sb = pl.program_id(0)
 
-        op = rp_ref[0, :]                                  # [NT] lanes
+        op = rp_ref[0, :]                                  # [nt] lanes
         ou = rp_ref[1, :]
         ov = rp_ref[2, :]
         dp = rp_ref[3, :]
@@ -139,20 +139,20 @@ def sweep_fwd_pallas(slabs_p, rays_packed, v_base=None, *, c, cp, k, gu, gv,
 
         # u-hat rows over SUBLANES (rays stay on lanes).
         iota_u = jax.lax.broadcasted_iota(
-            jnp.int32, (gu, NT), 0).astype(jnp.float32)
+            jnp.int32, (gu, nt), 0).astype(jnp.float32)
         # v index of each (v*Cp + c) row (window-relative when windowed).
-        iota_vw = (jax.lax.broadcasted_iota(jnp.int32, (cgv_eff, NT), 0)
+        iota_vw = (jax.lax.broadcasted_iota(jnp.int32, (cgv_eff, nt), 0)
                    // cp).astype(jnp.float32)
         if windowed:
             iota_vw = iota_vw + vb.astype(jnp.float32)
 
-        for j in range(S_BLK):
-            p_s = (sb * S_BLK + j).astype(jnp.float32) * inv_k
-            t = (p_s - op) / dp                            # [NT]
+        for j in range(s_blk):
+            p_s = (sb * s_blk + j).astype(jnp.float32) * inv_k
+            t = (p_s - op) / dp                            # [nt]
             u = ou + t * du
             v = ov + t * dv
             wu_t = jnp.maximum(0.0, 1.0 - jnp.abs(u[None, :] - iota_u)
-                               ).astype(bf16)              # [Gu, NT]
+                               ).astype(bf16)              # [Gu, nt]
             wv_t = jnp.maximum(0.0, 1.0 - jnp.abs(v[None, :] - iota_vw))
             if windowed:
                 # [Gu, wv*Cp] v-window of the slab; vb8 * (8*cp) is a
@@ -161,12 +161,12 @@ def sweep_fwd_pallas(slabs_p, rays_packed, v_base=None, *, c, cp, k, gu, gv,
                 slab_j = slab_ref[j, :, pl.ds(vb8 * (8 * cp), cgv_eff)]
             else:
                 slab_j = slab_ref[j]
-            # [Gu, Gv*Cp] (contract Gu) [Gu, NT] -> [Gv*Cp, NT]
+            # [Gu, Gv*Cp] (contract Gu) [Gu, nt] -> [Gv*Cp, nt]
             tmp_t = jax.lax.dot_general(
                 slab_j, wu_t,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            prod = (tmp_t * wv_t).reshape(gv_eff, cp, NT)
+            prod = (tmp_t * wv_t).reshape(gv_eff, cp, nt)
             # Tree-fold the v dimension (leading-dim slices of the rank-3
             # view are tile-aligned because cp is two f32 sublane tiles).
             m = gv_eff
@@ -181,12 +181,12 @@ def sweep_fwd_pallas(slabs_p, rays_packed, v_base=None, *, c, cp, k, gu, gv,
             out_ref[j] = prod[0, :c, :]
 
     in_specs = [
-        pl.BlockSpec((S_BLK, gu, cgv), lambda s, nb: (s, 0, 0),
+        pl.BlockSpec((s_blk, gu, cgv), lambda s, nb: (s, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, NT), lambda s, nb: (0, nb),
+        pl.BlockSpec((8, nt), lambda s, nb: (0, nb),
                      memory_space=pltpu.VMEM),
     ]
-    out_specs = pl.BlockSpec((S_BLK, c, NT), lambda s, nb: (s, 0, nb),
+    out_specs = pl.BlockSpec((s_blk, c, nt), lambda s, nb: (s, 0, nb),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((s_pad, c, n), jnp.float32)
     cparams = pltpu.CompilerParams(
@@ -201,10 +201,10 @@ def sweep_fwd_pallas(slabs_p, rays_packed, v_base=None, *, c, cp, k, gu, gv,
                 num_scalar_prefetch=1,
                 grid=(nsb, nnb),
                 in_specs=[
-                    pl.BlockSpec((S_BLK, gu, cgv), lambda s, nb, vbr: (s, 0, 0)),
-                    pl.BlockSpec((8, NT), lambda s, nb, vbr: (0, nb)),
+                    pl.BlockSpec((s_blk, gu, cgv), lambda s, nb, vbr: (s, 0, 0)),
+                    pl.BlockSpec((8, nt), lambda s, nb, vbr: (0, nb)),
                 ],
-                out_specs=pl.BlockSpec((S_BLK, c, NT),
+                out_specs=pl.BlockSpec((s_blk, c, nt),
                                        lambda s, nb, vbr: (s, 0, nb)),
             ),
             out_shape=out_shape,

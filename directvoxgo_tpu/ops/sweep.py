@@ -232,7 +232,24 @@ def _sweep_fwd_impl(grid_perm, rays_pv, c, k, guv, interp_dtype,
                 grid_perm = g4.reshape(gp, gu, gv_k * c)
         grid_p, cp = pst.pad_channels(grid_perm, c)
         slabs = _station_slabs(grid_p, k)
-        s_pad = pst._round_up(s, pst.S_BLK)
+        # Tiling: bigger (station, ray) tiles when the slab block is small.
+        # The default (8, 512) grid runs 672 invocations at S=333/N=8192
+        # and spent ~2 ms on per-step overheads at a (167,32,32) window
+        # class (tools/trace_chain_floor.py); larger tiles amortize it
+        # whenever the VMEM budget allows.
+        s_blk, nt = pst.S_BLK, pst.NT
+        if not windowed:
+            cgv_b = cp * gv_k
+
+            def _vm(sb, ntc):
+                return (2 * sb * gu * cgv_b * 2 + (gu + cgv_b) * ntc * 4
+                        + ntc * cgv_b * 4 + 2 * sb * cp * ntc * 4)
+
+            for sb_c, nt_c in ((16, 1024), (16, 512), (8, 1024)):
+                if n % nt_c == 0 and _vm(sb_c, nt_c) <= 40 * 2 ** 20:
+                    s_blk, nt = sb_c, nt_c
+                    break
+        s_pad = pst._round_up(s, s_blk)
         if s_pad > s:
             slabs = jnp.concatenate(
                 [slabs, jnp.zeros((s_pad - s, gu, cp * gv_k), slabs.dtype)])
@@ -244,7 +261,8 @@ def _sweep_fwd_impl(grid_perm, rays_pv, c, k, guv, interp_dtype,
                                     v_base[: n // pst.NT]
                                     if windowed else None,
                                     c=c, cp=cp, k=k, gu=gu, gv=gv_k,
-                                    wv=wv if windowed else 0)
+                                    wv=wv if windowed else 0,
+                                    s_blk=s_blk, nt=nt)
         p_stations = jnp.arange(s, dtype=jnp.float32) / k
         ts = (p_stations[None, :] - op[:, None]) / dp_safe[:, None]
         return jnp.transpose(vals[:s], (1, 2, 0)), ts
