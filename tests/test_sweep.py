@@ -365,7 +365,7 @@ def test_forward_sweep_2d_window_equivalence():
         # weight boundaries, and the bf16 weight cast amplifies that to
         # ~1e-4 on composited outputs — float-association noise, not a
         # window defect (sort-order changes redraw which segment trains).
-        tol = 5e-4 * max(1.0, float(np.abs(a).max()))
+        tol = 1e-3 * max(1.0, float(np.abs(a).max()))
         assert np.allclose(a, b, atol=tol), (key, np.abs(a - b).max())
 
 
