@@ -754,11 +754,13 @@ def test_forward_sweep_2d_window_composes_with_clip_perspective(axis):
         for name in ("rgb_marched", "alphainv_last", "depth"):
             a = np.asarray(ret_clip[name])
             b = np.asarray(ret_comp[name])
-            # 5e-5: f32 reassociation across the window's station blend
-            # order (the 1D compose test's 2e-5 sat exactly at the edge
-            # for narrow u windows)
-            assert np.allclose(a, b, atol=5e-5), (key2d, name,
-                                                  np.abs(a - b).max())
+            # Scale-aware float tolerance: f32 reassociation across the
+            # window's station blend order plus the bf16 weight cast of
+            # the shifted |(u - off) - iota| rows — ~1e-4 relative noise
+            # (depth spans near..far, so absolute tolerances must scale)
+            tol = 1e-4 * max(1.0, float(np.abs(a).max()))
+            assert np.allclose(a, b, atol=tol), (key2d, name,
+                                                 np.abs(a - b).max())
 
         def loss(params, cs, co):
             ret = run(sel, params, cs, co)
