@@ -358,11 +358,12 @@ def _get_render_slabs(model, axis, sign, k, s_lo, s_hi, s_pad):
 
 @functools.partial(jax.jit, static_argnames=(
     "hw", "hiwi", "guv", "perm", "has_mlp", "rgb_mode", "viewbase_pe",
-    "f_mlp", "inverse_y", "flip_x", "flip_y", "interpret", "compact"))
+    "f_mlp", "inverse_y", "flip_x", "flip_y", "interpret", "compact",
+    "kernel_v"))
 def _render_frame_fused(d_geo, d_k0, rgbnet_params, km, c2w, sc, *, hw,
                         hiwi, guv, perm, has_mlp, rgb_mode, viewbase_pe,
                         f_mlp, inverse_y, flip_x, flip_y, interpret,
-                        compact=False):
+                        compact=False, kernel_v=3):
     """One dispatch per frame: intermediate grids, view embeddings, the
     fused Pallas composite, and the homography warp to screen — everything
     pose-dependent is a runtime scalar/array so orbit poses share one
@@ -393,6 +394,7 @@ def _render_frame_fused(d_geo, d_k0, rgbnet_params, km, c2w, sc, *, hw,
                     + dv[None, :] * fwd_axis[perm[2]])
 
     shared1 = None
+    vd_emb_cl = None
     mlp_params = None
     if has_mlp:
         comps = [None, None, None]
@@ -404,18 +406,35 @@ def _render_frame_fused(d_geo, d_k0, rgbnet_params, km, c2w, sc, *, hw,
         vd_emb = mlp_lib.positional_encoding(viewdirs, viewbase_pe)
         layers = rgbnet_params["layers"]
         w1, b1 = layers[0]["w"], layers[0]["b"]
-        shared1 = (jnp.dot(vd_emb.astype(bf16), w1[f_mlp:].astype(bf16),
-                           preferred_element_type=jnp.float32)
-                   + b1).astype(bf16)
         mlp_params = {"w1a": w1[:f_mlp], "w2": layers[1]["w"],
                       "b2": layers[1]["b"], "w3": layers[2]["w"],
                       "b3": layers[2]["b"]}
+        if kernel_v == 4:
+            # v4 computes the hoisted first-layer view term in-kernel from
+            # the channel-leading embedding (the [Hi,Wi,width] shared1
+            # blocks would re-fetch on every step of its station-major
+            # grid).
+            vd_emb_cl = jnp.transpose(vd_emb, (2, 0, 1)).astype(bf16)
+            mlp_params["w1b"] = w1[f_mlp:]
+            mlp_params["b1"] = b1
+        else:
+            shared1 = (jnp.dot(vd_emb.astype(bf16),
+                               w1[f_mlp:].astype(bf16),
+                               preferred_element_type=jnp.float32)
+                       + b1).astype(bf16)
 
     activity = _tile_activity(d_geo, ur_grid, vr_grid, sc, guv[0], guv[1])
-    rgb_cl, inter_depth, inter_ainv = render_frame_pallas3(
-        d_geo, d_k0, shared1, dnorm, dclip, ur_grid, vr_grid, mlp_params,
-        sc[:12], activity=activity, guv=guv, has_mlp=has_mlp,
-        rgb_mode=rgb_mode, interpret=interpret)
+    if kernel_v == 4:
+        from ..ops.pallas_render4 import render_frame_pallas4
+        rgb_cl, inter_depth, inter_ainv = render_frame_pallas4(
+            d_geo, d_k0, vd_emb_cl, dnorm, dclip, ur_grid, vr_grid,
+            mlp_params, sc[:12], activity=activity, guv=guv,
+            has_mlp=has_mlp, rgb_mode=rgb_mode, interpret=interpret)
+    else:
+        rgb_cl, inter_depth, inter_ainv = render_frame_pallas3(
+            d_geo, d_k0, shared1, dnorm, dclip, ur_grid, vr_grid,
+            mlp_params, sc[:12], activity=activity, guv=guv,
+            has_mlp=has_mlp, rgb_mode=rgb_mode, interpret=interpret)
     inter_rgb = jnp.transpose(rgb_cl, (1, 2, 0))
 
     # Homography warp to screen (ray convention of rays.get_rays).
@@ -583,6 +602,26 @@ def _use_pallas():
     return jax.devices()[0].platform != "cpu"
 
 
+def _pick_kernel_v(model, d_geo, d_k0, guv, hi, wi):
+    """v4 (station-major grid: slabs stream once per frame) whenever its
+    scratch + slab blocks fit scoped VMEM; v3 otherwise. DVGO_RENDER_V
+    overrides for A/B runs."""
+    import os
+    env = os.environ.get("DVGO_RENDER_V")
+    if env:
+        return int(env)
+    from ..ops.pallas_render4 import v4_vmem_estimate
+    f_k0 = 0 if d_k0 is None else d_k0.shape[1] // guv[0]
+    width = 0
+    emb = 0
+    if model.has_rgbnet:
+        width = model.params["rgbnet"]["layers"][1]["w"].shape[0]
+        emb = 3 + 6 * int(model.viewbase_pe)
+    est = v4_vmem_estimate(d_geo.shape[0], guv[0], guv[1], f_k0, width,
+                           emb, hi, wi)
+    return 4 if est <= 100 * 1024 * 1024 else 3
+
+
 def render_frame_sweep(model, H, W, K, c2w, render_kwargs, plan=None,
                        backend=None, output="numpy"):
     """Render one camera frame with the separable station sweep.
@@ -663,6 +702,8 @@ def render_frame_sweep(model, H, W, K, c2w, render_kwargs, plan=None,
         if model.has_rgbnet:
             rgbnet_params = model.params["rgbnet"]
             f_mlp = model.k0_dim - (3 if rgb_mode == "logit_plus_k0" else 0)
+        kernel_v = _pick_kernel_v(model, d_geo, d_k0,
+                                  (plan["gu"], plan["gv"]), hi, wi)
         rgb, depth = _render_frame_fused(
             d_geo, d_k0, rgbnet_params, jnp.asarray(K, jnp.float32),
             jnp.asarray(c2w, jnp.float32), sc, hw=(int(H), int(W)),
@@ -671,7 +712,7 @@ def render_frame_sweep(model, H, W, K, c2w, render_kwargs, plan=None,
             viewbase_pe=int(model.viewbase_pe), f_mlp=f_mlp,
             inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y,
             interpret=(backend == "pallas_interpret"),
-            compact=(output == "device_compact"))
+            compact=(output == "device_compact"), kernel_v=kernel_v)
         if output.startswith("device"):
             return rgb, depth
         return np.asarray(rgb), np.asarray(depth)

@@ -84,6 +84,21 @@ def test_pallas_kernel_matches_xla(scene):
     assert np.abs(dep_x - dep_p).max() < 1e-2
 
 
+def test_pallas_v4_matches_v3(scene, monkeypatch):
+    """The station-major v4 kernel (slabs stream once per frame, per-tile
+    scratch accumulators) must agree with v3 to float noise — identical
+    per-sample math, different grid order."""
+    model, H, W, K, c2w, rk = scene
+    monkeypatch.setenv("DVGO_RENDER_V", "3")
+    rgb3, dep3 = render_sweep.render_frame_sweep(
+        model, H, W, K, c2w, rk, backend="pallas_interpret")
+    monkeypatch.setenv("DVGO_RENDER_V", "4")
+    rgb4, dep4 = render_sweep.render_frame_sweep(
+        model, H, W, K, c2w, rk, backend="pallas_interpret")
+    assert np.abs(rgb3 - rgb4).max() < 1e-5
+    assert np.abs(dep3 - dep4).max() < 1e-4
+
+
 def test_pallas_kernel_no_mlp_path(scene):
     model, H, W, K, c2w, rk = scene
     model.has_rgbnet = False  # coarse-style direct rgb from k0[:3]

@@ -45,7 +45,14 @@ def make_case(hi, wi, s_total, gu, gv, f_k0=12, width=128, has_mlp=True,
     dclip = dnorm * (0.8 + rng.uniform(0, 0.2, (hi, wi)).astype(np.float32))
     ur = np.linspace(-0.3 * gu, 1.3 * gu, hi).astype(np.float32)
     vr = np.linspace(-0.3 * gv, 1.3 * gv, wi).astype(np.float32)
-    shared1 = rng.normal(0, 0.1, (hi, wi, width)).astype(np.float32)
+    # v4 computes shared1 in-kernel from the view embedding; derive
+    # shared1 from (vd_emb, w1b, b1) so v3 and v4 stay comparable.
+    emb_dim = 27
+    vd_emb = rng.normal(0, 0.5, (hi, wi, emb_dim)).astype(np.float32)
+    w1b = rng.normal(0, 0.1, (emb_dim, width)).astype(np.float32)
+    b1 = rng.normal(0, 0.05, (width,)).astype(np.float32)
+    shared1 = (vd_emb.astype(jnp.bfloat16).astype(np.float32) @ w1b
+               + b1).astype(np.float32)
     mlp = {
         "w1a": rng.normal(0, 0.3, (f_k0 - (3 if rgb_mode == "logit_plus_k0"
                                            else 0), width)).astype(np.float32),
@@ -53,6 +60,7 @@ def make_case(hi, wi, s_total, gu, gv, f_k0=12, width=128, has_mlp=True,
         "b2": rng.normal(0, 0.1, (width,)).astype(np.float32),
         "w3": rng.normal(0, 0.3, (width, 3)).astype(np.float32),
         "b3": rng.normal(0, 0.1, (3,)).astype(np.float32),
+        "w1b": w1b, "b1": b1,
     }
     # scalars: op, ou, ov, inv_span, p_first, p_step, act_shift,
     # interval_scale, fast_thres, near, far, bg
@@ -67,6 +75,8 @@ def make_case(hi, wi, s_total, gu, gv, f_k0=12, width=128, has_mlp=True,
                 ur=jnp.asarray(ur),
                 vr=jnp.asarray(vr),
                 mlp={k: jnp.asarray(v) for k, v in mlp.items()},
+                vd_emb_cl=jnp.asarray(vd_emb.transpose(2, 0, 1),
+                                      jnp.bfloat16),
                 sc=jnp.asarray(sc), guv=(gu, gv), has_mlp=has_mlp,
                 rgb_mode=rgb_mode)
 
@@ -89,6 +99,23 @@ def run_v3(case, interpret):
         guv=case["guv"],
         has_mlp=case["has_mlp"], rgb_mode=case["rgb_mode"],
         interpret=interpret)
+    return jnp.transpose(rgb_cl, (1, 2, 0)), depth, tcum
+
+
+def run_v4(case, interpret, gated=False):
+    from directvoxgo_tpu.ops.pallas_render4 import render_frame_pallas4
+    act = None
+    if gated:
+        from directvoxgo_tpu.engine.render_sweep import _tile_activity
+        act = _tile_activity(case["d_geo"], case["ur"], case["vr"],
+                             case["sc"], *case["guv"])
+    rgb_cl, depth, tcum = render_frame_pallas4(
+        case["d_geo"], case["d_k0t"],
+        case["vd_emb_cl"] if case["has_mlp"] else None,
+        case["dnorm"], case["dclip"], case["ur"], case["vr"],
+        case["mlp"] if case["has_mlp"] else None, case["sc"],
+        activity=act, guv=case["guv"], has_mlp=case["has_mlp"],
+        rgb_mode=case["rgb_mode"], interpret=interpret)
     return jnp.transpose(rgb_cl, (1, 2, 0)), depth, tcum
 
 
@@ -144,6 +171,8 @@ def perf():
         return jnp.transpose(rgb_cl, (1, 2, 0)), depth, tcum
 
     variants = (("v3", run_v3), ("v3+gate", run_v3_gated),
+                ("v4", lambda c, i: run_v4(c, i, gated=False)),
+                ("v4+gate", lambda c, i: run_v4(c, i, gated=True)),
                 ("v3+gate geo-only", run_v3_geo_only), ("v1", run_v1))
     if len(sys.argv) > 2:
         variants = [v for v in variants if sys.argv[2] in v[0]]
