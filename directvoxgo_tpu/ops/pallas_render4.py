@@ -24,8 +24,17 @@ v4 inverts the grid to ``(s_blk, tile_i, tile_j)``:
 Outputs are written on the final station block's visit to each tile (the
 sequential grid guarantees that visit is the block's last). Per-sample math
 is identical to v3 (render_utils_kernel.cu:447-455 semantics); equivalence
-is asserted by tests/test_render_windowed.py and the bench consistency
-check.
+is asserted by tests/test_render_sweep.py::test_pallas_v4_matches_v3 and
+the v3-vs-v4 comparison in tools/bench_framekernel.py check().
+
+Inherent trade-off of the station-major grid: the output BlockSpecs are
+indexed ``(0, i, j)`` on a grid where ``(i, j)`` change every step, so
+Mosaic copies each output block back to HBM on EVERY station block —
+``nsb x`` redundant output DMA per frame (~300 MB at 896^2 with 20
+s-blocks, vs ~15 MB in v3). That partially offsets the input-DMA saving
+the kernel exists for; it is the price of visiting tiles non-consecutively
+and cannot be removed without a tile-resident output (which is exactly
+v3's grid order). Weigh both directions when tuning here.
 
 VMEM: scratch is ``n_tiles x (3+1+1) x TILE^2`` f32 (16 MB at 896^2) on
 top of the double-buffered slab blocks; :func:`v4_vmem_estimate` lets the
@@ -49,10 +58,17 @@ def v4_vmem_estimate(s_total, gu, gv, f_k0, width, emb_dim, hi, wi):
     scratch = nti * ntj * 5 * TILE * TILE * 4
     slabs = 2 * (S_BLK * gu * 2 * gv * 2 + S_BLK * f_k0 * gu * gv * 2)
     emb = 2 * (TILE * TILE * max(emb_dim, 8) * 2)
-    # big in-kernel temporaries: t1g [S,TILE,2Gv] f32, h/sh1 [TILE,TILE,W]
-    tmps = S_BLK * TILE * 2 * gv * 4 + 3 * TILE * TILE * max(width, 1) * 4
+    # big in-kernel temporaries: t1g [S,TILE,2Gv] f32, h/sh1 [TILE,TILE,W],
+    # plus the [S_BLK,TILE,TILE] f32 per-block fields (density, maskv,
+    # alpha_all, dist_all, t_all, ok_pre and the ws list — ~6-7 MB at
+    # S_BLK=16) that the first estimate omitted; a shape passing the gate
+    # without them could exceed the 110 MB compile limit with no runtime
+    # fallback to v3.
+    tmps = (S_BLK * TILE * 2 * gv * 4
+            + 3 * TILE * TILE * max(width, 1) * 4
+            + 7 * S_BLK * TILE * TILE * 4)
     outs = 2 * 5 * TILE * TILE * 4
-    return scratch + slabs + emb + tmps + outs + (1 << 20)
+    return scratch + slabs + emb + tmps + outs + (2 << 20)
 
 
 def render_frame_pallas4(d_geo, d_k0t, vd_emb_cl, dnorm, dclip, ur, vr,

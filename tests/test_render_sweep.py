@@ -95,8 +95,14 @@ def test_pallas_v4_matches_v3(scene, monkeypatch):
     monkeypatch.setenv("DVGO_RENDER_V", "4")
     rgb4, dep4 = render_sweep.render_frame_sweep(
         model, H, W, K, c2w, rk, backend="pallas_interpret")
-    assert np.abs(rgb3 - rgb4).max() < 1e-5
-    assert np.abs(dep3 - dep4).max() < 1e-4
+    # Scale-aware: v3 quantizes the hoisted shared1 view term to bf16
+    # before the layer-1 add while v4 keeps it f32, so double-rounding can
+    # legitimately exceed a fixed 1e-5 on scenes/weights other than this
+    # fixture (same policy as the window-equivalence tests).
+    rgb_tol = 1e-5 * max(1.0, float(np.abs(rgb3).max()))
+    dep_tol = 1e-4 * max(1.0, float(np.abs(dep3).max()))
+    assert np.abs(rgb3 - rgb4).max() < rgb_tol
+    assert np.abs(dep3 - dep4).max() < dep_tol
 
 
 def test_pallas_kernel_no_mlp_path(scene):

@@ -129,12 +129,21 @@ def check():
             case["d_k0t"] = case["d_k0"].reshape(32, 3 * 48, 40)
         a = [np.asarray(x) for x in run_v1(case, True)]
         b = [np.asarray(x) for x in run_v3(case, True)]
+        c = [np.asarray(x) for x in run_v4(case, True)]
         for name, x, y in zip(("rgb", "depth", "tcum"), a, b):
             err = np.max(np.abs(x - y))
             rel = err / (np.max(np.abs(x)) + 1e-9)
             status = "OK" if rel < 2e-2 else "MISMATCH"
-            log(f"{rgb_mode} mlp={has_mlp} {name}: maxabs={err:.5f} "
+            log(f"{rgb_mode} mlp={has_mlp} v1-v3 {name}: maxabs={err:.5f} "
                 f"rel={rel:.5f} {status}")
+        # v4 is identical per-sample math on a station-major grid; it must
+        # agree with v3 to float noise (scale-aware bound).
+        for name, x, y in zip(("rgb", "depth", "tcum"), b, c):
+            err = np.max(np.abs(x - y))
+            tol = 1e-4 * max(1.0, float(np.abs(x).max()))
+            status = "OK" if err < tol else "MISMATCH"
+            log(f"{rgb_mode} mlp={has_mlp} v3-v4 {name}: maxabs={err:.6f} "
+                f"tol={tol:.6f} {status}")
 
 
 def perf():
