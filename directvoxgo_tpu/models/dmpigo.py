@@ -56,6 +56,8 @@ class DirectMPIGO:
         # see models/dvgo.py forward_sweep and ops/sweep.topk_station_select.
         self.sweep_color_topk = int(sweep_color_topk)
         self.mlp_dtype = jnp.bfloat16
+        # Grid-sweep interp/channel dtype (see models/dvgo.py).
+        self.sweep_dtype = jnp.bfloat16
 
         self._set_grid_resolution(num_voxels, mpi_depth)
 
@@ -333,7 +335,7 @@ class DirectMPIGO:
         """
         assert axis == 2, "MPI sweep is along z (forced_sweep_axis)"
         k = sweep_ops.substeps_for_stepsize(stepsize)
-        sdt = jnp.bfloat16
+        sdt = self.sweep_dtype
         density, k0, mask_g = params["density"], params["k0"], mask
         if clip_sizes is not None and not grids_pre_clipped:
             # Slice before the bf16 cast (same ordering as DVGO: casting the
@@ -356,6 +358,7 @@ class DirectMPIGO:
         out = sweep_ops.sweep_samples(grid_cat, None, rays_o, rays_d,
                                       bbox_min, bbox_max, 2,
                                       stepsize=stepsize, march_order=False,
+                                      interp_dtype=sdt,
                                       clip_sizes=clip_sizes,
                                       clip_offsets=clip_offsets,
                                       pre_clipped=True,

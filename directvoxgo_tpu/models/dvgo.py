@@ -99,6 +99,9 @@ class DirectVoxGO:
         self.query_mode = query_mode
         # Color-MLP compute dtype on the sweep path (None = full f32).
         self.mlp_dtype = jnp.bfloat16
+        # Grid-sweep interp/channel dtype (bf16 = the shipping fast path;
+        # f32 enables exact-parity comparisons, tests/test_torch_parity.py).
+        self.sweep_dtype = jnp.bfloat16
 
         # Base grid resolution -> act_shift (lib/dvgo.py:55-62).
         self.num_voxels_base = num_voxels_base
@@ -750,7 +753,7 @@ class DirectVoxGO:
         # so the layout shuffles move half the bytes; slice BEFORE the cast
         # when clipping (casting the full 160^3 k0 then slicing wasted
         # 0.7 ms/step, convert_element_type.46 in the trace).
-        sdt = jnp.bfloat16
+        sdt = self.sweep_dtype
         density, k0, mask_g = params["density"], params.get("k0"), mask
         if clip_sizes is not None and not grids_pre_clipped:
             perm = sweep_ops._PERMS[axis]
@@ -779,12 +782,14 @@ class DirectVoxGO:
             block_sizes, (u_off, v_off) = block_windows
             out = sweep_ops.sweep_samples_blocked(
                 grid_cat, rays_o, rays_d, bbox_min, bbox_max, axis,
-                block_sizes, u_off, v_off, stepsize=stepsize)
+                block_sizes, u_off, v_off, stepsize=stepsize,
+                interp_dtype=sdt)
         else:
             out = sweep_ops.sweep_samples(grid_cat, None, rays_o, rays_d,
                                           bbox_min, bbox_max, axis,
                                           stepsize=stepsize,
                                           march_order=False,
+                                          interp_dtype=sdt,
                                           clip_sizes=clip_sizes,
                                           clip_offsets=clip_offsets,
                                           pre_clipped=True,

@@ -214,7 +214,10 @@ def _sweep_fwd_impl(grid_perm, rays_pv, c, k, guv, interp_dtype,
     windowed = bool(wv) and v_base is not None and v_base.shape[0] > 0
 
     from . import pallas_sweep_train as pst
-    if pst.sweep_fwd_available(n, c, gu, gv):
+    # The fused kernel is tuned for (and assumes) bf16 slab blocks; f32
+    # sweeps (parity mode, models.sweep_dtype) take the XLA scan path.
+    if grid_perm.dtype == jnp.bfloat16 \
+            and pst.sweep_fwd_available(n, c, gu, gv):
         # Fused kernel: the whole per-station pipeline stays in VMEM (the
         # XLA scan round-trips the [N, Gv*C] u-contraction intermediate
         # per station — see pallas_sweep_train docstring).
