@@ -919,6 +919,93 @@ class DirectVoxGO:
                 jnp.sum(w_eff * t_safe, axis=1) * d_norm)
         return ret
 
+    # ------------------------------------------------ fused train forward
+
+    def supports_fused_step(self):
+        """Whether the fully fused Pallas train step (sweep + compositing
+        chain + MLP in two kernels, ops/pallas_train_fused.py) can replace
+        the XLA chain for this model's config. The fused kernels implement
+        exactly the standard DVGO fine-stage composition
+        (lib/dvgo.py:450-577): trilinear station queries, a 3-layer split
+        MLP over (k0 feats, view embedding), fast_color_thres gating."""
+        return (self.has_rgbnet and not self.implicit_voxel_feat
+                and not self.rgbnet_full_implicit and self.posbase_pe == 0
+                and self.k0_dim > 0 and self.rgbnet_depth == 3
+                and self.fast_color_thres > 0
+                and self.sweep_dtype == jnp.bfloat16
+                and (self.k0_dim if self.rgbnet_direct
+                     else self.k0_dim - 3) >= 1)
+
+    def forward_sweep_fused(self, params, mask, rays_o, rays_d, viewdirs,
+                            axis, target, *, near, far, bg, stepsize,
+                            clip_offsets=None, interpret=False, **_):
+        """Fused-kernel train forward (ops/pallas_train_fused.py).
+
+        Same math as :meth:`forward_sweep` + the loss-facing reductions,
+        but the whole [N, S] chain lives in VMEM; only [N]-sized outputs
+        reach HBM. Grids must arrive PRE-CLIPPED to the sweep box (the
+        region-mode train step's contract); ``clip_offsets`` is the traced
+        permuted-order box start for the ray-coordinate shift. The ray
+        batch must be direction-uniform along ``axis`` (the engine's
+        segment builder guarantees this — ops/sweep.build_ray_segments_2d).
+
+        Returns dict(rgb_marched [N,3], alphainv_last [N], rgbper_sum [N]):
+        rgbper_sum is ``sum_s w_eff * ||rgb_s - target||^2`` per ray, i.e.
+        the inner term of the reference's per-point rgb loss
+        (run.py:380-384) with weights detached.
+        """
+        from ..ops import pallas_train_fused as ptf
+
+        k = sweep_ops.substeps_for_stepsize(stepsize)
+        density, k0 = params["density"], params["k0"]
+        perm = sweep_ops._PERMS[axis]
+        density_pm = jnp.transpose(density.astype(jnp.float32), perm)
+        mask_pm = jnp.transpose(mask.astype(jnp.float32), perm)
+        k0_pm = jnp.transpose(k0.astype(jnp.float32), (*perm, 3))
+
+        bbox_min = tuple(float(v) for v in self.xyz_min)
+        bbox_max = tuple(float(v) for v in self.xyz_max)
+        o_pv, d_pv = sweep_ops.rays_to_voxel(
+            rays_o, rays_d, bbox_min, bbox_max, tuple(self.world_size),
+            axis)
+        if clip_offsets is not None:
+            offs_f = clip_offsets.astype(jnp.float32)
+            o_pv = tuple(o - offs_f[i] for i, o in enumerate(o_pv))
+        dp = d_pv[0]
+        dp_safe = jnp.where(dp == 0, 1e-10, dp)
+        t_lo, t_hi = rm.ray_aabb_tminmax(
+            rays_o, rays_d, jnp.asarray(self.xyz_min),
+            jnp.asarray(self.xyz_max), near, far)
+        d_norm = jnp.sqrt(jnp.sum(rays_d * rays_d, axis=-1))
+        interval = d_norm / (k * jnp.maximum(jnp.abs(dp), 1e-10)) \
+            / self.voxel_size_base
+        n = rays_o.shape[0]
+        zeros = jnp.zeros((n,), jnp.float32)
+        rays16 = jnp.stack(
+            [o_pv[0], o_pv[1], o_pv[2], dp_safe, d_pv[1], d_pv[2],
+             t_lo, t_hi, interval,
+             target[:, 0], target[:, 1], target[:, 2],
+             zeros, zeros, zeros, zeros]).astype(jnp.float32)
+
+        fdim = self.k0_dim if self.rgbnet_direct else self.k0_dim - 3
+        layers = params["rgbnet"]["layers"]
+        w1, b1 = layers[0]["w"], layers[0]["b"]
+        vd_emb = mlp_lib.positional_encoding(viewdirs, self.viewbase_pe)
+        shared = jnp.dot(vd_emb, w1[fdim:],
+                         preferred_element_type=jnp.float32) + b1
+        sh1_t = shared.T.astype(jnp.float32)
+
+        cfg = ptf.FusedCfg(
+            k=int(k), f=int(fdim), width=int(self.rgbnet_width),
+            act_shift=float(self.act_shift),
+            thres=float(self.fast_color_thres), bg=float(bg),
+            direct=bool(self.rgbnet_direct), interpret=interpret)
+        rgb, ainv, rgbper = ptf.fused_chain(
+            cfg, density_pm, k0_pm, mask_pm, rays16, sh1_t,
+            params["rgbnet"])
+        return {"rgb_marched": rgb, "alphainv_last": ainv,
+                "rgbper_sum": rgbper}
+
     def __call__(self, rays_o, rays_d, viewdirs, global_step=None, **kw):
         """Eager convenience wrapper over :meth:`forward`."""
         return self.forward(self.params, self.mask,

@@ -1,0 +1,674 @@
+"""Fully fused station-sweep TRAIN step kernels (forward + backward).
+
+Round-3 profiling (tools/trace_chain_floor.py on the maskcache-filtered
+pool, class (163,96,96)) decomposed the 27-30 ms train step into: fused
+sweep forward 5.6 ms, XLA backward station scan 5.9 ms, ~3.4 ms full-grid
+Adam dynamic-update-slices, ~3 ms donate-avoidable copies, and **~12 ms of
+[N,S] "chain" soup** — raw2alpha, the bidirectional cumprod compositing,
+top-K compaction (sort + one-hot matmuls), MLP dispatch, loss terms, and
+their VJPs, each a separate [8192, 325]-sized XLA op with its own HBM
+round-trip. The chain is pure bandwidth/latency — none of it needs to touch
+HBM.
+
+This module fuses the whole per-ray pipeline into two Pallas kernels:
+
+* ``train_fwd_pallas`` (K1): per (station-block, ray-tile) grid step, the
+  station slab contraction (same transposed rays-on-lanes orientation as
+  ops/pallas_sweep_train.py), then — in registers — raw2alpha, the
+  live-gated transmittance recursion, ``fast_color_thres`` gating, and the
+  color MLP (activity-gated per station like ops/pallas_render.py), with
+  per-ray accumulators (T, rgb, rgbper) carried across station blocks in
+  VMEM scratch. Outputs are **[N]-sized**: rgb_marched, alphainv_last,
+  rgbper_sum — the only quantities the training loss reads — plus the raw
+  station values ``vals`` [S_pad, Cp, N] (saved for the backward: at wide
+  window classes the sweep matmul is MXU-bound, so re-reading 170 MB of
+  f32 values is ~15x cheaper than recomputing the contraction) and
+  per-station-block transmittance checkpoints ``t_chk`` [nsb, N] (the
+  backward recomputes T *within* a block from its checkpoint — robust
+  against saturated alphas, no 1/(1-a) chains across blocks).
+
+* ``train_bwd_pallas`` (K2): iterates station blocks in REVERSE march
+  order carrying the suffix accumulator ``R_k = sum_{j>k} dL/dw_j * w_j``
+  per ray (the closed-form compositing backward of
+  ops/raymarch.alpha2weight_dense_bidir, render_utils_kernel.cu:507-561
+  semantics), recomputes alpha/T/weights from ``vals`` + checkpoints
+  (bit-identical f32 ops to the forward), runs the MLP forward+backward on
+  activity-gated stations, and contracts per-station cotangents back to
+  slab space on the MXU ([Gu, NT] x [Cgv, NT]^T per station, accumulated
+  across ray tiles in the resident output block — the
+  ops/pallas_sweep_train.sweep_bwd_pallas pattern). MLP weight gradients
+  accumulate in constant-index output blocks (resident in VMEM for the
+  whole kernel).
+
+March direction: batches must be direction-uniform along the sweep axis
+(the engine's segment builder sorts by sign — see
+ops/sweep.build_ray_segments_2d). Rays keep their TRUE voxel coords; a
+descending batch just *visits* stations in reverse via the (p0, pstep)
+runtime scalars and slabs pre-flipped in XLA (one fused select pass), so
+one compiled kernel serves both directions.
+
+Loss semantics mirrored exactly (engine/train.py make_train_step):
+``mse = mean((rgb_marched - gt)^2)``, entropy on clipped alphainv_last,
+``rgbper = sum(w_eff_detached * ||rgb_s - gt||^2) / N_rand`` — all three
+flow through K1's three outputs only, so the custom_vjp boundary is
+complete. Reference parity: lib/dvgo.py:450-577 forward composition,
+render_utils_kernel.cu:354-561 alpha/weight kernels. One deliberate
+deviation: Mosaic has no ``expm1`` lowering, so alpha uses ``1-exp`` —
+at alpha ~ fast_color_thres=1e-4 the f32 error is ~1e-7 (0.1% relative),
+which can flip the threshold gate for a measure-zero sliver of samples;
+the XLA path (kept for parity tests) uses ``-expm1``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .raymarch import T_EPS, T_TERMINATE
+
+CP = 16        # padded channel count (two f32 sublane tiles; see
+               # pallas_sweep_train on why the fold needs this)
+S_BLK = 8      # stations per grid step
+NT = 512       # rays per grid step
+
+
+def _round_up(x, m):
+    return (int(x) + m - 1) // m * m
+
+
+class FusedCfg(NamedTuple):
+    """Static configuration of one fused-step program (hashable)."""
+    k: int                 # substeps per voxel along the sweep axis
+    f: int                 # k0 feature channels feeding the MLP
+    width: int             # MLP hidden width
+    act_shift: float
+    thres: float           # fast_color_thres (> 0 required)
+    bg: float
+    direct: bool           # rgbnet_direct: True = sigmoid(logit),
+    #                        False = sigmoid(logit + k0[:3])
+    s_blk: int = S_BLK
+    nt: int = NT
+    interpret: bool = False
+
+
+def _hat_rows(coord, iota):
+    """[NT] coords + [G, NT] f32 iota -> [G, NT] interp rows."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(coord[None, :] - iota))
+
+
+def _fold_v(prod, gv, cp, nt):
+    """Tree-fold the v dim of a [Gv*Cp, NT] product -> [Cp, NT]."""
+    prod = prod.reshape(gv, cp, nt)
+    m = gv
+    while m > 1:
+        lower = (m + 1) // 2
+        folded = prod[: m - lower] + prod[lower:m]
+        if lower > m - lower:
+            folded = jnp.concatenate([folded, prod[m - lower: lower]],
+                                     axis=0)
+        prod = folded
+        m = lower
+    return prod[0]
+
+
+def _mlp_fwd(vals_j, sh1, w1a_r, w2_r, b2_r, w3_r, b3_r, cfg):
+    """Rays-on-lanes MLP forward for one station: returns (rgb [3, NT],
+    h1, h2 bf16 [W, NT], logit [8, NT])."""
+    coff = 2 + (0 if cfg.direct else 3)
+    feat = vals_j[coff: coff + cfg.f].astype(jnp.bfloat16)
+    h1p = jax.lax.dot_general(
+        w1a_r[:], feat, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + sh1
+    h1 = jnp.maximum(h1p, 0.0).astype(jnp.bfloat16)
+    h2p = jax.lax.dot_general(
+        w2_r[:], h1, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_r[:]
+    h2 = jnp.maximum(h2p, 0.0).astype(jnp.bfloat16)
+    logit = jax.lax.dot_general(
+        w3_r[:], h2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b3_r[:]
+    if cfg.direct:
+        rgb = jax.nn.sigmoid(logit[0:3])
+    else:
+        rgb = jax.nn.sigmoid(logit[0:3] + vals_j[2:5])
+    return rgb, h1, h2, logit
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "gu", "gv"))
+def train_fwd_pallas(slabs_m, rays16, sh1_t, w1a, w2, b2t, w3p, b3t, scal,
+                     *, cfg: FusedCfg, gu, gv):
+    """K1. Args:
+      slabs_m: [S_pad, Gu, Gv*CP] bf16 station slabs in MARCH order
+        (pre-flipped for descending batches; channels: 0 density, 1 mask,
+        2.. k0, zero-padded to CP).
+      rays16: [16, N] f32 rows (op, ou, ov, dp_safe, du, dv, t_lo, t_hi,
+        interval, gt_r, gt_g, gt_b, 0...). Voxel coords are TRUE (unflipped).
+      sh1_t: [W, N] f32 hoisted view-path first-layer term (vd_emb@W1b+b1).
+      w1a: [F, W] bf16; w2: [W, W] bf16; b2t: [W, 1] f32;
+      w3p: [W, 8] bf16 (3 real cols); b3t: [8, 1] f32 (3 real rows).
+      scal: [1, 4] f32 (p0, pstep, 0, 0): station ms sits at sweep coord
+        p0 + pstep*ms.
+
+    Returns:
+      pack [8, N] f32 (rows: rgb*3, alphainv_last, rgbper_sum, 0...),
+      t_chk [nsb, N] f32 (T entering each march block),
+      vals [S_pad, CP, N] f32 (raw station values, march order).
+    """
+    s_pad, _, cgv = slabs_m.shape
+    n = rays16.shape[1]
+    s_blk, nt = cfg.s_blk, cfg.nt
+    assert s_pad % s_blk == 0 and n % nt == 0 and cgv == gv * CP
+    nsb, nnb = s_pad // s_blk, n // nt
+    width = cfg.width
+
+    def kernel(scal_ref, slab_ref, rp_ref, sh1_ref, w1a_r, w2_r, b2_r,
+               w3_r, b3_r, pack_ref, tchk_ref, vals_ref, acc_ref):
+        mb = pl.program_id(0)
+        nb = pl.program_id(1)
+        p0 = scal_ref[0, 0]
+        pstep = scal_ref[0, 1]
+
+        @pl.when(mb == 0)
+        def _():
+            acc_ref[nb] = jnp.zeros((8, nt), jnp.float32)
+            acc_ref[nb, 0] = jnp.ones((nt,), jnp.float32)
+
+        op, ou, ov = rp_ref[0], rp_ref[1], rp_ref[2]
+        dp, du, dv = rp_ref[3], rp_ref[4], rp_ref[5]
+        tlo, thi, interval = rp_ref[6], rp_ref[7], rp_ref[8]
+        gt = rp_ref[9:12]
+        sh1 = sh1_ref[:]
+
+        iota_u = jax.lax.broadcasted_iota(
+            jnp.int32, (gu, nt), 0).astype(jnp.float32)
+        iota_vw = (jax.lax.broadcasted_iota(jnp.int32, (cgv, nt), 0)
+                   // CP).astype(jnp.float32)
+
+        t_cum = acc_ref[nb, 0]
+        tchk_ref[0] = t_cum
+        for jm in range(s_blk):
+            ms = (mb * s_blk + jm).astype(jnp.float32)
+            p_s = p0 + pstep * ms
+            t = (p_s - op) / dp
+            u = ou + t * du
+            v = ov + t * dv
+            wu_t = _hat_rows(u, iota_u).astype(jnp.bfloat16)
+            wv_t = _hat_rows(v, iota_vw)
+            tmp = jax.lax.dot_general(
+                slab_ref[jm], wu_t,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            vals_j = _fold_v(tmp * wv_t, gv, CP, nt)
+            vals_ref[jm] = vals_j
+
+            dens = vals_j[0]
+            maskv = vals_j[1]
+            alpha_raw = 1.0 - jnp.exp(
+                -jax.nn.softplus(dens + cfg.act_shift) * interval)
+            valid = (t >= tlo) & (t <= thi) & (thi > tlo) & (maskv > 0.0)
+            a = jnp.where(valid & (alpha_raw > cfg.thres), alpha_raw, 0.0)
+            live = t_cum >= T_TERMINATE
+            w = jnp.where(live, t_cum * a, 0.0)
+            weff = jnp.where(w > cfg.thres, w, 0.0)
+
+            @pl.when(jnp.any(weff > 0.0))
+            def _(vals_j=vals_j, weff=weff):
+                rgb, _, _, _ = _mlp_fwd(vals_j, sh1, w1a_r, w2_r, b2_r,
+                                        w3_r, b3_r, cfg)
+                acc_ref[nb, 1:4] += weff[None, :] * rgb
+                acc_ref[nb, 4] += weff * jnp.sum((rgb - gt) ** 2, axis=0)
+
+            om = jnp.where(a > 0.0, 1.0 - a + T_EPS, 1.0)
+            t_cum = jnp.where(live, t_cum * om, t_cum)
+        acc_ref[nb, 0] = t_cum
+        pack_ref[0:3] = acc_ref[nb, 1:4] + t_cum[None, :] * cfg.bg
+        pack_ref[3] = t_cum
+        pack_ref[4] = acc_ref[nb, 4]
+        pack_ref[5:8] = jnp.zeros((3, nt), jnp.float32)
+
+    grid = (nsb, nnb)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda s, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((s_blk, gu, cgv), lambda s, b: (s, 0, 0)),
+            pl.BlockSpec((16, nt), lambda s, b: (0, b)),
+            pl.BlockSpec((width, nt), lambda s, b: (0, b)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, nt), lambda s, b: (0, b)),
+            pl.BlockSpec((1, nt), lambda s, b: (s, b)),
+            pl.BlockSpec((s_blk, CP, nt), lambda s, b: (s, 0, b)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, n), jnp.float32),
+            jax.ShapeDtypeStruct((nsb, n), jnp.float32),
+            jax.ShapeDtypeStruct((s_pad, CP, n), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((nnb, 8, nt), jnp.float32)],
+        interpret=cfg.interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(scal, slabs_m, rays16, sh1_t, w1a, w2, b2t, w3p, b3t)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "gu", "gv"))
+def train_bwd_pallas(vals, t_chk, rays16, cot, sh1_t, w1a, w2, b2t, w3p,
+                     b3t, scal, *, cfg: FusedCfg, gu, gv):
+    """K2. Args (beyond K1's): vals/t_chk from K1; cot [8, N] f32 rows
+    (g_rgb*3, g_ainv, g_rgbper, alphainv_last, 0, 0).
+
+    Returns:
+      d_st [S_pad, Gu, Gv*CP] f32 slab cotangents (march order),
+      d_sh1 [W, N] f32, d_w1a [F, W] f32, d_w2 [W, W] f32,
+      d_b2 [W, 8] f32 (col 0), d_w3 [W, 8] f32, d_b3 [8, 8] f32 (col 0).
+    """
+    s_pad = vals.shape[0]
+    n = rays16.shape[1]
+    s_blk, nt = cfg.s_blk, cfg.nt
+    cgv = gv * CP
+    nsb, nnb = s_pad // s_blk, n // nt
+    width, f = cfg.width, cfg.f
+    coff = 2 + (0 if cfg.direct else 3)
+
+    def kernel(scal_ref, vals_ref, tchk_ref, rp_ref, cot_ref, sh1_ref,
+               w1a_r, w2_r, b2_r, w3_r, b3_r,
+               dst_ref, dsh1_ref, dw1a_ref, dw2_ref, db2_ref, dw3_ref,
+               db3_ref, r_scr, st_scr, sh1_scr):
+        mbg = pl.program_id(0)
+        nb = pl.program_id(1)
+        mb = nsb - 1 - mbg          # true march block (reverse iteration)
+        p0 = scal_ref[0, 0]
+        pstep = scal_ref[0, 1]
+
+        @pl.when((mbg == 0) & (nb == 0))
+        def _():
+            dw1a_ref[:] = jnp.zeros_like(dw1a_ref)
+            dw2_ref[:] = jnp.zeros_like(dw2_ref)
+            db2_ref[:] = jnp.zeros_like(db2_ref)
+            dw3_ref[:] = jnp.zeros_like(dw3_ref)
+            db3_ref[:] = jnp.zeros_like(db3_ref)
+
+        @pl.when(mbg == 0)
+        def _():
+            r_scr[nb] = jnp.zeros((8, nt), jnp.float32)
+            sh1_scr[nb] = jnp.zeros((width, nt), jnp.float32)
+
+        @pl.when(nb == 0)
+        def _():
+            dst_ref[:] = jnp.zeros_like(dst_ref)
+
+        op, ou, ov = rp_ref[0], rp_ref[1], rp_ref[2]
+        dp, du, dv = rp_ref[3], rp_ref[4], rp_ref[5]
+        tlo, thi, interval = rp_ref[6], rp_ref[7], rp_ref[8]
+        gt = rp_ref[9:12]
+        g_rgb = cot_ref[0:3]
+        g_ainv = cot_ref[3]
+        g_rgbper = cot_ref[4]
+        ainv = cot_ref[5]
+        ga_ainv = g_ainv * ainv
+        sh1 = sh1_ref[:]
+
+        iota_u = jax.lax.broadcasted_iota(
+            jnp.int32, (gu, nt), 0).astype(jnp.float32)
+        iota_vw = (jax.lax.broadcasted_iota(jnp.int32, (cgv, nt), 0)
+                   // CP).astype(jnp.float32)
+
+        # ---- pass 1 (ascending in-block): recompute T/alpha/w, gated MLP
+        # forward + backward; stash A and the color-row cotangents.
+        t_cum = tchk_ref[0]
+        a_l, w_l, om_l, live_l, araw_l, dens_l, valid_l, t_l = \
+            [], [], [], [], [], [], [], []
+        for jm in range(s_blk):
+            ms = (mb * s_blk + jm).astype(jnp.float32)
+            p_s = p0 + pstep * ms
+            t = (p_s - op) / dp
+            vals_j = vals_ref[jm]
+            dens = vals_j[0]
+            maskv = vals_j[1]
+            alpha_raw = 1.0 - jnp.exp(
+                -jax.nn.softplus(dens + cfg.act_shift) * interval)
+            valid = (t >= tlo) & (t <= thi) & (thi > tlo) & (maskv > 0.0)
+            occ = valid & (alpha_raw > cfg.thres)
+            a = jnp.where(occ, alpha_raw, 0.0)
+            live = t_cum >= T_TERMINATE
+            w = jnp.where(live, t_cum * a, 0.0)
+            weff = jnp.where(w > cfg.thres, w, 0.0)
+            a_l.append(a)
+            w_l.append(w)
+            live_l.append(live)
+            araw_l.append(alpha_raw)
+            dens_l.append(dens)
+            valid_l.append(occ)
+            t_l.append(t_cum)
+            om = jnp.where(a > 0.0, 1.0 - a + T_EPS, 1.0)
+            om_l.append(om)
+
+            st_scr[jm] = jnp.zeros((CP, nt), jnp.float32)
+
+            @pl.when(jnp.any(weff > 0.0))
+            def _(vals_j=vals_j, weff=weff, jm=jm):
+                rgb, h1, h2, logit = _mlp_fwd(
+                    vals_j, sh1, w1a_r, w2_r, b2_r, w3_r, b3_r, cfg)
+                # A_j = dL/dw_eff = sum_c rgb_c * g_rgb_c
+                st_scr[jm, 15] = jnp.sum(rgb * g_rgb, axis=0)
+                d_rgb = weff[None, :] * (
+                    g_rgb + g_rgbper[None, :] * 2.0 * (rgb - gt))
+                d_logit3 = d_rgb * rgb * (1.0 - rgb)          # [3, NT]
+                d_logit = jnp.concatenate(
+                    [d_logit3, jnp.zeros((5, nt), jnp.float32)], axis=0)
+                if not cfg.direct:
+                    st_scr[jm, 2:5] = d_logit3
+                # MLP backward (rays on lanes): d_h2 = W3 d_logit, etc.
+                dw3_ref[:] += jax.lax.dot_general(
+                    h2, d_logit.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                db3_ref[:, 0:1] += jnp.sum(d_logit, axis=1, keepdims=True)
+                d_h2 = jax.lax.dot_general(
+                    w3_r[:], d_logit.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                d_h2 = jnp.where(h2.astype(jnp.float32) > 0.0, d_h2, 0.0)
+                d_h2b = d_h2.astype(jnp.bfloat16)
+                dw2_ref[:] += jax.lax.dot_general(
+                    h1, d_h2b,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                db2_ref[:, 0:1] += jnp.sum(d_h2, axis=1, keepdims=True)
+                d_h1 = jax.lax.dot_general(
+                    w2_r[:], d_h2b,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                d_h1 = jnp.where(h1.astype(jnp.float32) > 0.0, d_h1, 0.0)
+                d_h1b = d_h1.astype(jnp.bfloat16)
+                sh1_scr[nb] += d_h1
+                feat = vals_j[coff: coff + f].astype(jnp.bfloat16)
+                dw1a_ref[:] += jax.lax.dot_general(
+                    feat, d_h1b,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                st_scr[jm, coff: coff + f] += jax.lax.dot_general(
+                    w1a_r[:], d_h1b,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            t_cum = jnp.where(live, t_cum * om, t_cum)
+
+        # ---- pass 2 (descending in-block): suffix R, d_alpha -> d_dens,
+        # per-station slab cotangent contraction.
+        r_suf = r_scr[nb, 0]
+        for jm in range(s_blk - 1, -1, -1):
+            g_sc = st_scr[jm]
+            d_w = jnp.where(w_l[jm] > cfg.thres, g_sc[15], 0.0)
+            keep = valid_l[jm] & live_l[jm]
+            a_term = jnp.where(live_l[jm], ga_ainv, 0.0)
+            inv_om = jnp.where(
+                valid_l[jm], 1.0 / jnp.maximum(om_l[jm], T_EPS), 0.0)
+            d_alpha = jnp.where(keep, d_w * t_l[jm], 0.0) \
+                - (r_suf + a_term) * inv_om
+            d_dens = d_alpha * interval \
+                * jax.nn.sigmoid(dens_l[jm] + cfg.act_shift) \
+                * (1.0 - araw_l[jm])
+            r_suf = r_suf + d_w * w_l[jm]
+
+            ms = (mb * s_blk + jm).astype(jnp.float32)
+            p_s = p0 + pstep * ms
+            t = (p_s - op) / dp
+            u = ou + t * du
+            v = ov + t * dv
+            wu_t = _hat_rows(u, iota_u).astype(jnp.bfloat16)
+            wv_t = _hat_rows(v, iota_vw)
+            g_st = jnp.concatenate(
+                [d_dens[None, :], jnp.zeros((1, nt), jnp.float32),
+                 g_sc[2:14], jnp.zeros((2, nt), jnp.float32)], axis=0)
+            g_tiled = jnp.concatenate([g_st] * gv, axis=0)   # [Cgv, NT]
+            rhs = (wv_t * g_tiled).astype(jnp.bfloat16)
+            pm = jax.lax.dot_general(
+                wu_t, rhs,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [Gu, Cgv]
+            dst_ref[jm] += pm
+        r_scr[nb, 0] = r_suf
+        dsh1_ref[:] = sh1_scr[nb]
+
+    grid = (nsb, nnb)
+    rmb = nsb - 1
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda s, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((s_blk, CP, nt), lambda s, b: (rmb - s, 0, b)),
+            pl.BlockSpec((1, nt), lambda s, b: (rmb - s, b)),
+            pl.BlockSpec((16, nt), lambda s, b: (0, b)),
+            pl.BlockSpec((8, nt), lambda s, b: (0, b)),
+            pl.BlockSpec((width, nt), lambda s, b: (0, b)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((s_blk, gu, cgv), lambda s, b: (rmb - s, 0, 0)),
+            pl.BlockSpec((width, nt), lambda s, b: (0, b)),
+            pl.BlockSpec((f, width), lambda s, b: (0, 0)),
+            pl.BlockSpec((width, width), lambda s, b: (0, 0)),
+            pl.BlockSpec((width, 8), lambda s, b: (0, 0)),
+            pl.BlockSpec((width, 8), lambda s, b: (0, 0)),
+            pl.BlockSpec((8, 8), lambda s, b: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s_pad, gu, cgv), jnp.float32),
+            jax.ShapeDtypeStruct((width, n), jnp.float32),
+            jax.ShapeDtypeStruct((f, width), jnp.float32),
+            jax.ShapeDtypeStruct((width, width), jnp.float32),
+            jax.ShapeDtypeStruct((width, 8), jnp.float32),
+            jax.ShapeDtypeStruct((width, 8), jnp.float32),
+            jax.ShapeDtypeStruct((8, 8), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nnb, 8, nt), jnp.float32),
+            pltpu.VMEM((s_blk, CP, nt), jnp.float32),
+            pltpu.VMEM((nnb, width, nt), jnp.float32),
+        ],
+        interpret=cfg.interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(scal, vals, t_chk, rays16, cot, sh1_t, w1a, w2, b2t, w3p, b3t)
+    return out
+
+# ---------------------------------------------------------------------------
+# XLA glue: slab build/flip, its manual transpose, and the custom_vjp
+# wrapper the model calls.
+# ---------------------------------------------------------------------------
+
+
+def _station_slabs_transpose(d_st, gp, k):
+    """Transpose of ops/sweep._station_slabs: [S, ...] station cotangents
+    -> [Gp, ...] z-slab cotangents (S = k*(Gp-1)+1)."""
+    if k == 1:
+        return d_st
+    d_inner = d_st[:-1].reshape(gp - 1, k, *d_st.shape[1:])
+    fr = jnp.arange(k, dtype=jnp.float32) / k
+    shape1 = (1, k) + (1,) * (d_st.ndim - 1)
+    lo = jnp.sum(d_inner * (1.0 - fr).reshape(shape1), axis=1)
+    hi = jnp.sum(d_inner * fr.reshape(shape1), axis=1)
+    d_g = jnp.concatenate([lo, jnp.zeros_like(lo[:1])], axis=0)
+    d_g = d_g.at[1:].add(hi)
+    return d_g.at[-1].add(d_st[-1])
+
+
+def _build_slabs(density_pm, k0_pm, mask_pm, k, s_blk):
+    """Channel-stack -> bf16 -> station slabs [S_pad, Gu, Gv*CP]."""
+    from . import sweep as sweep_ops
+    gp, gu, gv = density_pm.shape
+    fdim = k0_pm.shape[-1]
+    parts = [density_pm[..., None], mask_pm[..., None], k0_pm]
+    grid4 = jnp.concatenate(
+        [p.astype(jnp.bfloat16) for p in parts], axis=-1)
+    grid4 = jnp.pad(grid4, ((0, 0),) * 3 + ((0, CP - 2 - fdim),))
+    grid_pm = grid4.reshape(gp, gu, gv * CP)
+    slabs = sweep_ops._station_slabs(grid_pm, k)
+    s = slabs.shape[0]
+    s_pad = _round_up(s, s_blk)
+    if s_pad > s:
+        slabs = jnp.concatenate(
+            [slabs, jnp.zeros((s_pad - s, gu, gv * CP), slabs.dtype)])
+    return slabs, s, s_pad
+
+
+def _mlp_operands(rgbnet, fdim, width):
+    """Split layer-0 into (station-feature, view) parts and pad layer 2,
+    mirroring models/mlp.mlp_apply_split_cl."""
+    layers = rgbnet["layers"]
+    w1 = layers[0]["w"]
+    w1a = w1[:fdim].astype(jnp.bfloat16)                 # [F, W]
+    w2 = layers[1]["w"].astype(jnp.bfloat16)             # [W, W]
+    b2t = layers[1]["b"].astype(jnp.float32).reshape(width, 1)
+    w3 = layers[2]["w"]                                  # [W, 3]
+    w3p = jnp.pad(w3, ((0, 0), (0, 8 - w3.shape[1]))).astype(jnp.bfloat16)
+    b3 = layers[2]["b"].astype(jnp.float32)
+    b3t = jnp.pad(b3, (0, 8 - b3.shape[0])).reshape(8, 1)
+    return w1a, w2, b2t, w3p, b3t
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_chain(cfg, density_pm, k0_pm, mask_pm, rays16, sh1_t, rgbnet):
+    """Fused train forward: sweep + compositing + MLP in two Pallas calls.
+
+    Args:
+      cfg: FusedCfg (static).
+      density_pm, k0_pm, mask_pm: f32 grids ALREADY permuted to sweep
+        order [Gp, Gu, Gv(, F)] (and already clip-sliced in region mode).
+      rays16: [16, N] f32 packed rays (see train_fwd_pallas); every ray
+        must share the sign of dp (direction-uniform batch).
+      sh1_t: [W, N] f32 hoisted view-path term (vd_emb @ W1b + b1).T.
+      rgbnet: the model's rgbnet param pytree (layers 0..2).
+
+    Returns (rgb_marched [N, 3], alphainv_last [N], rgbper_sum [N]).
+    """
+    out, _ = _fused_chain_fwd(cfg, density_pm, k0_pm, mask_pm, rays16,
+                              sh1_t, rgbnet)
+    return out
+
+
+def _fused_chain_fwd(cfg, density_pm, k0_pm, mask_pm, rays16, sh1_t,
+                     rgbnet):
+    gp, gu, gv = density_pm.shape
+    k0_dim = k0_pm.shape[-1]
+    slabs, s_real, s_pad = _build_slabs(density_pm, k0_pm, mask_pm,
+                                        cfg.k, cfg.s_blk)
+    desc = rays16[3, 0] < 0
+    slabs_m = jnp.where(desc, slabs[::-1], slabs)
+    inv_k = 1.0 / cfg.k
+    p0 = jnp.where(desc, (s_pad - 1) * inv_k, 0.0)
+    pstep = jnp.where(desc, -inv_k, inv_k)
+    scal = jnp.stack([p0, pstep, jnp.float32(0), jnp.float32(0)]
+                     ).reshape(1, 4).astype(jnp.float32)
+    w1a, w2, b2t, w3p, b3t = _mlp_operands(rgbnet, cfg.f, cfg.width)
+    pack, t_chk, vals = train_fwd_pallas(
+        slabs_m, rays16, sh1_t, w1a, w2, b2t, w3p, b3t, scal,
+        cfg=cfg, gu=gu, gv=gv)
+    rgb = pack[0:3].T
+    ainv = pack[3]
+    rgbper = pack[4]
+    res = (vals, t_chk, rays16, sh1_t, rgbnet, ainv, scal, desc,
+           gp, gu, gv, k0_dim, s_real)
+    return (rgb, ainv, rgbper), res
+
+
+def _fused_chain_bwd(cfg, res, cts):
+    (vals, t_chk, rays16, sh1_t, rgbnet, ainv, scal, desc,
+     gp, gu, gv, k0_dim, s_real) = res
+    g_rgb, g_ainv, g_rgbper = cts
+    n = rays16.shape[1]
+    # rgb_marched = sum_s w_s rgb_s + alphainv_last * bg: the rgb cotangent
+    # also reaches alphainv through the background term.
+    g_ainv = g_ainv + cfg.bg * jnp.sum(g_rgb, axis=-1)
+    cot = jnp.concatenate(
+        [g_rgb.T.astype(jnp.float32),
+         g_ainv[None].astype(jnp.float32),
+         g_rgbper[None].astype(jnp.float32),
+         ainv[None], jnp.zeros((2, n), jnp.float32)], axis=0)
+    w1a, w2, b2t, w3p, b3t = _mlp_operands(rgbnet, cfg.f, cfg.width)
+    d_st_m, d_sh1, d_w1a, d_w2, d_b2, d_w3, d_b3 = train_bwd_pallas(
+        vals, t_chk, rays16, cot, sh1_t, w1a, w2, b2t, w3p, b3t, scal,
+        cfg=cfg, gu=gu, gv=gv)
+    # Un-flip (march -> slab order), drop station padding, fold back to
+    # z-slabs, then split channels.
+    d_st = jnp.where(desc, d_st_m[::-1], d_st_m)
+    # The un-flip restores padded-slab order, whose zero padding sits at
+    # the END for both directions (desc marched through it first).
+    d_st = d_st[:s_real]
+    d_gpm = _station_slabs_transpose(d_st, gp, cfg.k)     # [Gp, Gu, Gv*CP]
+    d_g4 = d_gpm.reshape(gp, gu, gv, CP)
+    d_density = d_g4[..., 0]
+    d_k0 = d_g4[..., 2:2 + k0_dim]
+    d_rgbnet = _assemble_rgbnet_grads(rgbnet, d_w1a, d_w2, d_b2, d_w3,
+                                      d_b3, cfg.f)
+    return (d_density, d_k0, jnp.zeros_like(d_g4[..., 1]),
+            jnp.zeros_like(rays16), d_sh1, d_rgbnet)
+
+
+def _assemble_rgbnet_grads(rgbnet, d_w1a, d_w2, d_b2, d_w3, d_b3, fdim):
+    """Zero-filled rgbnet cotangent pytree with the kernel accumulators in
+    place. The view-path parts of layer 0 (w1[fdim:], b1) arrive via the
+    d_sh1 cotangent instead (shared1 is computed outside)."""
+    layers = rgbnet["layers"]
+    w1 = layers[0]["w"]
+    d_w1 = jnp.zeros_like(w1).at[:fdim].set(d_w1a.astype(w1.dtype))
+    out_layers = [
+        {"w": d_w1, "b": jnp.zeros_like(layers[0]["b"])},
+        {"w": d_w2.astype(layers[1]["w"].dtype),
+         "b": d_b2[:, 0].astype(layers[1]["b"].dtype)},
+        {"w": d_w3[:, :layers[2]["w"].shape[1]].astype(
+            layers[2]["w"].dtype),
+         "b": d_b3[:layers[2]["b"].shape[0], 0].astype(
+             layers[2]["b"].dtype)},
+    ]
+    return {"layers": out_layers}
+
+
+fused_chain.defvjp(_fused_chain_fwd, _fused_chain_bwd)
+
+
+def fused_available(n, gu, gv, fdim, width, thres, depth,
+                    s_blk=S_BLK, nt=NT):
+    """Gate for the fused train step: shape tiling, a 3-layer split MLP,
+    a positive fast_color_thres (the gating semantics depend on it), and a
+    VMEM budget check for both kernels at this (gu, gv)."""
+    import os
+    if os.environ.get("DVGO_FUSED_TRAIN", "1") == "0":
+        return False
+    if depth != 3 or width < 8 or fdim < 1 or fdim > CP - 2:
+        return False
+    if thres <= 0 or n % nt or gu < 2 or gv < 2:
+        return False
+    cgv = gv * CP
+    # K2 dominates: resident d_st block + vals blocks + [Cgv, NT] temps.
+    vmem_est = (s_blk * gu * cgv * 4          # d_st out block
+                + 2 * s_blk * CP * nt * 4     # vals blocks (dbuf)
+                + 6 * cgv * nt * 4            # iota/wv/tiled/rhs temps
+                + 2 * s_blk * gu * cgv * 2    # K1 slab blocks (dbuf)
+                + (16 + 8 + CP * s_blk + 2 * width) * nt * 4)
+    return vmem_est <= 96 * 2 ** 20

@@ -1,0 +1,188 @@
+"""Fused train-step kernels (ops/pallas_train_fused.py) vs the XLA chain.
+
+The fused path must reproduce the shipping XLA composition — forward_sweep
++ the train losses of engine/train.make_train_step — in both values and
+gradients (density, k0, rgbnet), for ascending and descending batches and
+for clipped (region-mode) grids. Run in Pallas interpret mode so the CPU
+test mesh exercises the exact kernel code paths.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from directvoxgo_tpu.models.dvgo import DirectVoxGO
+from directvoxgo_tpu.ops import pallas_train_fused as ptf
+
+W_MAIN, W_ENT, W_RGBPER = 1.0, 1e-3, 1e-2
+
+
+def _make_model(direct, seed=0):
+    model = DirectVoxGO(
+        xyz_min=(-1.0, -0.8, -1.2), xyz_max=(1.0, 0.9, 1.1),
+        num_voxels=24 * 20 * 28, num_voxels_base=24 * 20 * 28,
+        alpha_init=1e-2, fast_color_thres=1e-4,
+        rgbnet_dim=9 if direct else 12, rgbnet_direct=direct,
+        rgbnet_depth=3, rgbnet_width=32, viewbase_pe=4,
+        k_density=None, k_color=0, sweep_color_topk=0, seed=7)
+    rng = np.random.default_rng(seed)
+    model.params["density"] = jnp.asarray(
+        rng.normal(scale=3.0, size=model.world_size).astype(np.float32))
+    model.params["k0"] = jnp.asarray(rng.normal(
+        size=(*model.world_size, model.k0_dim)).astype(np.float32))
+    model.mask = jnp.asarray(rng.uniform(size=model.world_size) < 0.8)
+    return model
+
+
+def _rays(model, n, axis, sign, seed=1):
+    rng = np.random.default_rng(seed)
+    ctr = (np.asarray(model.xyz_min) + np.asarray(model.xyz_max)) / 2
+    rad = float(np.linalg.norm(np.asarray(model.xyz_max) - ctr)) * 2.2
+    theta = rng.uniform(0, 2 * np.pi, n)
+    phi = rng.uniform(-0.7, 0.7, n)
+    ro = ctr + rad * np.stack([np.cos(theta) * np.cos(phi),
+                               np.sin(theta) * np.cos(phi),
+                               np.sin(phi)], -1)
+    rd = ctr + rng.normal(scale=0.35, size=(n, 3)) - ro
+    rd[:, axis] = sign * (np.abs(rd).max(1) * 1.5 + 0.1)
+    # rays must march INTO the box from origins beyond it on the sweep side
+    ro[:, axis] = ctr[axis] - sign * rad
+    vd = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
+    gt = rng.uniform(size=(n, 3)).astype(np.float32)
+    return (jnp.asarray(ro.astype(np.float32)),
+            jnp.asarray(rd.astype(np.float32)),
+            jnp.asarray(vd.astype(np.float32)), jnp.asarray(gt))
+
+
+def _loss_xla(model, trainable, mask, ro, rd, vd, gt, axis, rk,
+              clip_sizes=None, clip_offsets=None, pre_clipped=False):
+    ret = model.forward_sweep(
+        {**model.params, **trainable}, mask, ro, rd, vd, axis,
+        clip_sizes=clip_sizes, clip_offsets=clip_offsets,
+        grids_pre_clipped=pre_clipped, **rk)
+    n = ro.shape[0]
+    mse = jnp.mean((ret["rgb_marched"] - gt) ** 2)
+    pout = jnp.clip(ret["alphainv_last"], 1e-6, 1 - 1e-6)
+    ent = -jnp.mean(pout * jnp.log(pout) + (1 - pout) * jnp.log(1 - pout))
+    rgbper = jnp.sum((ret["raw_rgb_cl"] - gt.T[:, :, None]) ** 2, axis=0)
+    rl = jnp.sum(rgbper * jax.lax.stop_gradient(ret["weights"])) / n
+    return W_MAIN * mse + W_ENT * ent + W_RGBPER * rl, ret
+
+
+def _loss_fused(model, trainable, mask, ro, rd, vd, gt, axis, rk,
+                clip_offsets=None):
+    ret = model.forward_sweep_fused(
+        {**model.params, **trainable}, mask, ro, rd, vd, axis, gt,
+        clip_offsets=clip_offsets, interpret=True, **rk)
+    n = ro.shape[0]
+    mse = jnp.mean((ret["rgb_marched"] - gt) ** 2)
+    pout = jnp.clip(ret["alphainv_last"], 1e-6, 1 - 1e-6)
+    ent = -jnp.mean(pout * jnp.log(pout) + (1 - pout) * jnp.log(1 - pout))
+    rl = jnp.sum(ret["rgbper_sum"]) / n
+    return W_MAIN * mse + W_ENT * ent + W_RGBPER * rl, ret
+
+
+def _assert_close(a, b, rtol, name, floor=0.0):
+    a, b = np.asarray(a), np.asarray(b)
+    scale = max(np.abs(b).max(), 1e-6)
+    np.testing.assert_allclose(a, b, atol=max(rtol * scale, floor),
+                               rtol=0, err_msg=name)
+
+
+@pytest.mark.parametrize("direct", [True, False])
+@pytest.mark.parametrize("axis,sign", [(0, 1.0), (0, -1.0), (1, 1.0)])
+def test_fused_matches_xla_chain(direct, axis, sign):
+    model = _make_model(direct)
+    n = 512
+    ro, rd, vd, gt = _rays(model, n, axis, sign)
+    rk = dict(near=0.2, far=9.0, bg=1.0, stepsize=0.5)
+    trainable = {"density": model.params["density"],
+                 "k0": model.params["k0"],
+                 "rgbnet": model.params["rgbnet"]}
+
+    (lx, retx), gx = jax.value_and_grad(
+        lambda tr: _loss_xla(model, tr, model.mask, ro, rd, vd, gt,
+                             axis, rk), has_aux=True)(trainable)
+    (lf, retf), gf = jax.value_and_grad(
+        lambda tr: _loss_fused(model, tr, model.mask, ro, rd, vd, gt,
+                               axis, rk), has_aux=True)(trainable)
+
+    _assert_close(retf["rgb_marched"], retx["rgb_marched"], 2e-3, "rgb")
+    _assert_close(retf["alphainv_last"], retx["alphainv_last"], 2e-3,
+                  "alphainv")
+    _assert_close(lf, lx, 2e-3, "loss")
+    _assert_close(gf["density"], gx["density"], 5e-3, "d_density")
+    # MLP-path gradients: the XLA path accumulates hidden activations in
+    # bf16 (mlp_apply_split_cl acc=compute_dtype) while the kernel keeps
+    # f32 accumulators, so fused-vs-XLA differences are dominated by the
+    # XLA path's own quantization. The principled assertion: against an
+    # f32 reference the fused path must be at least as accurate as the
+    # XLA bf16 path (measured ~5x closer: k0 1.3e-4 vs 6.8e-4).
+    model.sweep_dtype = jnp.float32
+    model.mlp_dtype = None
+    try:
+        (_, _), g0 = jax.value_and_grad(
+            lambda tr: _loss_xla(model, tr, model.mask, ro, rd, vd, gt,
+                                 axis, rk), has_aux=True)(trainable)
+    finally:
+        model.sweep_dtype = jnp.bfloat16
+        model.mlp_dtype = jnp.bfloat16
+
+    def err(g, ref):
+        return float(jnp.max(jnp.abs(g - ref)))
+
+    floor = 1e-6
+
+    def leaves(tree):
+        return jax.tree_util.tree_leaves_with_path(tree)
+
+    for (pth, lf_), (_, lx_), (_, l0_) in zip(
+            leaves({"k0": gf["k0"], "rgbnet": gf["rgbnet"]}),
+            leaves({"k0": gx["k0"], "rgbnet": gx["rgbnet"]}),
+            leaves({"k0": g0["k0"], "rgbnet": g0["rgbnet"]})):
+        ef, ex = err(lf_, l0_), err(lx_, l0_)
+        assert ef <= max(1.5 * ex, floor, 1e-3 * float(
+            jnp.max(jnp.abs(l0_)))), \
+            f"{jax.tree_util.keystr(pth)}: fused err {ef} vs xla err {ex}"
+
+
+def test_fused_matches_xla_chain_clipped():
+    """Region-mode contract: pre-sliced box grids + traced clip offsets."""
+    model = _make_model(True)
+    axis = 0
+    n = 512
+    ro, rd, vd, gt = _rays(model, n, axis, 1.0, seed=3)
+    rk = dict(near=0.2, far=9.0, bg=1.0, stepsize=0.5)
+    perm = (0, 1, 2)
+    sizes = (16, 16, 24)           # permuted == xyz for axis 0
+    offs = jnp.asarray([4, 2, 3], jnp.int32)
+
+    def box(tr):
+        d = jax.lax.dynamic_slice(tr["density"], (offs[0], offs[1],
+                                                  offs[2]), sizes)
+        k0 = jax.lax.dynamic_slice(
+            tr["k0"], (offs[0], offs[1], offs[2], jnp.int32(0)),
+            (*sizes, model.k0_dim))
+        return {"density": d, "k0": k0, "rgbnet": tr["rgbnet"]}
+
+    mask_box = jax.lax.dynamic_slice(model.mask, tuple(offs), sizes)
+    trainable = {"density": model.params["density"],
+                 "k0": model.params["k0"],
+                 "rgbnet": model.params["rgbnet"]}
+
+    (lx, _), gx = jax.value_and_grad(
+        lambda tr: _loss_xla(model, box(tr), mask_box, ro, rd, vd, gt,
+                             axis, rk, clip_sizes=sizes,
+                             clip_offsets=offs, pre_clipped=True),
+        has_aux=True)(trainable)
+    (lf, _), gf = jax.value_and_grad(
+        lambda tr: _loss_fused(model, box(tr), mask_box, ro, rd, vd, gt,
+                               axis, rk, clip_offsets=offs),
+        has_aux=True)(trainable)
+
+    _assert_close(lf, lx, 2e-3, "loss")
+    _assert_close(gf["density"], gx["density"], 5e-3, "d_density")
+    # the small box sees little color signal here — k0 grads are at the
+    # 1e-6 scale where bf16 path differences dominate; absolute floor.
+    _assert_close(gf["k0"], gx["k0"], 5e-3, "d_k0", floor=2e-6)

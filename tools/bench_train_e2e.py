@@ -41,11 +41,28 @@ def main():
     data = load_data(cfg.data)
     i_train = data["i_train"]
     images = np.asarray(data["images"], np.float32)[i_train]
-    rgb, ro, rd, vd, _ = ray_lib.get_training_rays_flatten(
-        rgb_tr_ori=images, train_poses=data["poses"][i_train],
-        HW=data["HW"][i_train], Ks=data["Ks"][i_train], ndc=False,
-        inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
-        flip_y=cfg.data.flip_y)
+    pool_kind = os.environ.get("DVGO_BENCH_POOL", "flatten")
+    if pool_kind == "filtered":
+        # The engine fine stage's ACTUAL pool (ray_sampler='in_maskcache',
+        # engine/train.py gather_training_rays): only rays hitting the
+        # coarse geometry. Its draw-class mix is what a run.py fine loop
+        # realizes — ~60% wide classes in round 3 vs the flatten pool's
+        # (32,32)-heavy mix (PERF_LOG).
+        rk = dict(near=float(data["near"]), far=float(data["far"]),
+                  stepsize=cfg.fine_model_and_render.stepsize)
+        rgb, ro, rd, vd, _ = \
+            ray_lib.get_training_rays_in_maskcache_sampling(
+                rgb_tr_ori=images, train_poses=data["poses"][i_train],
+                HW=data["HW"][i_train], Ks=data["Ks"][i_train], ndc=False,
+                inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
+                flip_y=cfg.data.flip_y, model=model, render_kwargs=rk)
+    else:
+        rgb, ro, rd, vd, _ = ray_lib.get_training_rays_flatten(
+            rgb_tr_ori=images, train_poses=data["poses"][i_train],
+            HW=data["HW"][i_train], Ks=data["Ks"][i_train], ndc=False,
+            inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
+            flip_y=cfg.data.flip_y)
+    bench_mod.log(f"e2e pool {pool_kind}: {len(np.asarray(ro))} rays")
     pool = (np.asarray(ro), np.asarray(rd), np.asarray(vd),
             np.asarray(rgb))
     bench_mod._make_training_pool = lambda *a, **k: pool

@@ -37,11 +37,21 @@ def main():
     data = load_data(cfg.data)
     i_train = data["i_train"]
     images = np.asarray(data["images"], np.float32)[i_train]
-    rgb, ro, rd, vd, _ = ray_lib.get_training_rays_flatten(
-        rgb_tr_ori=images, train_poses=data["poses"][i_train],
-        HW=data["HW"][i_train], Ks=data["Ks"][i_train], ndc=False,
-        inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
-        flip_y=cfg.data.flip_y)
+    if os.environ.get("DVGO_TRACE_POOL", "flatten") == "filtered":
+        rk0 = dict(near=float(data["near"]), far=float(data["far"]),
+                   stepsize=cfg.fine_model_and_render.stepsize)
+        rgb, ro, rd, vd, _ = \
+            ray_lib.get_training_rays_in_maskcache_sampling(
+                rgb_tr_ori=images, train_poses=data["poses"][i_train],
+                HW=data["HW"][i_train], Ks=data["Ks"][i_train], ndc=False,
+                inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
+                flip_y=cfg.data.flip_y, model=model, render_kwargs=rk0)
+    else:
+        rgb, ro, rd, vd, _ = ray_lib.get_training_rays_flatten(
+            rgb_tr_ori=images, train_poses=data["poses"][i_train],
+            HW=data["HW"][i_train], Ks=data["Ks"][i_train], ndc=False,
+            inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
+            flip_y=cfg.data.flip_y)
     ro, rd, vd, rgb = map(np.asarray, (ro, rd, vd, rgb))
     groups = sweep_ops.dominant_axis(rd, model.xyz_min, model.xyz_max,
                                      model.world_size)
@@ -59,9 +69,13 @@ def main():
         ro[g], rd[g], model.xyz_min, model.xyz_max, model.world_size, axis,
         n_rand=n_rand, widths=(32, 48, 64, 96), max_classes=6,
         clip_box=(bpo, bpo + bp - 1, buo, buo + bu - 1, bvo, bvo + bv - 1))
-    key = min((k for k in bk if k != (0, 0) and k[0] and k[1]
-               and bk[k][0].shape[0] > 0),
-              key=lambda k: k[0] * k[1])
+    pick = os.environ.get("DVGO_TRACE_CLASS", "narrow")
+    cand = [k for k in bk if k != (0, 0) and k[0] and k[1]
+            and bk[k][0].shape[0] > 0]
+    if pick == "narrow":
+        key = min(cand, key=lambda k: k[0] * k[1])
+    else:  # widest bounded class (e.g. the 96x96 workhorse)
+        key = max(cand, key=lambda k: k[0] * k[1])
     idx, ulo, vlo = bk[key]
     eu = key[0] if 0 < key[0] < bu else bu
     ev = key[1] if 0 < key[1] < bv else bv
