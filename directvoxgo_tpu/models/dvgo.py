@@ -938,7 +938,8 @@ class DirectVoxGO:
 
     def forward_sweep_fused(self, params, mask, rays_o, rays_d, viewdirs,
                             axis, target, *, near, far, bg, stepsize,
-                            clip_offsets=None, interpret=False, **_):
+                            clip_offsets=None, window=None,
+                            interpret=False, **_):
         """Fused-kernel train forward (ops/pallas_train_fused.py).
 
         Same math as :meth:`forward_sweep` + the loss-facing reductions,
@@ -948,6 +949,13 @@ class DirectVoxGO:
         permuted-order box start for the ray-coordinate shift. The ray
         batch must be direction-uniform along ``axis`` (the engine's
         segment builder guarantees this — ops/sweep.build_ray_segments_2d).
+
+        ``window=(wu, wv)`` (static ints, wu % 16 == wv % 8 == 0) enables
+        per-ray-TILE windowed slab reads inside the kernels: each 512-ray
+        tile touches only its own (wu, wv) in-plane sub-window, computed
+        here from the tile's ray-endpoint extents (exact whenever every
+        tile's footprint fits the class — the engine dispatches segments
+        to the smallest fitting class).
 
         Returns dict(rgb_marched [N,3], alphainv_last [N], rgbper_sum [N]):
         rgbper_sum is ``sum_s w_eff * ||rgb_s - target||^2`` per ray, i.e.
@@ -995,14 +1003,24 @@ class DirectVoxGO:
                          preferred_element_type=jnp.float32) + b1
         sh1_t = shared.T.astype(jnp.float32)
 
+        wu, wv = (int(window[0]), int(window[1])) if window else (0, 0)
         cfg = ptf.FusedCfg(
             k=int(k), f=int(fdim), width=int(self.rgbnet_width),
             act_shift=float(self.act_shift),
             thres=float(self.fast_color_thres), bg=float(bg),
-            direct=bool(self.rgbnet_direct), interpret=interpret)
+            direct=bool(self.rgbnet_direct), wu=wu, wv=wv,
+            interpret=interpret)
+        gu, gv = density_pm.shape[1], density_pm.shape[2]
+        if window:
+            gu_p = (gu + 15) // 16 * 16
+            gv_p = (gv + 7) // 8 * 8
+            uvb8, _ = ptf.tile_uv_bases(rays16, gu_p, gv_p, wu, wv,
+                                        cfg.nt)
+        else:
+            uvb8 = jnp.zeros((n // cfg.nt, 2), jnp.int32)
         rgb, ainv, rgbper = ptf.fused_chain(
             cfg, density_pm, k0_pm, mask_pm, rays16, sh1_t,
-            params["rgbnet"])
+            params["rgbnet"], uvb8)
         return {"rgb_marched": rgb, "alphainv_last": ainv,
                 "rgbper_sum": rgbper}
 

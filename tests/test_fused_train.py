@@ -71,10 +71,10 @@ def _loss_xla(model, trainable, mask, ro, rd, vd, gt, axis, rk,
 
 
 def _loss_fused(model, trainable, mask, ro, rd, vd, gt, axis, rk,
-                clip_offsets=None):
+                clip_offsets=None, window=None):
     ret = model.forward_sweep_fused(
         {**model.params, **trainable}, mask, ro, rd, vd, axis, gt,
-        clip_offsets=clip_offsets, interpret=True, **rk)
+        clip_offsets=clip_offsets, window=window, interpret=True, **rk)
     n = ro.shape[0]
     mse = jnp.mean((ret["rgb_marched"] - gt) ** 2)
     pout = jnp.clip(ret["alphainv_last"], 1e-6, 1 - 1e-6)
@@ -186,3 +186,89 @@ def test_fused_matches_xla_chain_clipped():
     # the small box sees little color signal here — k0 grads are at the
     # 1e-6 scale where bf16 path differences dominate; absolute floor.
     _assert_close(gf["k0"], gx["k0"], 5e-3, "d_k0", floor=2e-6)
+
+
+def _tight_rays(model, n, axis, targets_uv, seed=5):
+    """Direction-uniform rays whose per-512-tile (u, v) footprints are a
+    few voxels wide: tile j's rays all aim at world point targets_uv[j]
+    with tiny jitter, so per-tile windowed slab reads are exact."""
+    rng = np.random.default_rng(seed)
+    xyz_min = np.asarray(model.xyz_min)
+    xyz_max = np.asarray(model.xyz_max)
+    ctr = (xyz_min + xyz_max) / 2
+    rad = float(np.linalg.norm(xyz_max - ctr)) * 2.2
+    ro = np.empty((n, 3), np.float32)
+    rd = np.empty((n, 3), np.float32)
+    nt = 512
+    for j, tgt in enumerate(targets_uv):
+        sl = slice(j * nt, (j + 1) * nt)
+        o = ctr.copy()
+        o[axis] = ctr[axis] - rad
+        jit = rng.normal(scale=0.02, size=(nt, 3))
+        ro[sl] = o + jit
+        aim = np.asarray(tgt) + rng.normal(scale=0.03, size=(nt, 3))
+        rd[sl] = aim - ro[sl]
+    vd = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
+    gt = rng.uniform(size=(n, 3)).astype(np.float32)
+    return (jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(vd),
+            jnp.asarray(gt))
+
+
+@pytest.mark.parametrize("direct", [True, False])
+def test_fused_windowed_matches_full(direct):
+    """Per-ray-tile (wu, wv)-windowed kernels vs the full-extent fused
+    path: bit-comparable math on window-fitting batches (the only
+    difference is WHICH slab region each tile reads)."""
+    model = _make_model(direct)
+    axis = 0
+    n = 1024                    # two 512-ray tiles, different corners
+    xyz_min = np.asarray(model.xyz_min)
+    xyz_max = np.asarray(model.xyz_max)
+    # target fractions chosen so each tile's (u, v) footprint fits a
+    # 16-aligned-u / 8-aligned-v (16, 16) window (the align-down steals
+    # up to 15/7 voxels of cover — the engine budgets classes for this)
+    lo = xyz_min + 0.30 * (xyz_max - xyz_min)
+    hi = xyz_min + 0.62 * (xyz_max - xyz_min)
+    ro, rd, vd, gt = _tight_rays(model, n, axis, [lo, hi])
+    rk = dict(near=0.2, far=9.0, bg=1.0, stepsize=0.5)
+    trainable = {"density": model.params["density"],
+                 "k0": model.params["k0"],
+                 "rgbnet": model.params["rgbnet"]}
+
+    (lfull, retfull), gfull = jax.value_and_grad(
+        lambda tr: _loss_fused(model, tr, model.mask, ro, rd, vd, gt,
+                               axis, rk), has_aux=True)(trainable)
+    (lw, retw), gw = jax.value_and_grad(
+        lambda tr: _loss_fused(model, tr, model.mask, ro, rd, vd, gt,
+                               axis, rk, window=(16, 16)),
+        has_aux=True)(trainable)
+
+    # sanity: the tight batches actually fit the (16, 16) class
+    from directvoxgo_tpu.ops import sweep as sweep_ops
+    o_pv, d_pv = sweep_ops.rays_to_voxel(
+        ro, rd, tuple(float(v) for v in model.xyz_min),
+        tuple(float(v) for v in model.xyz_max),
+        tuple(model.world_size), axis)
+    gu, gv = int(model.world_size[1]), int(model.world_size[2])
+    import directvoxgo_tpu.ops.raymarch as rm
+    tlo, thi = rm.ray_aabb_tminmax(
+        ro, rd, jnp.asarray(model.xyz_min), jnp.asarray(model.xyz_max),
+        rk["near"], rk["far"])
+    zeros = jnp.zeros((n,), jnp.float32)
+    rays16 = jnp.stack([o_pv[0], o_pv[1], o_pv[2], d_pv[0], d_pv[1],
+                        d_pv[2], tlo, thi, zeros, zeros, zeros, zeros,
+                        zeros, zeros, zeros, zeros])
+    gu_p, gv_p = (gu + 15) // 16 * 16, (gv + 7) // 8 * 8
+    _, fits = ptf.tile_uv_bases(rays16, gu_p, gv_p, 16, 16, 512)
+    assert bool(jnp.all(fits)), "test batches must fit the window class"
+
+    _assert_close(retw["rgb_marched"], retfull["rgb_marched"], 1e-5,
+                  "rgb windowed")
+    _assert_close(retw["alphainv_last"], retfull["alphainv_last"], 1e-5,
+                  "alphainv windowed")
+    _assert_close(lw, lfull, 1e-5, "loss windowed")
+    for (pth, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gw),
+            jax.tree_util.tree_leaves_with_path(gfull)):
+        _assert_close(a, b, 1e-5, f"grad {jax.tree_util.keystr(pth)}",
+                      floor=1e-7)
