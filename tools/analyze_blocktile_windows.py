@@ -147,6 +147,24 @@ def main():
                      f"| ratio cell/seg {area_cells / seg_area:.2f} "
                      f"cell/full {area_cells / box_area:.2f}"))
         tot_cells += idx.size
+        # Realizable STATIC classes: the kernel window is per-program, so
+        # a tile's class = its max cell footprint over all blocks; report
+        # the tile-class histogram and the realized FLOP blend if batches
+        # regroup tiles by class (16 same-class tiles per batch).
+        tu = np.ceil(nu.max(axis=2) / 16) * 16      # [n_seg, n_tiles]
+        tv = np.ceil(nv.max(axis=2) / 8) * 8
+        tu = np.minimum(tu, np.ceil(bu / 16) * 16)
+        tv = np.minimum(tv, np.ceil(bv / 8) * 8)
+        cls, cnts = np.unique(
+            np.stack([tu.ravel(), tv.ravel()], 1), axis=0,
+            return_counts=True)
+        order = np.argsort(-cnts)
+        blend = float((tu * tv).mean())
+        log(f"  tile classes (area blend {blend:.0f}, "
+            f"{blend / seg_area:.2f} of segbox): "
+            + " ".join(f"({int(a)},{int(b)}):{c / tu.size:.2f}"
+                       for (a, b), c in zip(cls[order[:8]],
+                                            cnts[order[:8]])))
     for key_, cnt, s in rows:
         log(f"class {key_} share {cnt / max(tot_cells, 1):.2f}: {s}")
 
