@@ -174,8 +174,24 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
     if clip_sizes is not None and clip_sizes[0] == "blk":
         blocked = tuple(int(x) for x in clip_sizes[1:])  # (B, eu, ev)
         clip_sizes = None
+    # Fused-kernel draws: clip_sizes ('fblk', wu, wv, bp, bu, bv) selects
+    # the fully fused Pallas train step (model.forward_sweep_fused) with
+    # per-(station-block, ray-tile) (wu, wv) windowed slab reads on the
+    # (bp, bu, bv) occupancy box; (wu, wv) == (0, 0) is the fused
+    # full-window program. Batches must be same-tile-class and
+    # direction-uniform (ops/sweep.build_ray_tiles_blocktile).
+    fused_win = None
+    if clip_sizes is not None and clip_sizes[0] == "fblk":
+        wu_f, wv_f = int(clip_sizes[1]), int(clip_sizes[2])
+        fused_win = (wu_f, wv_f) if (wu_f or wv_f) else None
+        clip_sizes = tuple(int(x) for x in clip_sizes[3:6])
+        fused = True
+    else:
+        fused = False
     region_mode = (axis is not None and clip_sizes is not None
                    and not apply_tv and all_skip and grid_names != [])
+    assert not fused or region_mode, \
+        "fused step keys require region mode (pre-clipped box grids)"
     if region_mode:
         from ..ops import sweep as sweep_ops
         perm = sweep_ops._PERMS[axis]
@@ -205,6 +221,11 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
             if axis is None:
                 ret = model.forward({**trainable, **frozen}, mask,
                                     rays_o, rays_d, viewdirs, **kwargs)
+            elif fused:
+                ret = model.forward_sweep_fused(
+                    {**trainable, **frozen}, mask_g, rays_o, rays_d,
+                    viewdirs, axis, target, clip_offsets=clip_off,
+                    window=fused_win, **kwargs)
             elif blocked is not None:
                 nb, eu, ev = blocked
                 ret = model.forward_sweep(
@@ -232,15 +253,20 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
                                     + (1 - pout) * jnp.log(1 - pout))
                 loss = loss + w_entropy * entropy
             if w_rgbper > 0:
-                if "raw_rgb_cl" in ret:  # sweep path: [3, N, S]
-                    rgbper = jnp.sum(
-                        (ret["raw_rgb_cl"] - target.T[:, :, None]) ** 2,
-                        axis=0)
+                if "rgbper_sum" in ret:  # fused path: per-ray pre-reduced
+                    rgbper_loss = jnp.sum(ret["rgbper_sum"]) / n_rand
                 else:
-                    rgbper = jnp.sum(
-                        (ret["raw_rgb"] - target[:, None, :]) ** 2, -1)
-                rgbper_loss = jnp.sum(
-                    rgbper * jax.lax.stop_gradient(ret["weights"])) / n_rand
+                    if "raw_rgb_cl" in ret:  # sweep path: [3, N, S]
+                        rgbper = jnp.sum(
+                            (ret["raw_rgb_cl"] - target.T[:, :, None])
+                            ** 2, axis=0)
+                    else:
+                        rgbper = jnp.sum(
+                            (ret["raw_rgb"] - target[:, None, :]) ** 2,
+                            -1)
+                    rgbper_loss = jnp.sum(
+                        rgbper
+                        * jax.lax.stop_gradient(ret["weights"])) / n_rand
                 loss = loss + w_rgbper * rgbper_loss
             return loss, mse
 

@@ -951,11 +951,14 @@ class DirectVoxGO:
         segment builder guarantees this — ops/sweep.build_ray_segments_2d).
 
         ``window=(wu, wv)`` (static ints, wu % 16 == wv % 8 == 0) enables
-        per-ray-TILE windowed slab reads inside the kernels: each 512-ray
-        tile touches only its own (wu, wv) in-plane sub-window, computed
-        here from the tile's ray-endpoint extents (exact whenever every
-        tile's footprint fits the class — the engine dispatches segments
-        to the smallest fitting class).
+        per-(station-block, ray-TILE) windowed slab reads inside the
+        kernels: each (8-station block, 512-ray tile) grid cell touches
+        only its own (wu, wv) in-plane sub-window — bounded by the tile
+        spread plus ~4 voxels of per-ray drift instead of the whole
+        traversal's drift (ops/pallas_train_fused.blocktile_uv_bases).
+        Exact whenever every cell's footprint fits the class — the
+        engine's tile builder groups same-class tiles into batches
+        (ops/sweep.build_ray_tiles_blocktile).
 
         Returns dict(rgb_marched [N,3], alphainv_last [N], rgbper_sum [N]):
         rgbper_sum is ``sum_s w_eff * ||rgb_s - target||^2`` per ray, i.e.
@@ -1010,17 +1013,9 @@ class DirectVoxGO:
             thres=float(self.fast_color_thres), bg=float(bg),
             direct=bool(self.rgbnet_direct), wu=wu, wv=wv,
             interpret=interpret)
-        gu, gv = density_pm.shape[1], density_pm.shape[2]
-        if window:
-            gu_p = (gu + 15) // 16 * 16
-            gv_p = (gv + 7) // 8 * 8
-            uvb8, _ = ptf.tile_uv_bases(rays16, gu_p, gv_p, wu, wv,
-                                        cfg.nt)
-        else:
-            uvb8 = jnp.zeros((n // cfg.nt, 2), jnp.int32)
         rgb, ainv, rgbper = ptf.fused_chain(
             cfg, density_pm, k0_pm, mask_pm, rays16, sh1_t,
-            params["rgbnet"], uvb8)
+            params["rgbnet"])
         return {"rgb_marched": rgb, "alphainv_last": ainv,
                 "rgbper_sum": rgbper}
 

@@ -40,14 +40,20 @@ This module fuses the whole per-ray pipeline into two Pallas kernels:
 
 Two structural perf choices (v2, measured on the v5e at the e2e shape):
 
-* **Per-ray-tile (u, v) windows**: with ``cfg.wu``/``cfg.wv`` set, every
-  512-ray tile reads only its own (Wu, Wv) sub-window of each slab
-  (in-kernel ``pl.ds`` slices at 8-aligned per-tile bases from a
-  prefetched scalar array — the sweep_fwd_pallas v-window mechanism,
-  extended to u). A Morton-sorted segment's 512-ray tiles have footprints
-  ~sqrt(16)x smaller than the 8192-ray batch's, so the contraction, hat
-  builds and cotangent temps shrink by the window-area ratio — this is
-  what makes wide-footprint maskcache-pool batches cheap (VERDICT r3 #1).
+* **Per-(station-block, ray-tile) (u, v) windows** (v3): with
+  ``cfg.wu``/``cfg.wv`` set, every (station-block, 512-ray-tile) grid
+  cell reads only its own (Wu, Wv) sub-window of its slabs (in-kernel
+  ``pl.ds`` slices at aligned per-cell bases from a prefetched scalar
+  array), and cells with no station inside the tile's [t_lo, t_hi] are
+  skipped outright. v2's whole-traversal per-tile windows didn't pay —
+  per-ray in-plane drift across the full traversal is ~63 voxels median
+  on the trained fixture pool — but a cell's footprint is the tile
+  spread plus only ~s_blk/k voxels of drift: measured 7-10% of the
+  segment-box area at the wide classes (tools/
+  analyze_blocktile_windows.py), which is what makes wide-footprint
+  maskcache-pool batches cheap (VERDICT r3 #1). Batches must group
+  same-class tiles (ops/sweep.build_ray_tiles_blocktile); the static
+  (wu, wv) covers every cell of every tile in the batch.
 * **Station-block-batched MLP**: the per-station [128,12]x[12,512]
   matmuls are invocation-overhead-bound (K=12 wastes the systolic array;
   9 tiny matmuls per station-block-tile across K1+K2). Features for the
@@ -177,10 +183,15 @@ def train_fwd_pallas(slabs_m, rays16, sh1_t, w1a, w2, b2t, w3p, b3t, scal,
       w3p: [W, 8] bf16 (3 real cols); b3t: [8, 1] f32 (3 real rows).
       scal: [1, 4] f32 (p0, pstep, 0, 0): station ms sits at sweep coord
         p0 + pstep*ms.
-      uvb8: [N//NT, 2] int32 per-tile window starts (u//16, v//8) (required
-        when cfg.wu/wv window; each tile only reads its sub-window —
-        EXACT when every ray of the tile keeps its support inside it,
-        which the segment builder's per-tile bounds guarantee).
+      uvb8: [nsb, N//NT, 4] int32 per-(march-block, ray-tile) window
+        cells — rows (u_base//16, v_base//8, active, 0) from
+        :func:`blocktile_uv_bases` (required when cfg.wu/wv window). Each
+        grid step reads only its own (wu, wv) slab cell; ``active == 0``
+        cells (no station of the block inside the tile's [t_lo, t_hi])
+        skip the contraction/compositing entirely and write zero vals.
+        EXACT when every (block, tile) cell's support fits the class —
+        the segment builder guarantees it (ops/sweep
+        .build_ray_segments_blocktile).
 
     Returns:
       pack [8, N] f32 (rows: rgb*3, alphainv_last, rgbper_sum, 0...),
@@ -198,7 +209,7 @@ def train_fwd_pallas(slabs_m, rays16, sh1_t, w1a, w2, b2t, w3p, b3t, scal,
     cw = wv * CP
     if windowed:
         assert gu % 8 == 0 and gv % 8 == 0 and wu % 8 == 0 and wv % 8 == 0
-        assert uvb8 is not None and uvb8.shape == (nnb, 2)
+        assert uvb8 is not None and uvb8.shape == (nsb, nnb, 4)
 
     def kernel(*refs):
         if windowed:
@@ -210,90 +221,109 @@ def train_fwd_pallas(slabs_m, rays16, sh1_t, w1a, w2, b2t, w3p, b3t, scal,
         nb = pl.program_id(1)
         p0 = scal_ref[0, 0]
         pstep = scal_ref[0, 1]
-        if windowed:
-            ub16 = uvb_ref[nb, 0]      # u base // 16 (bf16 sublane tile)
-            vb8 = uvb_ref[nb, 1]       # v base // 8
-        else:
-            ub16 = vb8 = jnp.int32(0)
 
         @pl.when(mb == 0)
         def _():
             acc_ref[nb] = jnp.zeros((8, nt), jnp.float32)
             acc_ref[nb, 0] = jnp.ones((nt,), jnp.float32)
 
-        op, ou, ov = rp_ref[0], rp_ref[1], rp_ref[2]
-        dp, du, dv = rp_ref[3], rp_ref[4], rp_ref[5]
-        tlo, thi, interval = rp_ref[6], rp_ref[7], rp_ref[8]
-        gt = rp_ref[9:12]
+        tchk_ref[0, 0] = acc_ref[nb, 0]
 
-        iota_u = jax.lax.broadcasted_iota(
-            jnp.int32, (wu, nt), 0).astype(jnp.float32) \
-            + (ub16 * 16).astype(jnp.float32)
-        iota_vw = (jax.lax.broadcasted_iota(jnp.int32, (cw, nt), 0)
-                   // CP).astype(jnp.float32) \
-            + (vb8 * 8).astype(jnp.float32)
+        def body(ub16, vb8):
+            op, ou, ov = rp_ref[0], rp_ref[1], rp_ref[2]
+            dp, du, dv = rp_ref[3], rp_ref[4], rp_ref[5]
+            tlo, thi, interval = rp_ref[6], rp_ref[7], rp_ref[8]
+            gt = rp_ref[9:12]
 
-        t_cum = acc_ref[nb, 0]
-        tchk_ref[0, 0] = t_cum
-        feats, weffs, aux = [], [], []
-        for jm in range(s_blk):
-            ms = (mb * s_blk + jm).astype(jnp.float32)
-            p_s = p0 + pstep * ms
-            t = (p_s - op) / dp
-            u = ou + t * du
-            v = ov + t * dv
-            wu_t = _hat_rows(u, iota_u, jnp.bfloat16)
-            wv_t = _hat_rows(v, iota_vw)
-            if windowed:
-                slab_j = slab_ref[jm, pl.ds(ub16 * 16, wu),
-                                  pl.ds(vb8 * (8 * CP), cw)]
-            else:
-                slab_j = slab_ref[jm]
-            tmp = jax.lax.dot_general(
-                slab_j, wu_t,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            vals_j = _fold_v(tmp * wv_t, wv, CP, nt)
-            vals_ref[jm] = vals_j
+            iota_u = jax.lax.broadcasted_iota(
+                jnp.int32, (wu, nt), 0).astype(jnp.float32) \
+                + (ub16 * 16).astype(jnp.float32)
+            iota_vw = (jax.lax.broadcasted_iota(jnp.int32, (cw, nt), 0)
+                       // CP).astype(jnp.float32) \
+                + (vb8 * 8).astype(jnp.float32)
 
-            dens = vals_j[0]
-            maskv = vals_j[1]
-            alpha_raw = 1.0 - jnp.exp(
-                -jax.nn.softplus(dens + cfg.act_shift) * interval)
-            valid = (t >= tlo) & (t <= thi) & (thi > tlo) & (maskv > 0.0)
-            a = jnp.where(valid & (alpha_raw > cfg.thres), alpha_raw, 0.0)
-            live = t_cum >= T_TERMINATE
-            w = jnp.where(live, t_cum * a, 0.0)
-            weff = jnp.where(w > cfg.thres, w, 0.0)
-            weffs.append(weff)
-            feats.append(vals_j[coff: coff + cfg.f].astype(jnp.bfloat16))
-            if not cfg.direct:
-                aux.append(vals_j[2:5])
-            om = jnp.where(a > 0.0, 1.0 - a + T_EPS, 1.0)
-            t_cum = jnp.where(live, t_cum * om, t_cum)
-        acc_ref[nb, 0] = t_cum
-
-        any_active = jnp.any(
-            sum(jnp.sum(wf) for wf in weffs) > 0.0)
-
-        @pl.when(any_active)
-        def _():
-            feat_all = jnp.concatenate(feats, axis=1)   # [F, S_BLK*NT]
-            sh1 = sh1_ref[:].astype(jnp.float32)
-            sh1_all = jnp.concatenate([sh1] * s_blk, axis=1)
-            logit, _, _ = _mlp_fwd_blk(feat_all, sh1_all, w1a_r, w2_r,
-                                       b2_r, w3_r, b3_r)
+            t_cum = acc_ref[nb, 0]
+            feats, weffs, aux = [], [], []
             for jm in range(s_blk):
-                lg = logit[0:3, jm * nt:(jm + 1) * nt]
-                if not cfg.direct:
-                    lg = lg + aux[jm]
-                rgb = jax.nn.sigmoid(lg)
-                acc_ref[nb, 1:4] += weffs[jm][None, :] * rgb
-                acc_ref[nb, 4] += weffs[jm] * jnp.sum((rgb - gt) ** 2,
-                                                      axis=0)
+                ms = (mb * s_blk + jm).astype(jnp.float32)
+                p_s = p0 + pstep * ms
+                t = (p_s - op) / dp
+                u = ou + t * du
+                v = ov + t * dv
+                wu_t = _hat_rows(u, iota_u, jnp.bfloat16)
+                wv_t = _hat_rows(v, iota_vw)
+                if windowed:
+                    slab_j = slab_ref[jm, pl.ds(ub16 * 16, wu),
+                                      pl.ds(vb8 * (8 * CP), cw)]
+                else:
+                    slab_j = slab_ref[jm]
+                tmp = jax.lax.dot_general(
+                    slab_j, wu_t,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                vals_j = _fold_v(tmp * wv_t, wv, CP, nt)
+                vals_ref[jm] = vals_j
 
-        pack_ref[0:3] = acc_ref[nb, 1:4] + t_cum[None, :] * cfg.bg
-        pack_ref[3] = t_cum
+                dens = vals_j[0]
+                maskv = vals_j[1]
+                alpha_raw = 1.0 - jnp.exp(
+                    -jax.nn.softplus(dens + cfg.act_shift) * interval)
+                valid = (t >= tlo) & (t <= thi) & (thi > tlo) \
+                    & (maskv > 0.0)
+                a = jnp.where(valid & (alpha_raw > cfg.thres),
+                              alpha_raw, 0.0)
+                live = t_cum >= T_TERMINATE
+                w = jnp.where(live, t_cum * a, 0.0)
+                weff = jnp.where(w > cfg.thres, w, 0.0)
+                weffs.append(weff)
+                feats.append(
+                    vals_j[coff: coff + cfg.f].astype(jnp.bfloat16))
+                if not cfg.direct:
+                    aux.append(vals_j[2:5])
+                om = jnp.where(a > 0.0, 1.0 - a + T_EPS, 1.0)
+                t_cum = jnp.where(live, t_cum * om, t_cum)
+            acc_ref[nb, 0] = t_cum
+
+            any_active = jnp.any(
+                sum(jnp.sum(wf) for wf in weffs) > 0.0)
+
+            @pl.when(any_active)
+            def _():
+                feat_all = jnp.concatenate(feats, axis=1)  # [F, S_BLK*NT]
+                sh1 = sh1_ref[:].astype(jnp.float32)
+                sh1_all = jnp.concatenate([sh1] * s_blk, axis=1)
+                logit, _, _ = _mlp_fwd_blk(feat_all, sh1_all, w1a_r, w2_r,
+                                           b2_r, w3_r, b3_r)
+                for jm in range(s_blk):
+                    lg = logit[0:3, jm * nt:(jm + 1) * nt]
+                    if not cfg.direct:
+                        lg = lg + aux[jm]
+                    rgb = jax.nn.sigmoid(lg)
+                    acc_ref[nb, 1:4] += weffs[jm][None, :] * rgb
+                    acc_ref[nb, 4] += weffs[jm] * jnp.sum((rgb - gt) ** 2,
+                                                          axis=0)
+
+        if windowed:
+            act = uvb_ref[mb, nb, 2]
+
+            @pl.when(act == 0)
+            def _():
+                # Inactive (block, tile) cell: no station of this march
+                # block lies inside any of the tile's [t_lo, t_hi] ranges.
+                # Zero vals (K2 recomputes alpha from them; uninitialized
+                # VMEM could hold NaNs that survive the 0-weight gates as
+                # 0 * NaN) and skip the contraction/compositing entirely.
+                vals_ref[:] = jnp.zeros((s_blk, CP, nt), jnp.float32)
+
+            @pl.when(act != 0)
+            def _():
+                body(uvb_ref[mb, nb, 0], uvb_ref[mb, nb, 1])
+        else:
+            body(jnp.int32(0), jnp.int32(0))
+
+        t_fin = acc_ref[nb, 0]
+        pack_ref[0:3] = acc_ref[nb, 1:4] + t_fin[None, :] * cfg.bg
+        pack_ref[3] = t_fin
         pack_ref[4] = acc_ref[nb, 4]
         pack_ref[5:8] = jnp.zeros((3, nt), jnp.float32)
 
@@ -366,7 +396,8 @@ def train_fwd_pallas(slabs_m, rays16, sh1_t, w1a, w2, b2t, w3p, b3t, scal,
 def train_bwd_pallas(vals, t_chk, rays16, cot, sh1_t, w1a, w2, b2t, w3p,
                      b3t, scal, uvb8=None, *, cfg: FusedCfg, gu, gv):
     """K2. Args (beyond K1's): vals/t_chk from K1; cot [8, N] f32 rows
-    (g_rgb*3, g_ainv, g_rgbper, alphainv_last, 0, 0).
+    (g_rgb*3, g_ainv, g_rgbper, alphainv_last, 0, 0); uvb8 as in K1
+    ([nsb, N//nt, 4] march-block-resolved window cells).
 
     Returns:
       d_st [S_pad, Gu, Gv*CP] f32 slab cotangents (march order),
@@ -384,7 +415,7 @@ def train_bwd_pallas(vals, t_chk, rays16, cot, sh1_t, w1a, w2, b2t, w3p,
     cw = wv * CP
     if windowed:
         assert gu % 8 == 0 and gv % 8 == 0 and wu % 8 == 0 and wv % 8 == 0
-        assert uvb8 is not None and uvb8.shape == (nnb, 2)
+        assert uvb8 is not None and uvb8.shape == (nsb, nnb, 4)
 
     def kernel(*refs):
         if windowed:
@@ -399,11 +430,6 @@ def train_bwd_pallas(vals, t_chk, rays16, cot, sh1_t, w1a, w2, b2t, w3p,
         mb = nsb - 1 - mbg          # true march block (reverse iteration)
         p0 = scal_ref[0, 0]
         pstep = scal_ref[0, 1]
-        if windowed:
-            ub16 = uvb_ref[nb, 0]      # u base // 16 (bf16 sublane tile)
-            vb8 = uvb_ref[nb, 1]       # v base // 8
-        else:
-            ub16 = vb8 = jnp.int32(0)
 
         @pl.when((mbg == 0) & (nb == 0))
         def _():
@@ -422,171 +448,185 @@ def train_bwd_pallas(vals, t_chk, rays16, cot, sh1_t, w1a, w2, b2t, w3p,
         def _():
             dst_ref[:] = jnp.zeros_like(dst_ref)
 
-        op, ou, ov = rp_ref[0], rp_ref[1], rp_ref[2]
-        dp, du, dv = rp_ref[3], rp_ref[4], rp_ref[5]
-        tlo, thi, interval = rp_ref[6], rp_ref[7], rp_ref[8]
-        gt = rp_ref[9:12]
-        g_rgb = cot_ref[0:3]
-        g_ainv = cot_ref[3]
-        g_rgbper = cot_ref[4]
-        ainv = cot_ref[5]
-        ga_ainv = g_ainv * ainv
-        sh1 = sh1_ref[:]
+        def body(ub16, vb8):
+            op, ou, ov = rp_ref[0], rp_ref[1], rp_ref[2]
+            dp, du, dv = rp_ref[3], rp_ref[4], rp_ref[5]
+            tlo, thi, interval = rp_ref[6], rp_ref[7], rp_ref[8]
+            gt = rp_ref[9:12]
+            g_rgb = cot_ref[0:3]
+            g_ainv = cot_ref[3]
+            g_rgbper = cot_ref[4]
+            ainv = cot_ref[5]
+            ga_ainv = g_ainv * ainv
+            sh1 = sh1_ref[:]
 
-        iota_u = jax.lax.broadcasted_iota(
-            jnp.int32, (wu, nt), 0).astype(jnp.float32) \
-            + (ub16 * 16).astype(jnp.float32)
-        iota_vw = (jax.lax.broadcasted_iota(jnp.int32, (cw, nt), 0)
-                   // CP).astype(jnp.float32) \
-            + (vb8 * 8).astype(jnp.float32)
+            iota_u = jax.lax.broadcasted_iota(
+                jnp.int32, (wu, nt), 0).astype(jnp.float32) \
+                + (ub16 * 16).astype(jnp.float32)
+            iota_vw = (jax.lax.broadcasted_iota(jnp.int32, (cw, nt), 0)
+                       // CP).astype(jnp.float32) \
+                + (vb8 * 8).astype(jnp.float32)
 
-        # ---- pass 1 (ascending in-block): recompute T/alpha/w from
-        # vals + the block's T checkpoint; batched gated MLP
-        # forward+backward; stash A and the color-row cotangents.
-        t_cum = tchk_ref[0, 0]
-        a_l, w_l, om_l, live_l, araw_l, dens_l, valid_l, t_l = \
-            [], [], [], [], [], [], [], []
-        weffs, feats, auxs = [], [], []
-        for jm in range(s_blk):
-            ms = (mb * s_blk + jm).astype(jnp.float32)
-            p_s = p0 + pstep * ms
-            t = (p_s - op) / dp
-            vals_j = vals_ref[jm]
-            dens = vals_j[0]
-            maskv = vals_j[1]
-            alpha_raw = 1.0 - jnp.exp(
-                -jax.nn.softplus(dens + cfg.act_shift) * interval)
-            valid = (t >= tlo) & (t <= thi) & (thi > tlo) & (maskv > 0.0)
-            occ = valid & (alpha_raw > cfg.thres)
-            a = jnp.where(occ, alpha_raw, 0.0)
-            live = t_cum >= T_TERMINATE
-            w = jnp.where(live, t_cum * a, 0.0)
-            weff = jnp.where(w > cfg.thres, w, 0.0)
-            a_l.append(a)
-            w_l.append(w)
-            live_l.append(live)
-            araw_l.append(alpha_raw)
-            dens_l.append(dens)
-            valid_l.append(occ)
-            t_l.append(t_cum)
-            om = jnp.where(a > 0.0, 1.0 - a + T_EPS, 1.0)
-            om_l.append(om)
-            weffs.append(weff)
-            feats.append(vals_j[coff: coff + f].astype(jnp.bfloat16))
-            if not cfg.direct:
-                auxs.append(vals_j[2:5])
-            st_scr[jm] = jnp.zeros((CP, nt), jnp.float32)
-            t_cum = jnp.where(live, t_cum * om, t_cum)
-
-        any_active = jnp.any(
-            sum(jnp.sum(wf) for wf in weffs) > 0.0)
-
-        @pl.when(any_active)
-        def _():
-            feat_all = jnp.concatenate(feats, axis=1)   # [F, S_BLK*NT]
-            sh1_all = jnp.concatenate([sh1] * s_blk, axis=1)
-            logit, h1, h2 = _mlp_fwd_blk(feat_all, sh1_all, w1a_r, w2_r,
-                                         b2_r, w3_r, b3_r)
-            lg3 = logit[0:3]
-            if not cfg.direct:
-                lg3 = lg3 + jnp.concatenate(auxs, axis=1)
-            rgb_all = jax.nn.sigmoid(lg3)               # [3, S_BLK*NT]
-            weff_all = jnp.concatenate(
-                [wf[None, :] for wf in weffs], axis=1)  # [1, S_BLK*NT]
-            g_rgb_t = jnp.concatenate([g_rgb] * s_blk, axis=1)
-            g_per_t = jnp.concatenate([g_rgbper[None, :]] * s_blk, axis=1)
-            gt_t = jnp.concatenate([gt] * s_blk, axis=1)
-            # A_j = dL/dw_eff = sum_c rgb_c * g_rgb_c (+ rgbper term is
-            # weight-detached, reference run.py:380-384 semantics)
-            a_all = jnp.sum(rgb_all * g_rgb_t, axis=0)  # [S_BLK*NT]
-            d_rgb = weff_all * (
-                g_rgb_t + g_per_t * 2.0 * (rgb_all - gt_t))
-            d_logit3 = d_rgb * rgb_all * (1.0 - rgb_all)
-            d_logit = jnp.concatenate(
-                [d_logit3, jnp.zeros((5, s_blk * nt), jnp.float32)],
-                axis=0)
-            d_logit_b = d_logit.astype(jnp.bfloat16)
-            dw3_ref[:] += jax.lax.dot_general(
-                h2, d_logit_b,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            db3_ref[:, 0:1] += jnp.sum(d_logit, axis=1, keepdims=True)
-            d_h2 = jax.lax.dot_general(
-                w3_r[:], d_logit_b,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            d_h2 = jnp.where(h2.astype(jnp.float32) > 0.0, d_h2, 0.0)
-            d_h2b = d_h2.astype(jnp.bfloat16)
-            dw2_ref[:] += jax.lax.dot_general(
-                h1, d_h2b,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            db2_ref[:, 0:1] += jnp.sum(d_h2, axis=1, keepdims=True)
-            d_h1 = jax.lax.dot_general(
-                w2_r[:], d_h2b,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            d_h1 = jnp.where(h1.astype(jnp.float32) > 0.0, d_h1, 0.0)
-            d_h1b = d_h1.astype(jnp.bfloat16)
-            dw1a_ref[:] += jax.lax.dot_general(
-                feat_all, d_h1b,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            d_feat = jax.lax.dot_general(
-                w1a_r[:], d_h1b,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)     # [F, S_BLK*NT]
-            acc = sh1_scr[nb]
+            # ---- pass 1 (ascending in-block): recompute T/alpha/w from
+            # vals + the block's T checkpoint; batched gated MLP
+            # forward+backward; stash A and the color-row cotangents.
+            t_cum = tchk_ref[0, 0]
+            a_l, w_l, om_l, live_l, araw_l, dens_l, valid_l, t_l = \
+                [], [], [], [], [], [], [], []
+            weffs, feats, auxs = [], [], []
             for jm in range(s_blk):
-                seg = slice(jm * nt, (jm + 1) * nt)
-                st_scr[jm, 15] = a_all[seg]
-                st_scr[jm, coff: coff + f] = d_feat[:, seg]
+                ms = (mb * s_blk + jm).astype(jnp.float32)
+                p_s = p0 + pstep * ms
+                t = (p_s - op) / dp
+                vals_j = vals_ref[jm]
+                dens = vals_j[0]
+                maskv = vals_j[1]
+                alpha_raw = 1.0 - jnp.exp(
+                    -jax.nn.softplus(dens + cfg.act_shift) * interval)
+                valid = (t >= tlo) & (t <= thi) & (thi > tlo) & (maskv > 0.0)
+                occ = valid & (alpha_raw > cfg.thres)
+                a = jnp.where(occ, alpha_raw, 0.0)
+                live = t_cum >= T_TERMINATE
+                w = jnp.where(live, t_cum * a, 0.0)
+                weff = jnp.where(w > cfg.thres, w, 0.0)
+                a_l.append(a)
+                w_l.append(w)
+                live_l.append(live)
+                araw_l.append(alpha_raw)
+                dens_l.append(dens)
+                valid_l.append(occ)
+                t_l.append(t_cum)
+                om = jnp.where(a > 0.0, 1.0 - a + T_EPS, 1.0)
+                om_l.append(om)
+                weffs.append(weff)
+                feats.append(vals_j[coff: coff + f].astype(jnp.bfloat16))
                 if not cfg.direct:
-                    st_scr[jm, 2:5] = d_logit3[:, seg]
-                acc = acc + d_h1[:, seg]
-            sh1_scr[nb] = acc
+                    auxs.append(vals_j[2:5])
+                st_scr[jm] = jnp.zeros((CP, nt), jnp.float32)
+                t_cum = jnp.where(live, t_cum * om, t_cum)
 
-        # ---- pass 2 (descending in-block): suffix R, d_alpha -> d_dens,
-        # per-station windowed slab cotangent contraction.
-        r_suf = r_scr[nb, 0]
-        for jm in range(s_blk - 1, -1, -1):
-            g_sc = st_scr[jm]
-            d_w = jnp.where(w_l[jm] > cfg.thres, g_sc[15], 0.0)
-            keep = valid_l[jm] & live_l[jm]
-            a_term = jnp.where(live_l[jm], ga_ainv, 0.0)
-            inv_om = jnp.where(
-                valid_l[jm], 1.0 / jnp.maximum(om_l[jm], T_EPS), 0.0)
-            d_alpha = jnp.where(keep, d_w * t_l[jm], 0.0) \
-                - (r_suf + a_term) * inv_om
-            d_dens = d_alpha * interval \
-                * jax.nn.sigmoid(dens_l[jm] + cfg.act_shift) \
-                * (1.0 - araw_l[jm])
-            r_suf = r_suf + d_w * w_l[jm]
+            any_active = jnp.any(
+                sum(jnp.sum(wf) for wf in weffs) > 0.0)
 
-            ms = (mb * s_blk + jm).astype(jnp.float32)
-            p_s = p0 + pstep * ms
-            t = (p_s - op) / dp
-            u = ou + t * du
-            v = ov + t * dv
-            wu_t = _hat_rows(u, iota_u, jnp.bfloat16)
-            wv_t = _hat_rows(v, iota_vw)
-            g_st = jnp.concatenate(
-                [d_dens[None, :], jnp.zeros((1, nt), jnp.float32),
-                 g_sc[2:14], jnp.zeros((2, nt), jnp.float32)], axis=0)
-            g_tiled = jnp.concatenate([g_st] * wv, axis=0)   # [Cw, NT]
-            rhs = (wv_t * g_tiled).astype(jnp.bfloat16)
-            pm = jax.lax.dot_general(
-                wu_t, rhs,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [Wu, Cw]
-            if windowed:
-                cur = dst_ref[jm, pl.ds(ub16 * 16, wu),
-                              pl.ds(vb8 * (8 * CP), cw)]
-                dst_ref[jm, pl.ds(ub16 * 16, wu),
-                        pl.ds(vb8 * (8 * CP), cw)] = cur + pm
-            else:
-                dst_ref[jm] += pm
-        r_scr[nb, 0] = r_suf
+            @pl.when(any_active)
+            def _():
+                feat_all = jnp.concatenate(feats, axis=1)   # [F, S_BLK*NT]
+                sh1_all = jnp.concatenate([sh1] * s_blk, axis=1)
+                logit, h1, h2 = _mlp_fwd_blk(feat_all, sh1_all, w1a_r, w2_r,
+                                             b2_r, w3_r, b3_r)
+                lg3 = logit[0:3]
+                if not cfg.direct:
+                    lg3 = lg3 + jnp.concatenate(auxs, axis=1)
+                rgb_all = jax.nn.sigmoid(lg3)               # [3, S_BLK*NT]
+                weff_all = jnp.concatenate(
+                    [wf[None, :] for wf in weffs], axis=1)  # [1, S_BLK*NT]
+                g_rgb_t = jnp.concatenate([g_rgb] * s_blk, axis=1)
+                g_per_t = jnp.concatenate([g_rgbper[None, :]] * s_blk, axis=1)
+                gt_t = jnp.concatenate([gt] * s_blk, axis=1)
+                # A_j = dL/dw_eff = sum_c rgb_c * g_rgb_c (+ rgbper term is
+                # weight-detached, reference run.py:380-384 semantics)
+                a_all = jnp.sum(rgb_all * g_rgb_t, axis=0)  # [S_BLK*NT]
+                d_rgb = weff_all * (
+                    g_rgb_t + g_per_t * 2.0 * (rgb_all - gt_t))
+                d_logit3 = d_rgb * rgb_all * (1.0 - rgb_all)
+                d_logit = jnp.concatenate(
+                    [d_logit3, jnp.zeros((5, s_blk * nt), jnp.float32)],
+                    axis=0)
+                d_logit_b = d_logit.astype(jnp.bfloat16)
+                dw3_ref[:] += jax.lax.dot_general(
+                    h2, d_logit_b,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                db3_ref[:, 0:1] += jnp.sum(d_logit, axis=1, keepdims=True)
+                d_h2 = jax.lax.dot_general(
+                    w3_r[:], d_logit_b,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                d_h2 = jnp.where(h2.astype(jnp.float32) > 0.0, d_h2, 0.0)
+                d_h2b = d_h2.astype(jnp.bfloat16)
+                dw2_ref[:] += jax.lax.dot_general(
+                    h1, d_h2b,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                db2_ref[:, 0:1] += jnp.sum(d_h2, axis=1, keepdims=True)
+                d_h1 = jax.lax.dot_general(
+                    w2_r[:], d_h2b,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                d_h1 = jnp.where(h1.astype(jnp.float32) > 0.0, d_h1, 0.0)
+                d_h1b = d_h1.astype(jnp.bfloat16)
+                dw1a_ref[:] += jax.lax.dot_general(
+                    feat_all, d_h1b,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                d_feat = jax.lax.dot_general(
+                    w1a_r[:], d_h1b,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # [F, S_BLK*NT]
+                acc = sh1_scr[nb]
+                for jm in range(s_blk):
+                    seg = slice(jm * nt, (jm + 1) * nt)
+                    st_scr[jm, 15] = a_all[seg]
+                    st_scr[jm, coff: coff + f] = d_feat[:, seg]
+                    if not cfg.direct:
+                        st_scr[jm, 2:5] = d_logit3[:, seg]
+                    acc = acc + d_h1[:, seg]
+                sh1_scr[nb] = acc
+
+            # ---- pass 2 (descending in-block): suffix R, d_alpha -> d_dens,
+            # per-station windowed slab cotangent contraction.
+            r_suf = r_scr[nb, 0]
+            for jm in range(s_blk - 1, -1, -1):
+                g_sc = st_scr[jm]
+                d_w = jnp.where(w_l[jm] > cfg.thres, g_sc[15], 0.0)
+                keep = valid_l[jm] & live_l[jm]
+                a_term = jnp.where(live_l[jm], ga_ainv, 0.0)
+                inv_om = jnp.where(
+                    valid_l[jm], 1.0 / jnp.maximum(om_l[jm], T_EPS), 0.0)
+                d_alpha = jnp.where(keep, d_w * t_l[jm], 0.0) \
+                    - (r_suf + a_term) * inv_om
+                d_dens = d_alpha * interval \
+                    * jax.nn.sigmoid(dens_l[jm] + cfg.act_shift) \
+                    * (1.0 - araw_l[jm])
+                r_suf = r_suf + d_w * w_l[jm]
+
+                ms = (mb * s_blk + jm).astype(jnp.float32)
+                p_s = p0 + pstep * ms
+                t = (p_s - op) / dp
+                u = ou + t * du
+                v = ov + t * dv
+                wu_t = _hat_rows(u, iota_u, jnp.bfloat16)
+                wv_t = _hat_rows(v, iota_vw)
+                g_st = jnp.concatenate(
+                    [d_dens[None, :], jnp.zeros((1, nt), jnp.float32),
+                     g_sc[2:14], jnp.zeros((2, nt), jnp.float32)], axis=0)
+                g_tiled = jnp.concatenate([g_st] * wv, axis=0)   # [Cw, NT]
+                rhs = (wv_t * g_tiled).astype(jnp.bfloat16)
+                pm = jax.lax.dot_general(
+                    wu_t, rhs,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)          # [Wu, Cw]
+                if windowed:
+                    cur = dst_ref[jm, pl.ds(ub16 * 16, wu),
+                                  pl.ds(vb8 * (8 * CP), cw)]
+                    dst_ref[jm, pl.ds(ub16 * 16, wu),
+                            pl.ds(vb8 * (8 * CP), cw)] = cur + pm
+                else:
+                    dst_ref[jm] += pm
+            r_scr[nb, 0] = r_suf
+
+        if windowed:
+            act = uvb_ref[mb, nb, 2]
+
+            # Inactive cells (see K1) have zero vals and every station
+            # outside the tile's [t_lo, t_hi]: weff, d_dens and the
+            # suffix-R update are all exactly zero there, so skipping the
+            # whole recompute + contraction changes nothing.
+            @pl.when(act != 0)
+            def _():
+                body(uvb_ref[mb, nb, 0], uvb_ref[mb, nb, 1])
+        else:
+            body(jnp.int32(0), jnp.int32(0))
         dsh1_ref[:] = sh1_scr[nb]
 
     rmb = nsb - 1
@@ -729,77 +769,101 @@ def _mlp_operands(rgbnet, fdim, width):
     return w1a, w2, b2t, w3p, b3t
 
 
-def tile_uv_bases(rays16, gu_p, gv_p, wu, wv, nt):
-    """Per-ray-tile (u, v) window starts for the fused kernels.
+def blocktile_uv_bases(rays16, p0, pstep, nsb, s_blk, gu_p, gv_p, wu, wv,
+                       nt):
+    """Per-(march-block, ray-tile) window cells for the fused kernels.
 
-    A ray's in-plane coords are linear in t, so its (u, v) support over
-    the contributing range t in [t_lo, t_hi] is bounded by the two
-    endpoint values +- 1 voxel of hat support. Returns ([N//nt, 2] int32
-    (u_base//16, v_base//8) — u bases multiples of 16 so Mosaic can prove
-    the bf16 sublane slices tile-aligned SYNTACTICALLY (ub16*16; an
-    8-multiple base would force a sublane relayout per read) — and a [N//nt, 2] bool "fits" mask: tiles whose
-    footprint exceeds (wu, wv) need a wider class (the engine dispatches
-    by class so this is a debug aid, not a runtime branch)."""
+    March block ``mb`` evaluates stations ``ms`` in ``[mb*s_blk,
+    mb*s_blk + s_blk - 1]`` at sweep coords ``p0 + pstep*ms``; a ray's
+    in-plane coords are linear in t, so over the block's t-range —
+    clamped to the ray's contributing ``[t_lo, t_hi]`` (stations outside
+    it are invalid-gated in-kernel regardless of window coverage) — its
+    (u, v) support is bounded by the two endpoint values ±1 voxel of hat
+    support, clipped to ``[0, G]`` (rows outside the grid hold no data;
+    interpolated mask == 0 gates them exactly). This bounds the per-block
+    footprint by ~``s_blk/k * tan(angle)`` instead of the whole-traversal
+    ~``gp * tan`` drift — the reason wide maskcache-pool batches become
+    cheap (VERDICT r3 #1; sizing: tools/analyze_blocktile_windows.py).
+
+    Returns ``(uvb [nsb, N//nt, 4] int32, fits [nsb, N//nt, 2] bool)``.
+    ``uvb`` rows are (u_base//16, v_base//8, active, 0): u bases are
+    multiples of 16 so Mosaic can prove the bf16 sublane slices aligned
+    SYNTACTICALLY (ub16*16), v bases multiples of 8; ``active == 0``
+    cells have no station of the block inside any ray's [t_lo, t_hi] and
+    are skipped by the kernels. ``fits`` flags cells whose needed support
+    exceeds the (wu, wv) class — a debug aid; the engine's tile builder
+    (ops/sweep.build_ray_tiles_blocktile) only dispatches batches whose
+    every cell fits its class.
+    """
     n = rays16.shape[1]
     nnb = n // nt
-    ou, ov = rays16[1], rays16[2]
-    du, dv = rays16[4], rays16[5]
+    op, ou, ov = rays16[0], rays16[1], rays16[2]
+    dp, du, dv = rays16[3], rays16[4], rays16[5]
     tlo, thi = rays16[6], rays16[7]
     hit = thi > tlo
+    ms0 = (jnp.arange(nsb, dtype=jnp.float32) * s_blk)[:, None]
+    ms1 = ms0 + float(s_blk - 1)
+    ta = (p0 + pstep * ms0 - op[None, :]) / dp[None, :]
+    tb = (p0 + pstep * ms1 - op[None, :]) / dp[None, :]
+    t0 = jnp.maximum(jnp.minimum(ta, tb), tlo[None, :])
+    t1 = jnp.minimum(jnp.maximum(ta, tb), thi[None, :])
+    act = (t1 >= t0) & hit[None, :]
 
-    def rng(o, d):
-        a = o + tlo * d
-        b = o + thi * d
-        lo = jnp.where(hit, jnp.minimum(a, b) - 1.0, jnp.inf)
-        hi = jnp.where(hit, jnp.maximum(a, b) + 1.0, -jnp.inf)
-        return (lo.reshape(nnb, nt).min(axis=1),
-                hi.reshape(nnb, nt).max(axis=1))
+    def rng(o, d, g):
+        a = o[None, :] + t0 * d[None, :]
+        b = o[None, :] + t1 * d[None, :]
+        lo = jnp.where(act, jnp.minimum(a, b) - 1.0, jnp.inf)
+        hi = jnp.where(act, jnp.maximum(a, b) + 1.0, -jnp.inf)
+        # inactive rays clip to (g, 0): neutral under the min/max below
+        lo = jnp.clip(lo, 0.0, float(g))
+        hi = jnp.clip(hi, 0.0, float(g))
+        return (lo.reshape(nsb, nnb, nt).min(axis=-1),
+                hi.reshape(nsb, nnb, nt).max(axis=-1))
 
-    u_lo, u_hi = rng(ou, du)
-    v_lo, v_hi = rng(ov, dv)
+    u_lo, u_hi = rng(ou, du, gu_p)
+    v_lo, v_hi = rng(ov, dv, gv_p)
 
-    def base(lo, hi, g, w, align):
-        b = jnp.floor(jnp.where(jnp.isfinite(lo), lo, 0.0)).astype(
-            jnp.int32)
+    def base(lo, g, w, align):
+        b = jnp.floor(lo).astype(jnp.int32)
         b = (b // align) * align
-        b = jnp.clip(b, 0, max(g - w, 0))
-        fits = jnp.where(jnp.isfinite(hi),
-                         jnp.ceil(hi) <= (b + w).astype(jnp.float32),
-                         True)
-        return b, fits
+        return jnp.clip(b, 0, max(g - w, 0))
 
-    ub, uf = base(u_lo, u_hi, gu_p, wu, 16)
-    vb, vf = base(v_lo, v_hi, gv_p, wv, 8)
-    uvb = jnp.stack([ub // 16, vb // 8], axis=1)
-    return uvb, jnp.stack([uf, vf], axis=1)
+    ub = base(u_lo, gu_p, wu, 16)
+    vb = base(v_lo, gv_p, wv, 8)
+    active = act.reshape(nsb, nnb, nt).any(axis=-1)
+    fits = jnp.stack(
+        [~active | (jnp.ceil(u_hi) <= (ub + wu).astype(jnp.float32)),
+         ~active | (jnp.ceil(v_hi) <= (vb + wv).astype(jnp.float32))],
+        axis=-1)
+    uvb = jnp.stack([ub // 16, vb // 8, active.astype(jnp.int32),
+                     jnp.zeros_like(ub)], axis=-1)
+    return uvb, fits
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_chain(cfg, density_pm, k0_pm, mask_pm, rays16, sh1_t, rgbnet,
-                uvb8):
+def fused_chain(cfg, density_pm, k0_pm, mask_pm, rays16, sh1_t, rgbnet):
     """Fused train forward: sweep + compositing + MLP in two Pallas calls.
 
     Args:
-      cfg: FusedCfg (static). cfg.wu/wv > 0 enables per-ray-tile windowed
-        slab reads (uvb8 required).
+      cfg: FusedCfg (static). cfg.wu/wv > 0 enables per-(station-block,
+        ray-tile) windowed slab reads; the cell bases are computed here
+        from the ray geometry (:func:`blocktile_uv_bases`).
       density_pm, k0_pm, mask_pm: f32 grids ALREADY permuted to sweep
         order [Gp, Gu, Gv(, F)] (and already clip-sliced in region mode).
       rays16: [16, N] f32 packed rays (see train_fwd_pallas); every ray
         must share the sign of dp (direction-uniform batch).
       sh1_t: [W, N] f32 hoisted view-path term (vd_emb @ W1b + b1).T.
       rgbnet: the model's rgbnet param pytree (layers 0..2).
-      uvb8: [N//nt, 2] int32 per-tile window bases // 8 (from
-        :func:`tile_uv_bases`); pass zeros([0, 2]) when unwindowed.
 
     Returns (rgb_marched [N, 3], alphainv_last [N], rgbper_sum [N]).
     """
     out, _ = _fused_chain_fwd(cfg, density_pm, k0_pm, mask_pm, rays16,
-                              sh1_t, rgbnet, uvb8)
+                              sh1_t, rgbnet)
     return out
 
 
 def _fused_chain_fwd(cfg, density_pm, k0_pm, mask_pm, rays16, sh1_t,
-                     rgbnet, uvb8):
+                     rgbnet):
     gp, gu, gv = density_pm.shape
     k0_dim = k0_pm.shape[-1]
     windowed = (0 < cfg.wu < _round_up(gu, 16)
@@ -814,24 +878,29 @@ def _fused_chain_fwd(cfg, density_pm, k0_pm, mask_pm, rays16, sh1_t,
     scal = jnp.stack([p0, pstep, jnp.float32(0), jnp.float32(0)]
                      ).reshape(1, 4).astype(jnp.float32)
     w1a, w2, b2t, w3p, b3t = _mlp_operands(rgbnet, cfg.f, cfg.width)
-    uvb = uvb8 if windowed else None
+    if windowed:
+        wu_e, wv_e, _ = _eff_windows(cfg, gu_p, gv_p)
+        uvb, _ = blocktile_uv_bases(
+            rays16, p0, pstep, s_pad // cfg.s_blk, cfg.s_blk, gu_p, gv_p,
+            wu_e, wv_e, cfg.nt)
+    else:
+        uvb = None
     pack, t_chk, vals = train_fwd_pallas(
         slabs_m, rays16, sh1_t, w1a, w2, b2t, w3p, b3t, scal, uvb,
         cfg=cfg, gu=gu_p, gv=gv_p)
     rgb = pack[0:3].T
     ainv = pack[3]
     rgbper = pack[4]
-    res = (vals, t_chk, rays16, sh1_t, rgbnet, ainv, scal, desc, uvb8,
+    res = (vals, t_chk, rays16, sh1_t, rgbnet, ainv, scal, desc, uvb,
            gp, gu, gv, gu_p, gv_p, k0_dim, s_real)
     return (rgb, ainv, rgbper), res
 
 
 def _fused_chain_bwd(cfg, res, cts):
-    (vals, t_chk, rays16, sh1_t, rgbnet, ainv, scal, desc, uvb8,
+    (vals, t_chk, rays16, sh1_t, rgbnet, ainv, scal, desc, uvb,
      gp, gu, gv, gu_p, gv_p, k0_dim, s_real) = res
     g_rgb, g_ainv, g_rgbper = cts
     n = rays16.shape[1]
-    windowed = 0 < cfg.wu < gu_p or 0 < cfg.wv < gv_p
     # rgb_marched = sum_s w_s rgb_s + alphainv_last * bg: the rgb cotangent
     # also reaches alphainv through the background term.
     g_ainv = g_ainv + cfg.bg * jnp.sum(g_rgb, axis=-1)
@@ -841,7 +910,6 @@ def _fused_chain_bwd(cfg, res, cts):
          g_rgbper[None].astype(jnp.float32),
          ainv[None], jnp.zeros((2, n), jnp.float32)], axis=0)
     w1a, w2, b2t, w3p, b3t = _mlp_operands(rgbnet, cfg.f, cfg.width)
-    uvb = uvb8 if windowed else None
     d_st_m, d_sh1, d_w1a, d_w2, d_b2, d_w3, d_b3 = train_bwd_pallas(
         vals, t_chk, rays16, cot, sh1_t, w1a, w2, b2t, w3p, b3t, scal,
         uvb, cfg=cfg, gu=gu_p, gv=gv_p)
@@ -858,8 +926,7 @@ def _fused_chain_bwd(cfg, res, cts):
     d_rgbnet = _assemble_rgbnet_grads(rgbnet, d_w1a, d_w2, d_b2, d_w3,
                                       d_b3, cfg.f)
     return (d_density, d_k0, jnp.zeros_like(d_g4[..., 1]),
-            jnp.zeros_like(rays16), d_sh1, d_rgbnet,
-            jnp.zeros_like(uvb8))
+            jnp.zeros_like(rays16), d_sh1, d_rgbnet)
 
 
 def _assemble_rgbnet_grads(rgbnet, d_w1a, d_w2, d_b2, d_w3, d_b3, fdim):

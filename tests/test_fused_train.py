@@ -259,7 +259,12 @@ def test_fused_windowed_matches_full(direct):
                         d_pv[2], tlo, thi, zeros, zeros, zeros, zeros,
                         zeros, zeros, zeros, zeros])
     gu_p, gv_p = (gu + 15) // 16 * 16, (gv + 7) // 8 * 8
-    _, fits = ptf.tile_uv_bases(rays16, gu_p, gv_p, 16, 16, 512)
+    k = sweep_ops.substeps_for_stepsize(rk["stepsize"])
+    s_pad = ptf._round_up(k * (int(model.world_size[axis]) - 1) + 1,
+                          ptf.S_BLK)
+    _, fits = ptf.blocktile_uv_bases(
+        rays16, jnp.float32(0.0), jnp.float32(1.0 / k),
+        s_pad // ptf.S_BLK, ptf.S_BLK, gu_p, gv_p, 16, 16, 512)
     assert bool(jnp.all(fits)), "test batches must fit the window class"
 
     _assert_close(retw["rgb_marched"], retfull["rgb_marched"], 1e-5,
