@@ -514,6 +514,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     sweep_axes = []   # axes with rays (precompile_steps enumerates these)
     bucket_ok = False
     bucket2d_ok = False
+    fused_tiles = False
     buckets = {}
     bucket_compile_hook = {}
     if use_sweep:
@@ -576,6 +577,19 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         # (wu, wv) composed boxes; 0 in a slot = full extent). Same sort
         # machinery as the 1D v-windows it supersedes.
         persp2d = bucket_ok and bool(cfg_train.get("bucket_2d", True))
+        # Fused-kernel tile classes supersede the composed-box classes for
+        # perspective sweeps when the model supports the fused step: the
+        # sampling unit becomes the 512-ray tile and batches regroup
+        # same-class tiles, so the kernels' per-(station-block, tile)
+        # windows realize the 7-10%-of-segment-box cell footprints the
+        # whole-traversal classes cannot (ops/pallas_train_fused).
+        from ..ops import pallas_train_fused as _ptf
+        fused_tiles = (persp2d and mesh is None
+                       and bool(cfg_train.get("fused_tiles", True))
+                       and cfg_train.N_rand % 512 == 0
+                       and _ptf.fused_enabled()
+                       and hasattr(model, "supports_fused_step")
+                       and model.supports_fused_step())
         # buckets: ax -> {W | (Wu, Wv): (idx, lo(s)...)}; the compile hook
         # is filled in once the compile machinery below exists
 
@@ -638,8 +652,50 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                                     float(_o[1]),
                                     float(_o[1]) + float(csz[1]) - 1.0,
                                     box[2], box[3])
-                        if persp2d and bool(cfg_train.get("bucket_blocked",
-                                                          False)):
+                        if fused_tiles:
+                            tb = sweep_ops.build_ray_tiles_blocktile(
+                                rays_o_np[g], rays_d_np[g], xyz_min,
+                                xyz_max, world_size, ax, near, far,
+                                cfg_model.stepsize, nt=512,
+                                max_classes=int(cfg_train.get(
+                                    "fused_tile_classes", 4)),
+                                clip_box=box6)
+                            # Classes the fused gate rejects (VMEM at this
+                            # box) fold into the remainder NOW so their
+                            # tiles stay drawable via the plain program
+                            # (the compile hook would silently skip them
+                            # and the draw path never sees unlanded keys).
+                            if csz is not None:
+                                _bu, _bv = int(csz[1]), int(csz[2])
+                            else:
+                                _pm = sweep_ops._PERMS[ax]
+                                _bu = int(world_size[_pm[1]])
+                                _bv = int(world_size[_pm[2]])
+                            _fdim = (model.k0_dim if model.rgbnet_direct
+                                     else model.k0_dim - 3)
+                            keep, rest = {}, []
+                            for kk, idx in tb.items():
+                                if idx.shape[0] == 0:
+                                    continue
+                                ok = (kk[0] == 0 and kk[1] == 0) or \
+                                    _ptf.fused_available(
+                                        int(cfg_train.N_rand), _bu, _bv,
+                                        _fdim, int(model.rgbnet_width),
+                                        float(model.fast_color_thres),
+                                        int(model.rgbnet_depth),
+                                        wu=int(kk[0]), wv=int(kk[1]))
+                                if ok:
+                                    keep[("fblk", *kk)] = g[idx]
+                                else:
+                                    rest.append(g[idx])
+                            if rest:
+                                rk0 = ("fblk", 0, 0, 0)
+                                if rk0 in keep:
+                                    rest.append(keep[rk0])
+                                keep[rk0] = np.concatenate(rest, axis=0)
+                            out = keep or None
+                        elif persp2d and bool(cfg_train.get(
+                                "bucket_blocked", False)):
                             # Per-p-BLOCK (u, v) windows: the full-traversal
                             # drift that forces 2D classes to ~full-u
                             # shrinks B-fold per block, and the 4-endpoint
@@ -688,7 +744,9 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                         return  # superseded by a pg_scale rebuild
                     buckets[ax] = out
                     if out:
-                        shares = {k: v[0].size for k, v in out.items()}
+                        shares = {k: (v.size if isinstance(v, np.ndarray)
+                                      else v[0].size)
+                                  for k, v in out.items()}
                         tot = max(sum(shares.values()), 1)
                         print(f"scene_rep_reconstruction ({stage}): [phase]"
                               f" segment classes ax{ax}: "
@@ -753,6 +811,53 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             # permute/slab-blend/backward/optimizer) by ~Gv/W as well.
             ax = _pick_axis(n_sub)
             bk = buckets.get(ax)
+            if bk is not None and not no_window \
+                    and any(isinstance(k, tuple) and k
+                            and k[0] == "fblk" for k in bk):
+                # Fused-kernel tile draws: a batch is N_rand/512 tiles of
+                # ONE (wu, wv, sign) class (direction-uniform, every
+                # per-(station-block, tile) cell fits the class — see
+                # ops/sweep.build_ray_tiles_blocktile). Classes whose
+                # program landed draw proportional to ray count; the
+                # (0, 0, 0) remainder trains through the plain fallback.
+                csz, coff = clip_plan.get(ax, (None, None))
+                if csz is not None:
+                    bp, bu, bv = (int(x) for x in csz)
+                    offs3 = np.asarray(coff, np.int32)
+                else:
+                    perm = sweep_ops._PERMS[ax]
+                    bp = int(model.world_size[perm[0]])
+                    bu = int(model.world_size[perm[1]])
+                    bv = int(model.world_size[perm[2]])
+                    offs3 = np.zeros(3, np.int32)
+                cands, counts = [], []
+                for kk in bk:
+                    if not (isinstance(kk, tuple) and kk
+                            and kk[0] == "fblk"):
+                        continue
+                    wu_k, wv_k = int(kk[1]), int(kk[2])
+                    if wu_k == 0 and wv_k == 0:
+                        cands.append((kk, None))
+                        counts.append(bk[kk].size)
+                        continue
+                    skey = ("fblk", wu_k, wv_k, bp, bu, bv)
+                    if (ax, 1, skey) in train_steps:
+                        cands.append((kk, skey))
+                        counts.append(bk[kk].size)
+                if not cands or all(s is None for _, s in cands):
+                    return ([group_gens[ax]() for _ in range(n_sub)], ax,
+                            None, None)
+                counts = np.asarray(counts, np.float64)
+                kk, skey = cands[int(rng.choice(len(cands),
+                                                p=counts / counts.sum()))]
+                idx = bk[kk]
+                n_draw = cfg_train.N_rand // 512
+                rows = rng.choice(idx.shape[0], size=n_draw,
+                                  replace=idx.shape[0] < n_draw)
+                sel = idx[rows].reshape(-1)
+                if skey is None:   # remainder tiles -> plain clipped draw
+                    return [sel], ax, None, None
+                return [sel], ax, skey, offs3[None]
             if bk is not None and not no_window \
                     and any(isinstance(k, tuple) and len(k) == 3
                             and k[0] == "blk" for k in bk):
@@ -1168,6 +1273,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                 for ns in sorted({1, n_dispatch}):
                     fallback.append((ax, ns, csizes))
                 if (bucket_ok and n_dispatch == 1 and not apply_tv_n
+                        and not fused_tiles
                         and not (bool(cfg_train.get("bucket_2d", True))
                                  and bool(cfg_train.get("bucket_blocked",
                                                         False)))):
@@ -1263,6 +1369,27 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         gu_f = int(model.world_size[perm[1]])
         gv_f = int(model.world_size[perm[2]])
         for k in bk:
+            if isinstance(k, tuple) and k and k[0] == "fblk":
+                wu_k, wv_k = int(k[1]), int(k[2])
+                if wu_k == 0 and wv_k == 0:
+                    continue  # remainder tiles use the plain program
+                key = (ax, 1, ("fblk", wu_k, wv_k, bp, bu, bv))
+                if key not in train_steps and (epoch, key) not in sub:
+                    from ..ops import pallas_train_fused as ptf
+                    fdim = (model.k0_dim if model.rgbnet_direct
+                            else model.k0_dim - 3)
+                    if not ptf.fused_available(
+                            int(cfg_train.N_rand), bu, bv, fdim,
+                            int(model.rgbnet_width),
+                            float(model.fast_color_thres),
+                            int(model.rgbnet_depth), wu=wu_k, wv=wv_k):
+                        continue
+                    sub.add((epoch, key))
+                    fut = compile_state["bg"].submit(
+                        _build_and_warm, key, tv_state, epoch, avals)
+                    fut.add_done_callback(_bg_done(key, time.time()))
+                    compile_state["futs"].append(fut)
+                continue
             if isinstance(k, tuple) and len(k) == 3 and k[0] == "blk":
                 if k[1] == 0 and k[2] == 0:
                     continue  # fallback class uses the plain program

@@ -938,8 +938,8 @@ class DirectVoxGO:
 
     def forward_sweep_fused(self, params, mask, rays_o, rays_d, viewdirs,
                             axis, target, *, near, far, bg, stepsize,
-                            clip_offsets=None, window=None,
-                            interpret=False, **_):
+                            clip_offsets=None, window=None, s_blk=None,
+                            nt=None, interpret=False, **_):
         """Fused-kernel train forward (ops/pallas_train_fused.py).
 
         Same math as :meth:`forward_sweep` + the loss-facing reductions,
@@ -967,6 +967,9 @@ class DirectVoxGO:
         """
         from ..ops import pallas_train_fused as ptf
 
+        # Mosaic kernels need a TPU; CPU callers (tests, the forced-mode
+        # engine gate) fall back to interpret mode automatically.
+        interpret = interpret or jax.default_backend() != "tpu"
         k = sweep_ops.substeps_for_stepsize(stepsize)
         density, k0 = params["density"], params["k0"]
         perm = sweep_ops._PERMS[axis]
@@ -1012,6 +1015,7 @@ class DirectVoxGO:
             act_shift=float(self.act_shift),
             thres=float(self.fast_color_thres), bg=float(bg),
             direct=bool(self.rgbnet_direct), wu=wu, wv=wv,
+            s_blk=int(s_blk or ptf.S_BLK), nt=int(nt or ptf.NT),
             interpret=interpret)
         rgb, ainv, rgbper = ptf.fused_chain(
             cfg, density_pm, k0_pm, mask_pm, rays16, sh1_t,

@@ -951,13 +951,24 @@ def _assemble_rgbnet_grads(rgbnet, d_w1a, d_w2, d_b2, d_w3, d_b3, fdim):
 fused_chain.defvjp(_fused_chain_fwd, _fused_chain_bwd)
 
 
+def fused_enabled():
+    """Backend/env gate alone (the engine checks it before paying for the
+    tile sort): TPU, or DVGO_FUSED_TRAIN=force (CPU interpret mode)."""
+    import os
+    env = os.environ.get("DVGO_FUSED_TRAIN", "1")
+    if env == "0":
+        return False
+    return env == "force" or jax.default_backend() == "tpu"
+
+
 def fused_available(n, gu, gv, fdim, width, thres, depth,
                     s_blk=S_BLK, nt=NT, wu=0, wv=0):
-    """Gate for the fused train step: shape tiling, a 3-layer split MLP,
-    a positive fast_color_thres (the gating semantics depend on it), and a
-    VMEM budget check for both kernels at this (gu, gv[, window])."""
-    import os
-    if os.environ.get("DVGO_FUSED_TRAIN", "1") == "0":
+    """Gate for the fused train step: TPU backend (Mosaic kernels; set
+    DVGO_FUSED_TRAIN=force to exercise the path in interpret mode on
+    CPU), shape tiling, a 3-layer split MLP, a positive fast_color_thres
+    (the gating semantics depend on it), and a VMEM budget check for both
+    kernels at this (gu, gv[, window])."""
+    if not fused_enabled():
         return False
     if depth != 3 or width < 8 or fdim < 1 or fdim > CP - 2:
         return False

@@ -1279,10 +1279,15 @@ def build_ray_tiles_blocktile(rays_o, rays_d, xyz_min, xyz_max,
         tiles_by[sg] = (idx, need_u, need_v)
 
     def fit(need, widths, g_pad):
-        ws = [w for w in sorted(widths) if w < g_pad]
+        # g_pad itself is the terminal class: full extent in THIS axis is
+        # still a valid fused window when the other axis stays narrow
+        # (the kernel treats w >= extent as unwindowed for that dim,
+        # pallas_train_fused._eff_windows), and need <= g_pad always (the
+        # cell ranges are grid-clipped), so nothing is left classless.
+        ws = [w for w in sorted(widths) if w < g_pad] + [g_pad]
         out = np.zeros(len(need), np.int64)
         for i, nd in enumerate(need):
-            out[i] = next((w for w in ws if nd <= w), 0)
+            out[i] = next(w for w in ws if nd <= w)
         return out
 
     # candidate classes from both sign pools, kept by ray count, tiles
