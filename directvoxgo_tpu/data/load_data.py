@@ -152,7 +152,8 @@ def load_data(args):
         # Forward-facing procedural fixture for the NDC/DMPIGO (LLFF-style)
         # pipeline (TPU rebuild addition).
         from .synthetic import make_ndc_fixture_dataset
-        return make_ndc_fixture_dataset()
+        return make_ndc_fixture_dataset(
+            **dict(getattr(args, "fixture_kwargs", None) or {}))
 
     else:
         raise NotImplementedError(

@@ -164,7 +164,8 @@ def _teacher_chunk_renderer(res, n_samples):
 
 
 def make_ndc_fixture_dataset(n_train=12, n_val=2, n_test=3, H=64, W=64,
-                             teacher_res=64, seed=0):
+                             teacher_res=64, seed=0,
+                             cache_dir="/tmp/dvgo_fixture_cache"):
     """Forward-facing (LLFF-style) procedural fixture for the NDC/DMPIGO
     pipeline. ``ndc_rays`` puts the near plane at world z = -1 (the LLFF
     convention: cameras near z = 0 looking down -z, content beyond the near
@@ -191,11 +192,25 @@ def make_ndc_fixture_dataset(n_train=12, n_val=2, n_test=3, H=64, W=64,
     poses = np.stack(poses, 0)
 
     # GT images are WORLD-space renders (NDC is a model-side ray
-    # reparameterization, not a scene change).
-    images = np.stack([
-        _render_view(density, rgb, H, W, K, c2w[:3, :4], 0.5, 4.5, 0.0,
-                     n_samples=256, scene_box=scene_box)
-        for c2w in poses], 0)
+    # reparameterization, not a scene change). Disk-cached like the
+    # perspective fixture — a fern-scale (756x1008 x 20-view) fixture
+    # costs minutes of raymarching.
+    cache_path = None
+    if cache_dir:
+        key = f"ndc_{n_train}_{n_val}_{n_test}_{H}_{W}_{teacher_res}_" \
+              f"{seed}_v1"
+        cache_path = os.path.join(cache_dir, f"fixture_{key}.npz")
+    if cache_path and os.path.isfile(cache_path):
+        with np.load(cache_path) as z:
+            images = z["images"]
+    else:
+        images = np.stack([
+            _render_view(density, rgb, H, W, K, c2w[:3, :4], 0.5, 4.5,
+                         0.0, n_samples=256, scene_box=scene_box)
+            for c2w in poses], 0)
+        if cache_path:
+            os.makedirs(cache_dir, exist_ok=True)
+            np.savez_compressed(cache_path, images=images)
 
     idx = np.arange(n_total)
     render_poses = []
