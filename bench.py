@@ -138,25 +138,37 @@ def bench_render(model, H=800, W=800):
     log(f"bench: render {H}x{W} per-frame-sync {sec_sync*1000:.1f} ms/frame")
 
     # Secondary: display-pipeline throughput — dispatch frame i, pull
-    # frame i-1 (uint8 rgb + f16 depth, ~3.2 MB over the dev tunnel at
-    # ~20-30 MB/s; fetch overlaps the next frame's compute).
+    # frame i-1's RGB (uint8, ~1.9 MB over the dev tunnel at ~20-30 MB/s;
+    # fetch overlaps the next frame's compute). Depth stays on device: a
+    # display consumer doesn't request it, and pulling its f16 plane was
+    # +1.3 MB (+40%) of pure tunnel time in r03. Two full orbits; the
+    # median is taken over the steady state (first 2 frames excluded —
+    # they carry dispatch-pipeline fill, not per-frame cost).
     marks = []
     pending = None
     t_start = time.time()
-    for th in frames:
+    for th in frames + frames:
         out = frame(th)
         if pending is not None:
-            np.asarray(pending[0]), np.asarray(pending[1])
+            np.asarray(pending[0])
             marks.append(time.time())
         pending = out
     if pending is not None:
-        np.asarray(pending[0]), np.asarray(pending[1])
+        np.asarray(pending[0])
         marks.append(time.time())
     deltas = np.diff([t_start] + marks) * 1000
-    pipe = float(np.median(deltas)) / 1000
-    log(f"bench: render {H}x{W} pipelined-fetch median {pipe*1000:.1f} "
-        f"ms/frame (times: {[f'{t:.0f}' for t in deltas]})")
-    return sec, sec_sync
+    steady = deltas[2:]
+    pipe = float(np.median(steady)) / 1000
+    log(f"bench: render {H}x{W} pipelined-fetch steady median "
+        f"{pipe*1000:.1f} ms/frame (rgb-only pull; times: "
+        f"{[f'{t:.0f}' for t in deltas]})")
+    variance_note = None
+    if max(orbit_ms) > 1.2 * min(orbit_ms):
+        variance_note = (
+            f"orbit times disagree >20% ({[f'{1e3*t:.1f}' for t in orbit_ms]}"
+            " ms/frame): dev-tunnel RTT weather; the min is the closest"
+            " observable to device throughput")
+    return sec, sec_sync, pipe, list(np.round(deltas, 1)), variance_note
 
 
 def _make_training_pool(n_views=12, H=400, W=400):
@@ -187,7 +199,7 @@ def _make_training_pool(n_views=12, H=400, W=400):
     return ro, rd, vd, rgb
 
 
-def bench_train(model, n_rand=8192, iters=30):
+def bench_train(model, n_rand=8192, iters=30, pool_kind="flatten"):
     """Train-step timing through the ENGINE's own make_train_step: device-
     resident ray pool, per-step host->device sel upload (32 KB int32), the
     on-device jnp.take gather, region-sliced MaskedAdam, donated buffers —
@@ -227,6 +239,19 @@ def bench_train(model, n_rand=8192, iters=30):
     from directvoxgo_tpu.ops import sweep as sweep_ops
 
     ro, rd, vd, rgb = _make_training_pool()
+    if pool_kind == "filtered":
+        # The engine fine stage's ACTUAL pool shape (ray_sampler=
+        # 'in_maskcache'): only rays hitting the cached occupancy, per-view
+        # ordering preserved — so an 8192-ray Morton segment spans a much
+        # larger image fraction than on the flatten pool and realizes the
+        # wide window classes a run.py fine loop sees (PERF_LOG r3
+        # pool-structure finding).
+        hit = model.hit_coarse_geo(ro, rd, rk["near"], rk["far"],
+                                   rk["stepsize"])
+        keep = np.flatnonzero(np.asarray(hit))
+        log(f"bench: filtered pool keeps {keep.size}/{ro.shape[0]} rays "
+            f"({keep.size / ro.shape[0]:.2f})")
+        ro, rd, vd, rgb = ro[keep], rd[keep], vd[keep], rgb[keep]
     pool = {"rays_o": jnp.asarray(ro), "rays_d": jnp.asarray(rd),
             "viewdirs": jnp.asarray(vd), "rgb": jnp.asarray(rgb)}
     groups = sweep_ops.dominant_axis(rd, model.xyz_min, model.xyz_max,
@@ -254,9 +279,23 @@ def bench_train(model, n_rand=8192, iters=30):
                 bvo, bvo + bv - 1) if clipped else None
         gu_f = int(model.world_size[perm[1]])
         gv_f = int(model.world_size[perm[2]])
-        use_blocked = os.environ.get("DVGO_BENCH_BUCKETS",
-                                     "2d") == "blocked"
-        if use_blocked:
+        from directvoxgo_tpu.ops import pallas_train_fused as ptf
+        mode = os.environ.get(
+            "DVGO_BENCH_BUCKETS",
+            "fblk" if ptf.fused_enabled() else "2d")
+        use_blocked = mode == "blocked"
+        use_fblk = mode == "fblk"
+        if use_fblk:
+            # Fused-kernel tile classes — the engine's DEFAULT draw
+            # (engine/train.py fused_tiles): direction-uniform 512-ray
+            # tiles grouped by per-(station-block, tile) window class,
+            # dispatched through forward_sweep_fused; VMEM-rejected
+            # classes fold into the plain clipped remainder.
+            bk = sweep_ops.build_ray_tiles_blocktile(
+                ro[g], rd[g], model.xyz_min, model.xyz_max,
+                model.world_size, axis, rk["near"], rk["far"],
+                rk["stepsize"], nt=512, max_classes=4, clip_box=box6)
+        elif use_blocked:
             # Blocked per-p-block (u, v) window classes — the engine's
             # blocked draw (build_buckets.work / next_chunk).
             bk = sweep_ops.build_ray_segments_blocked(
@@ -281,19 +320,44 @@ def bench_train(model, n_rand=8192, iters=30):
 
         # (class key or None) -> (ray_count, batch drawer)
         classes = {}
-        windowed_rays = sum(
-            idx.size for k, (idx, _, _) in bk.items()
-            if k != (0, 0) and (use_blocked or eff(k) != (bu, bv)))
-        if g.size - windowed_rays > 0:
-            classes[None] = (g.size - windowed_rays, None)
-        for k, (idx, ulo, vlo) in bk.items():
-            if k != (0, 0) and idx.shape[0] > 0 \
-                    and (use_blocked or eff(k) != (bu, bv)):
-                classes[k] = (idx.size, (idx, ulo, vlo))
+        if use_fblk:
+            # Gate each tile class exactly as the engine's build_buckets
+            # does; rejected/remainder tiles train via the plain clipped
+            # program (classes[None]).
+            fdim = model.k0_dim if model.rgbnet_direct \
+                else model.k0_dim - 3
+            n_rest = 0
+            for kk, idx in bk.items():
+                if idx.shape[0] == 0:
+                    continue
+                wu_k, wv_k = int(kk[0]), int(kk[1])
+                ok = (wu_k or wv_k) and ptf.fused_available(
+                    n_rand, bu, bv, fdim, int(model.rgbnet_width),
+                    float(model.fast_color_thres),
+                    int(model.rgbnet_depth), wu=wu_k, wv=wv_k)
+                if ok:
+                    classes[kk] = (idx.size, idx)
+                else:
+                    n_rest += idx.size
+            n_rest += g.size - sum(idx.size for idx in bk.values())
+            if n_rest > 0:
+                classes[None] = (n_rest, None)
+        else:
+            windowed_rays = sum(
+                idx.size for k, (idx, _, _) in bk.items()
+                if k != (0, 0) and (use_blocked or eff(k) != (bu, bv)))
+            if g.size - windowed_rays > 0:
+                classes[None] = (g.size - windowed_rays, None)
+            for k, (idx, ulo, vlo) in bk.items():
+                if k != (0, 0) and idx.shape[0] > 0 \
+                        and (use_blocked or eff(k) != (bu, bv)):
+                    classes[k] = (idx.size, (idx, ulo, vlo))
         for w, (count, seg) in sorted(
                 classes.items(), key=lambda kv: (-kv[1][0], str(kv[0]))):
             if w is None:
                 sizes = (bp, bu, bv)
+            elif use_fblk:
+                sizes = ("fblk", int(w[0]), int(w[1]), bp, bu, bv)
             elif use_blocked:
                 nb_b = seg[1].shape[1]
                 sizes = ("blk", nb_b, *eff(w))
@@ -308,6 +372,13 @@ def bench_train(model, n_rand=8192, iters=30):
                 # loop pays the per-step jnp.asarray upload, as run.py does.
                 if w is None:
                     sel = g[rng.integers(0, g.size, n_rand)]
+                    off = np.asarray([bpo, buo, bvo], np.int32)
+                elif use_fblk:
+                    idx = seg
+                    n_draw = n_rand // 512
+                    r = rng.choice(idx.shape[0], size=n_draw,
+                                   replace=idx.shape[0] < n_draw)
+                    sel = g[idx[r].reshape(-1)]
                     off = np.asarray([bpo, buo, bvo], np.int32)
                 elif use_blocked:
                     idx, uo, vo = seg
@@ -340,7 +411,12 @@ def bench_train(model, n_rand=8192, iters=30):
                     jnp.asarray(off))
             float(jnp.sum(loss))  # host pull = the real sync on this stack
             dt_c = (time.time() - t0) / iters
-            label = "full" if w is None else f"{eff(w)[0]}x{eff(w)[1]}"
+            if w is None:
+                label = "full"
+            elif use_fblk:
+                label = f"fblk{int(w[0])}x{int(w[1])}s{int(w[2])}"
+            else:
+                label = f"{eff(w)[0]}x{eff(w)[1]}"
             detail[f"axis{axis}_w{label}"] = round(dt_c * 1000, 2)
             log(f"bench: axis {axis} class {label} "
                 f"{dt_c*1000:.2f} ms/iter (ray share {count/len(groups):.2f})")
@@ -441,21 +517,36 @@ def main():
     log(f"bench: devices {jax.devices()}")
     model = build_fine_model()
     train_dt, train_per_axis = bench_train(model)
-    render_sec, render_sync_sec = bench_render(model)
+    # The same engine bench on the maskcache-FILTERED pool — the class
+    # mix a run.py fine stage actually draws (VERDICT r3 #1): wide
+    # windows + fallback share, not the flatten pool's (32,32)-heavy mix.
+    train_dt_filt, train_per_axis_filt = bench_train(
+        model, pool_kind="filtered")
+    (render_sec, render_sync_sec, render_pipe_sec, pipe_times,
+     variance_note) = bench_render(model)
     consistency = check_render_consistency(model)
     baseline = 0.07  # best published reference render latency (README.md:7)
-    print(json.dumps({
+    out = {
         "metric": "render_800x800_fine160_secs_per_frame",
         "value": round(render_sec, 5),
         "unit": "s/frame",
         "vs_baseline": round(baseline / render_sec, 3),
         # secondary metrics (same run, same model):
         "render_per_frame_sync_s": round(render_sync_sec, 5),
+        "render_pipelined_fetch_median_s": round(render_pipe_sec, 5),
+        "times": pipe_times,
         "train_step_ms": round(train_dt * 1000, 2),
         "train_step_ms_per_axis": train_per_axis,
         "train_projected_fine20k_min": round(train_dt * 20000 / 60, 2),
+        "train_step_ms_filtered_pool": round(train_dt_filt * 1000, 2),
+        "train_step_ms_per_axis_filtered": train_per_axis_filt,
+        "train_filtered_projected_fine20k_min":
+            round(train_dt_filt * 20000 / 60, 2),
         **consistency,
-    }), flush=True)
+    }
+    if variance_note:
+        out["variance_note"] = variance_note
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
