@@ -693,6 +693,46 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                                 if rk0 in keep:
                                     rest.append(keep[rk0])
                                 keep[rk0] = np.concatenate(rest, axis=0)
+                            # Remainder tiles (wider cell support than any
+                            # kept fused class) re-bucket through the XLA
+                            # composed-box 2D windows instead of training
+                            # as plain draws: at the final grid the clip
+                            # plan is None (the fine grid IS the coarse
+                            # bbox) so a plain draw is a FULL-GRID sweep
+                            # (~35-100 ms realized) while a (96,96)-class
+                            # composed box costs 13-19 ms (PERF_LOG r3).
+                            # Measured run r4b: remainder was 17-34% of
+                            # rays at the final grid and plain draws were
+                            # ~55% of the stage's realized wall.
+                            rk0 = ("fblk", 0, 0, 0)
+                            rest_rays = keep.get(rk0)
+                            if (rest_rays is not None
+                                    and rest_rays.size >= cfg_train.N_rand):
+                                rr = np.asarray(rest_rays).reshape(-1)
+                                # default widths exclude 128: wv=128
+                                # measured pathological (cp*wv = 2048-lane
+                                # XLA tiling cliff, PERF_LOG r3)
+                                b2 = sweep_ops.build_ray_segments_2d(
+                                    rays_o_np[rr], rays_d_np[rr],
+                                    xyz_min, xyz_max, world_size, ax,
+                                    n_rand=cfg_train.N_rand,
+                                    widths=tuple(cfg_train.get(
+                                        "remainder2d_widths",
+                                        (48, 64, 96))),
+                                    max_classes=3, clip_box=box6)
+                                if b2:
+                                    keep.pop(rk0, None)
+                                    for wuv, (idx2, ulo, vlo) in b2.items():
+                                        if idx2.shape[0] == 0:
+                                            continue
+                                        if wuv == (0, 0):
+                                            # keep the fblk remainder's
+                                            # [tiles, 512] row shape
+                                            keep[rk0] = rr[idx2].reshape(
+                                                -1, 512)
+                                        else:
+                                            keep[wuv] = (rr[idx2], ulo,
+                                                         vlo)
                             out = keep or None
                         elif persp2d and bool(cfg_train.get(
                                 "bucket_blocked", False)):
@@ -761,7 +801,21 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                         if hook is not None:
                             hook(ax)
 
-            t = threading.Thread(target=work2d if bucket2d_ok else work,
+            def _guard(fn):
+                # A daemon thread dying silently leaves the stage drawing
+                # full sweeps forever — surface the traceback.
+                def run():
+                    try:
+                        fn()
+                    except Exception:
+                        import traceback
+                        print(f"scene_rep_reconstruction ({stage}): "
+                              "[phase] segment sort FAILED:")
+                        traceback.print_exc()
+                return run
+
+            t = threading.Thread(target=_guard(work2d if bucket2d_ok
+                                               else work),
                                  daemon=True, name="segment-sort")
             bucket_builds["thread"] = t
             t.start()
@@ -830,26 +884,51 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                     bu = int(model.world_size[perm[1]])
                     bv = int(model.world_size[perm[2]])
                     offs3 = np.zeros(3, np.int32)
+                def eff2(k):
+                    eu = k[0] if 0 < k[0] < bu else bu
+                    ev = k[1] if 0 < k[1] < bv else bv
+                    return eu, ev
+
                 cands, counts = [], []
                 for kk in bk:
-                    if not (isinstance(kk, tuple) and kk
-                            and kk[0] == "fblk"):
+                    if not isinstance(kk, tuple) or not kk:
                         continue
-                    wu_k, wv_k = int(kk[1]), int(kk[2])
-                    if wu_k == 0 and wv_k == 0:
-                        cands.append((kk, None))
-                        counts.append(bk[kk].size)
-                        continue
-                    skey = ("fblk", wu_k, wv_k, bp, bu, bv)
-                    if (ax, 1, skey) in train_steps:
-                        cands.append((kk, skey))
-                        counts.append(bk[kk].size)
+                    if kk[0] == "fblk":
+                        wu_k, wv_k = int(kk[1]), int(kk[2])
+                        if wu_k == 0 and wv_k == 0:
+                            cands.append((kk, None))
+                            counts.append(bk[kk].size)
+                            continue
+                        skey = ("fblk", wu_k, wv_k, bp, bu, bv)
+                        if (ax, 1, skey) in train_steps:
+                            cands.append((kk, skey))
+                            counts.append(bk[kk].size)
+                    elif len(kk) == 2:
+                        # remainder tiles re-bucketed as composed-box 2D
+                        # window segments (see build_buckets)
+                        eu, ev = eff2(kk)
+                        if (eu, ev) == (bu, bv):
+                            continue
+                        if (ax, 1, (bp, eu, ev)) in train_steps:
+                            cands.append((kk, (bp, eu, ev)))
+                            counts.append(bk[kk][0].size)
                 if not cands or all(s is None for _, s in cands):
                     return ([group_gens[ax]() for _ in range(n_sub)], ax,
                             None, None)
                 counts = np.asarray(counts, np.float64)
                 kk, skey = cands[int(rng.choice(len(cands),
                                                 p=counts / counts.sum()))]
+                if kk[0] != "fblk":   # 2D composed-box remainder draw
+                    eu, ev = eff2(kk)
+                    idx2, ulo, vlo = bk[kk]
+                    r = int(rng.integers(0, idx2.shape[0]))
+                    bpo, buo, bvo = (int(x) for x in offs3)
+                    offs = np.asarray(
+                        [[bpo,
+                          min(max(int(ulo[r]), buo), buo + bu - eu),
+                          min(max(int(vlo[r]), bvo), bvo + bv - ev)]],
+                        np.int32)
+                    return [idx2[r]], ax, skey, offs
                 idx = bk[kk]
                 n_draw = cfg_train.N_rand // 512
                 rows = rng.choice(idx.shape[0], size=n_draw,
@@ -1045,6 +1124,28 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     # (axis, windowed) -> [sum dispatch s, n steps] per i_print window
     axis_stats = {}
     draw_counts = {}  # step key -> iters drawn, whole stage
+    # REALIZED per-key step time: async dispatch hides per-program device
+    # time (the queue absorbs it; only the i_print pull blocks), so sample
+    # it directly — every REALIZED_EVERY-th draw of a key, drain the queue,
+    # dispatch, and block. ~200 samples over a 20k stage at 2 tunnel RTTs
+    # each (~12 s total); the drain itself is work that had to finish
+    # anyway. This is the number VERDICT r3 asked to see per class: the
+    # engine blend is the ray-share-weighted mean of these, not of the
+    # bench's flatten-pool classes.
+    realized_stats = {}  # step key -> [sum s, n samples], reset at pg
+    realized_every = int(os.environ.get("DVGO_REALIZED_EVERY", "101"))
+    draw_base = {}  # draw_counts snapshot at the last pg event
+    # Unbiased per-key attribution: a single synced sample carries the
+    # tunnel round trip (~30-60 ms on a remote chip), which steady-state
+    # async dispatch hides. Between consecutive drains, draws of mixed
+    # keys run fully pipelined; each (duration, per-key draw counts)
+    # window is one equation T_w = sum_k n_wk * c_k (+ ~2 RTT spread over
+    # ~realized_every iters), so a nonnegative least squares over the
+    # stage's windows recovers true per-key device ms. Windows containing
+    # a compile, renewal, pg event, or i_print pull are dropped.
+    lsq_windows = []   # (duration_s, {key: draws}) clean windows
+    win_state = {"t": None, "counts": {}, "dirty": False}
+    loss = None
     time0 = time.time()
     global_step = -1
     train_steps = {}  # (axis or None) -> jitted step for current tv state
@@ -1446,6 +1547,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                 refresh_state["bbox_dev"] = grid_ops.mask_bbox_vox_device(
                     model.mask)
             _t_r = time.time() - _t_r
+            win_state["dirty"] = True  # renewal sync in this window
             if _t_r > 1.0:
                 print(f"scene_rep_reconstruction ({stage}): [phase] "
                       f"renewal at {global_step}: {_t_r:.2f} s")
@@ -1466,6 +1568,11 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             _t_pg1 = time.time()
             _bump_compile_epoch()  # in-flight compiles now stale
             train_steps = {}  # shapes changed -> re-jit
+            realized_stats.clear()  # per-grid-stage realized times
+            lsq_windows.clear()
+            win_state.update(t=None, counts={}, dirty=False)
+            draw_base.clear()
+            draw_base.update(draw_counts)
             clip_plan.clear()
             refresh_clip()
             _t_pg2 = time.time()
@@ -1518,11 +1625,36 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                 tv_dense, axis=axis, clip_sizes=clip_sizes, mesh=mesh,
                 n_steps=n_sub, donate=True)
         sels = jnp.asarray(sels, jnp.int32)
+        _t_k = None
+        _dk = draw_counts.get(key, 0) - draw_base.get(key, 0)
+        if (realized_every > 0 and loss is not None and _dk > 0
+                and _dk % realized_every == 0):
+            # _dk > 0 skips a key's first draw (it compiles inline; a
+            # 10-20 s compile sample would swamp the mean)
+            jax.block_until_ready(loss)  # drain the in-flight queue
+            _t_k = time.time()
+            if win_state["t"] is not None and win_state["counts"] \
+                    and not win_state["dirty"]:
+                lsq_windows.append((_t_k - win_state["t"],
+                                    dict(win_state["counts"])))
         _t_d = time.time()
         model.params, opt_state, loss, psnr = train_steps[key](
             model.params, model.mask, opt_state, pool, sels,
             jnp.asarray(clip_off))
         _t_d = time.time() - _t_d
+        if _t_k is not None:
+            jax.block_until_ready(loss)
+            rs = realized_stats.setdefault(key, [0.0, 0])
+            rs[0] += time.time() - _t_k
+            rs[1] += n_sub
+            win_state["t"] = time.time()
+            win_state["counts"] = {}
+            win_state["dirty"] = False
+        else:
+            wc = win_state["counts"]
+            wc[key] = wc.get(key, 0) + n_sub
+            if _t_d > 0.5:
+                win_state["dirty"] = True  # inline compile in this window
         # Per-axis dispatch-time accounting (printed each i_print window).
         # Async dispatch means _t_d is enqueue time, but at steady state the
         # in-flight queue backpressures, so the window sums track real
@@ -1554,6 +1686,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             pulled = jax.device_get(
                 [*psnr_lst, loss] + ([bbox_dev] if bbox_dev is not None
                                      else []))
+            win_state["dirty"] = True  # queue drained by the pull
             if bbox_dev is not None:
                 bb = pulled[-1]
                 pulled = pulled[:-1]
@@ -1578,6 +1711,21 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                   f"{global_step:6d} / Loss: {last_loss:.9f} / "
                   f"PSNR: {psnr_avg:5.2f} / Eps: {eps_str}"
                   + (f" / {ax_str}" if ax_str else ""))
+            if realized_stats:
+                dd = {k: draw_counts.get(k, 0) - draw_base.get(k, 0)
+                      for k in realized_stats}
+                tot_d = max(sum(draw_counts.values())
+                            - sum(draw_base.values()), 1)
+                rows = sorted(realized_stats.items(),
+                              key=lambda kv: -dd.get(kv[0], 0))[:8]
+                print(f"scene_rep_reconstruction ({stage}): [phase] "
+                      "realized ms/iter (sampled): "
+                      + " ".join(
+                          f"{k[2] if k[2] is not None else 'full'}"
+                          f"@ax{k[0]}:"
+                          f"{1e3 * t / max(n, 1):.1f}x"
+                          f"{dd.get(k, 0) / tot_d:.2f}"
+                          for k, (t, n) in rows))
             psnr_lst = []
             axis_stats = {}
 
@@ -1592,6 +1740,56 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         top = sorted(draw_counts.items(), key=lambda kv: -kv[1])[:12]
         print(f"scene_rep_reconstruction ({stage}): [phase] draw classes: "
               + " ".join(f"{k}:{c/tot_d:.2f}" for k, c in top))
+    if realized_stats:
+        # Draw-share-weighted blend of the sampled realized per-key times
+        # over the FINAL grid stage (stats reset at pg events): the true
+        # steady-state ms/iter (excludes compiles/renewals, which the Eps
+        # wall clock includes).
+        num = den = 0.0
+        for k, (t, n) in realized_stats.items():
+            dk = draw_counts.get(k, 0) - draw_base.get(k, 0)
+            if n and dk:
+                num += dk * (t / n)
+                den += dk
+        if den:
+            print(f"scene_rep_reconstruction ({stage}): [phase] realized "
+                  f"blend {1e3 * num / den:.1f} ms/iter over "
+                  f"{int(den)} final-stage draws "
+                  f"({len(realized_stats)} keys)")
+    if len(lsq_windows) >= 8:
+        # Nonnegative least squares over the clean async windows: true
+        # per-key device ms at steady state, free of the per-sample
+        # tunnel RTT that inflates the synced samples above.
+        kset = {}
+        for _, cts in lsq_windows:
+            for k, c in cts.items():
+                kset[k] = kset.get(k, 0) + c
+        keys_l = [k for k, c in kset.items() if c >= 64]
+        if keys_l:
+            A = np.zeros((len(lsq_windows), len(keys_l)))
+            b_v = np.zeros(len(lsq_windows))
+            for i, (dur, cts) in enumerate(lsq_windows):
+                b_v[i] = dur
+                for j, k in enumerate(keys_l):
+                    A[i, j] = cts.get(k, 0)
+            try:
+                from scipy.optimize import nnls
+                c_ms, _ = nnls(A, b_v)
+            except Exception:
+                c_ms = np.clip(np.linalg.lstsq(A, b_v, rcond=None)[0],
+                               0, None)
+            tot_w = sum(kset[k] for k in keys_l)
+            blend = sum(c_ms[j] * kset[k]
+                        for j, k in enumerate(keys_l)) / max(tot_w, 1)
+            print(f"scene_rep_reconstruction ({stage}): [phase] lsq "
+                  f"per-key ms/iter over {len(lsq_windows)} async "
+                  f"windows (blend {1e3 * blend:.1f}): "
+                  + " ".join(
+                      f"{k[2] if k[2] is not None else 'full'}@ax{k[0]}:"
+                      f"{1e3 * c_ms[j]:.1f}x{kset[k] / max(tot_w, 1):.2f}"
+                      for j, k in sorted(
+                          enumerate(keys_l),
+                          key=lambda jk: -kset[jk[1]])[:10]))
     _phase("train loop")
     compile_state["epoch"] += 1
     compile_state["bg"].shutdown(wait=False, cancel_futures=True)
