@@ -21,6 +21,7 @@ Grid layouts are channels-last ``[X, Y, Z(, C)]``.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -1054,7 +1055,15 @@ class DirectVoxGO:
         print("dvgo: voxel_count_views start")
         import time as _t
         t0 = _t.time()
-        if getattr(self, "query_mode", "gather") == "sweep":
+        # A/B hook (tools/ab_count_views.py): the sweep form's station
+        # spacing differs from the reference's arc-length steps by up to
+        # sqrt(3) per sample (freeze-mask IoU 0.98 vs the scatter oracle);
+        # DVGO_COUNT_FORM forces one form regardless of query_mode so the
+        # divergence can be A/B'd end-to-end at fixture scale.
+        form = os.environ.get("DVGO_COUNT_FORM", "")
+        use_sweep = (form == "sweep" if form
+                     else getattr(self, "query_mode", "gather") == "sweep")
+        if use_sweep:
             out = self._voxel_count_views_sweep(
                 rays_o_tr, rays_d_tr, imsz, stepsize, downrate,
                 rays_dev=rays_dev)

@@ -12,6 +12,14 @@ import sys
 
 import numpy as np
 
+if os.environ.get("DVGO_FORCE_CPU"):
+    # The container's sitecustomize programmatically overrides
+    # jax_platforms, so JAX_PLATFORMS=cpu alone cannot detach the
+    # accelerator; this hook can (used by tools/ab_count_views.py and as
+    # a fallback when the device tunnel is degraded).
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 from directvoxgo_tpu.config import Config
 from directvoxgo_tpu.data import load_everything
 from directvoxgo_tpu.engine import checkpoint as ckpt_lib
