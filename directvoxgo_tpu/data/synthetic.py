@@ -20,6 +20,132 @@ import numpy as np
 from .. import rays as ray_lib
 from .load_blender import pose_spherical
 
+# Fixture GT generation is OUTAGE-PROOF (round-4 postmortem: the headline
+# run died inside fixture generation when the remote device->host fetch
+# path degraded to ~2 KB/s, PERF_LOG "tunnel outage"):
+#   * device policy (DVGO_FIXTURE_DEVICE): "auto" (default) probes the
+#     accelerator's fetch path with a small bounded pull and falls back to
+#     the host CPU backend if it is degraded/absent; "cpu" forces the CPU
+#     backend; "default" forces the attached accelerator.
+#   * big renders checkpoint PER VIEW to <cache>.partial.npz, so an outage
+#     costs only the views not yet pulled and a rerun resumes.
+_FIXTURE_DEVICE = None
+
+
+def _probe_device_fetch(dev, timeout_s=30.0, min_mb_s=0.05):
+    """True if a 256 KB device->host pull completes at a usable rate.
+    Runs in a daemon thread: a dead tunnel can block a fetch indefinitely
+    and jax has no fetch timeout."""
+    import threading
+    import time
+
+    import jax
+    ok = [False]
+
+    def work():
+        # host-built array: device_put + pull only — a jnp.zeros here
+        # would trigger a remote XLA compile (~100 s on a cold service)
+        # and eat the whole probe budget.
+        np.asarray(jax.device_put(np.zeros((256, 256), np.float32),
+                                  dev))  # warm the put path / lazy init
+        t0 = time.time()
+        np.asarray(jax.device_put(np.ones((256, 256), np.float32), dev))
+        dt = max(time.time() - t0, 1e-9)
+        ok[0] = (0.25 / dt) >= min_mb_s
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return ok[0]
+
+
+def _fixture_device():
+    global _FIXTURE_DEVICE
+    if _FIXTURE_DEVICE is None:
+        import jax
+        policy = os.environ.get("DVGO_FIXTURE_DEVICE", "auto")
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:  # JAX_PLATFORMS excludes cpu
+            cpu = jax.devices()[0]
+        acc = jax.devices()[0]
+        if policy == "cpu" or acc == cpu:
+            _FIXTURE_DEVICE = cpu
+        elif policy == "default":
+            _FIXTURE_DEVICE = acc
+        else:  # auto
+            if _probe_device_fetch(acc):
+                _FIXTURE_DEVICE = acc
+            else:
+                print("synthetic: accelerator fetch path degraded — "
+                      "rendering fixture GT on the host CPU backend")
+                _FIXTURE_DEVICE = cpu
+    return _FIXTURE_DEVICE
+
+
+# Durable cache fallback: /tmp does not survive across sessions, so big
+# fixtures (the 46x400^2 lego-sparse GT, the fern-scale NDC GT) are also
+# looked up in (and written to) a repo-local directory that does.
+_REPO_CACHE = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir,
+                           "fixture_cache")
+
+
+def _cache_load(cache_path):
+    """Load a cached GT stack from cache_dir or the durable repo cache."""
+    for path in (cache_path,
+                 os.path.join(_REPO_CACHE, os.path.basename(cache_path))):
+        if path and os.path.isfile(path):
+            with np.load(path) as z:
+                return z["images"].astype(np.float32)
+    return None
+
+
+def _render_views_resumable(render_one, n_total, cache_path,
+                            checkpoint_every=4):
+    """Render ``n_total`` views via ``render_one(i)``, checkpointing
+    partial progress to ``<cache_path>.partial.npz`` so a mid-generation
+    outage (the round-4 failure mode) costs only the un-pulled views and
+    a rerun resumes instead of starting over."""
+    partial_path = (cache_path + ".partial.npz") if cache_path else None
+    done, views = 0, []
+    if partial_path and os.path.isfile(partial_path):
+        try:
+            with np.load(partial_path) as z:
+                arr = z["images"]
+            views = [arr[i] for i in range(arr.shape[0])]
+            done = len(views)
+            print(f"synthetic: resuming fixture render at view "
+                  f"{done}/{n_total} ({partial_path})")
+        except Exception:
+            done, views = 0, []
+    for i in range(done, n_total):
+        views.append(np.asarray(render_one(i), np.float32))
+        if partial_path and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < n_total:
+            os.makedirs(os.path.dirname(partial_path), exist_ok=True)
+            tmp = partial_path + ".tmp"
+            with open(tmp, "wb") as f:  # open handle: savez would append
+                np.savez(f, images=np.stack(views, 0)  # .npz to the name
+                         .astype(np.float16))
+            os.replace(tmp, partial_path)
+    images = np.stack(views, 0).astype(np.float32)
+    if partial_path and os.path.isfile(partial_path):
+        os.remove(partial_path)
+    return images
+
+
+def _cache_save(cache_path, images):
+    """Write the GT stack (f16 — GT quantization ceiling ~69 dB, far above
+    any train/test PSNR here) to the session cache AND the durable repo
+    cache when that directory exists."""
+    compact = images.astype(np.float16)
+    os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+    np.savez_compressed(cache_path, images=compact)
+    if os.path.isdir(_REPO_CACHE):
+        np.savez_compressed(
+            os.path.join(_REPO_CACHE, os.path.basename(cache_path)),
+            images=compact)
+
 
 def teacher_grids(resolution=64, variant="blobs"):
     """Analytic density/rgb voxel grids for the fixture scene.
@@ -105,16 +231,19 @@ def _render_view(density, rgb, H, W, K, c2w, near, far, bg, n_samples=192,
     fields = np.concatenate([density[..., None], rgb], -1)
     chunk = 65536
     render_chunk = _teacher_chunk_renderer(res, n_samples)
+    import jax
     import jax.numpy as jnp
-    fields_j = jnp.asarray(fields)
+    dev = _fixture_device()
+    put = lambda a: jax.device_put(jnp.asarray(a), dev)  # noqa: E731
+    fields_j = put(fields)
     n = ro_all.shape[0]
     n_pad = (n + chunk - 1) // chunk * chunk
     ro_p = np.concatenate([ro_all, np.zeros((n_pad - n, 3), np.float32)])
     vd_p = np.concatenate([vd_all, np.ones((n_pad - n, 3), np.float32)])
-    outs = [render_chunk(fields_j, jnp.asarray(ro_p[lo:lo + chunk]),
-                         jnp.asarray(vd_p[lo:lo + chunk]), jnp.asarray(t),
-                         jnp.asarray(box_min), jnp.asarray(box_max),
-                         jnp.float32(interval), jnp.float32(bg))
+    outs = [render_chunk(fields_j, put(ro_p[lo:lo + chunk]),
+                         put(vd_p[lo:lo + chunk]), put(t),
+                         put(box_min), put(box_max),
+                         put(np.float32(interval)), put(np.float32(bg)))
             for lo in range(0, n_pad, chunk)]
     out = np.concatenate([np.asarray(o) for o in outs])[:n]
     return out.reshape(H, W, 3)
@@ -200,17 +329,15 @@ def make_ndc_fixture_dataset(n_train=12, n_val=2, n_test=3, H=64, W=64,
         key = f"ndc_{n_train}_{n_val}_{n_test}_{H}_{W}_{teacher_res}_" \
               f"{seed}_v1"
         cache_path = os.path.join(cache_dir, f"fixture_{key}.npz")
-    if cache_path and os.path.isfile(cache_path):
-        with np.load(cache_path) as z:
-            images = z["images"]
-    else:
-        images = np.stack([
-            _render_view(density, rgb, H, W, K, c2w[:3, :4], 0.5, 4.5,
-                         0.0, n_samples=256, scene_box=scene_box)
-            for c2w in poses], 0)
+    images = _cache_load(cache_path) if cache_path else None
+    if images is None:
+        images = _render_views_resumable(
+            lambda i: _render_view(density, rgb, H, W, K, poses[i][:3, :4],
+                                   0.5, 4.5, 0.0, n_samples=256,
+                                   scene_box=scene_box),
+            n_total, cache_path)
         if cache_path:
-            os.makedirs(cache_dir, exist_ok=True)
-            np.savez_compressed(cache_path, images=images)
+            _cache_save(cache_path, images)
 
     idx = np.arange(n_total)
     render_poses = []
@@ -266,17 +393,15 @@ def make_synthetic_dataset(n_train=16, n_val=2, n_test=4, H=64, W=64,
               f"{int(white_bkgd)}_{seed}_v2" \
               + (f"_{variant}" if variant != "blobs" else "")
         cache_path = os.path.join(cache_dir, f"fixture_{key}.npz")
-    if cache_path and os.path.isfile(cache_path):
-        with np.load(cache_path) as z:
-            images = z["images"]
-    else:
+    images = _cache_load(cache_path) if cache_path else None
+    if images is None:
         density, rgb = teacher_grids(teacher_res, variant=variant)
-        images = np.stack([
-            _render_view(density, rgb, H, W, K, c2w[:3, :4], near, far, bg)
-            for c2w in poses], 0)
+        images = _render_views_resumable(
+            lambda i: _render_view(density, rgb, H, W, K,
+                                   poses[i][:3, :4], near, far, bg),
+            n_total, cache_path)
         if cache_path:
-            os.makedirs(cache_dir, exist_ok=True)
-            np.savez_compressed(cache_path, images=images)
+            _cache_save(cache_path, images)
 
     idx = np.arange(n_total)
     render_poses = np.stack([pose_spherical(t, -30.0, 4.0)

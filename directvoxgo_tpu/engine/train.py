@@ -270,8 +270,52 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
                 loss = loss + w_rgbper * rgbper_loss
             return loss, mse
 
-        (loss, mse), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(trainable)
+        if fused and mesh is not None:
+            # The fused step's Pallas kernels are opaque to XLA's automatic
+            # SPMD partitioner, so under --data_parallel the forward +
+            # backward run inside an explicit shard_map over the 'data'
+            # axis: rays/targets arrive batch-sharded, grids/MLP params
+            # replicated, and the replicated-param cotangents (partial
+            # sums per shard) are pmean'd over ICI before the optimizer.
+            # Loss terms mirror loss_fn's fused branch with LOCAL-batch
+            # normalization, so pmean(local loss) == the global loss
+            # (equal shards: global mean = mean of local means, and
+            # sum(rgbper)/N_rand = mean_d[sum_local/n_local]).
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def _local(tr, fz, mg, ro, rd, vd, tg, co):
+                def lf(tr):
+                    ret = model.forward_sweep_fused(
+                        {**tr, **fz}, mg, ro, rd, vd, axis, tg,
+                        clip_offsets=co, window=fused_win, **kwargs)
+                    mse = jnp.mean((ret["rgb_marched"] - tg) ** 2)
+                    loss = w_main * mse
+                    if w_entropy > 0:
+                        pout = jnp.clip(ret["alphainv_last"],
+                                        1e-6, 1 - 1e-6)
+                        ent = -jnp.mean(pout * jnp.log(pout)
+                                        + (1 - pout) * jnp.log(1 - pout))
+                        loss = loss + w_entropy * ent
+                    if w_rgbper > 0:
+                        loss = loss + w_rgbper * (
+                            jnp.sum(ret["rgbper_sum"]) / ro.shape[0])
+                    return loss, mse
+                (l_, m_), g_ = jax.value_and_grad(
+                    lf, has_aux=True)(tr)
+                pm = lambda t: jax.lax.pmean(t, "data")  # noqa: E731
+                return pm(l_), pm(m_), jax.tree_util.tree_map(pm, g_)
+
+            loss, mse, grads = shard_map(
+                _local, mesh=mesh,
+                in_specs=(P(), P(), P(), P("data"), P("data"),
+                          P("data"), P("data"), P()),
+                out_specs=(P(), P(), P()),
+                check_vma=False)(trainable, frozen, mask_g, rays_o,
+                                 rays_d, viewdirs, target, clip_off)
+        else:
+            (loss, mse), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainable)
 
         if apply_tv:
             if w_tv_density > 0 and "density" in grads:
@@ -584,9 +628,13 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         # windows realize the 7-10%-of-segment-box cell footprints the
         # whole-traversal classes cannot (ops/pallas_train_fused).
         from ..ops import pallas_train_fused as _ptf
-        fused_tiles = (persp2d and mesh is None
+        # Under --data_parallel the fused step runs per-shard inside a
+        # shard_map (make_train_step), so each device's slice of the batch
+        # must still tile into 512-ray kernel tiles.
+        _ndev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+        fused_tiles = (persp2d
                        and bool(cfg_train.get("fused_tiles", True))
-                       and cfg_train.N_rand % 512 == 0
+                       and cfg_train.N_rand % (512 * _ndev) == 0
                        and _ptf.fused_enabled()
                        and hasattr(model, "supports_fused_step")
                        and model.supports_fused_step())
@@ -679,7 +727,8 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                                     continue
                                 ok = (kk[0] == 0 and kk[1] == 0) or \
                                     _ptf.fused_available(
-                                        int(cfg_train.N_rand), _bu, _bv,
+                                        int(cfg_train.N_rand) // _ndev,
+                                        _bu, _bv,
                                         _fdim, int(model.rgbnet_width),
                                         float(model.fast_color_thres),
                                         int(model.rgbnet_depth),
@@ -706,9 +755,19 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                             # ~55% of the stage's realized wall.
                             rk0 = ("fblk", 0, 0, 0)
                             rest_rays = keep.get(rk0)
-                            if (rest_rays is not None
-                                    and rest_rays.size >= cfg_train.N_rand):
+                            if rest_rays is not None:
                                 rr = np.asarray(rest_rays).reshape(-1)
+                                if rr.size < cfg_train.N_rand:
+                                    # Small remainders used to skip the
+                                    # re-bucket and draw as FULL-GRID plain
+                                    # sweeps (35-100 ms realized, r4b) —
+                                    # pad with resampled group rays so one
+                                    # composed-box segment always forms
+                                    # (the pad rays are legitimate training
+                                    # rays, merely oversampled).
+                                    pad = np.random.default_rng(0).choice(
+                                        g, size=cfg_train.N_rand - rr.size)
+                                    rr = np.concatenate([rr, pad])
                                 # default widths exclude 128: wv=128
                                 # measured pathological (cp*wv = 2048-lane
                                 # XLA tiling cliff, PERF_LOG r3)
@@ -1480,7 +1539,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                     fdim = (model.k0_dim if model.rgbnet_direct
                             else model.k0_dim - 3)
                     if not ptf.fused_available(
-                            int(cfg_train.N_rand), bu, bv, fdim,
+                            int(cfg_train.N_rand) // _ndev, bu, bv, fdim,
                             int(model.rgbnet_width),
                             float(model.fast_color_thres),
                             int(model.rgbnet_depth), wu=wu_k, wv=wv_k):

@@ -1061,6 +1061,11 @@ class DirectVoxGO:
         # DVGO_COUNT_FORM forces one form regardless of query_mode so the
         # divergence can be A/B'd end-to-end at fixture scale.
         form = os.environ.get("DVGO_COUNT_FORM", "")
+        if form not in ("", "sweep", "exact"):
+            # A leaked/typo'd value (e.g. 'Sweep') silently forcing the
+            # ~165 s-queued exact form would degrade every startup.
+            raise ValueError(
+                f"DVGO_COUNT_FORM={form!r}: expected 'sweep' or 'exact'")
         use_sweep = (form == "sweep" if form
                      else getattr(self, "query_mode", "gather") == "sweep")
         if use_sweep:

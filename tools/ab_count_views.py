@@ -20,6 +20,8 @@ import re
 import subprocess
 import sys
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -32,22 +34,30 @@ def run_arm(form, base_cfg, tpu):
             f"_base_ = '{os.path.join(REPO, base_cfg)}'\n"
             f"expname = 'ab_cnt_{name}_{form}'\n"
             f"basedir = '/tmp/ab_cnt_logs'\n")
-    env = dict(os.environ, DVGO_COUNT_FORM=form,
-               JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache")
+    env = dict(os.environ, DVGO_COUNT_FORM=form)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
     if not tpu:
         env["DVGO_FORCE_CPU"] = "1"
     cmd = [sys.executable, os.path.join(REPO, "run.py"),
            "--config", cfg_path, "--render_test", "--i_print", "1000",
            "--no_reload"]
     print(f"[ab] {form}: {' '.join(cmd)}", flush=True)
-    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
-                         env=env)
+    try:
+        # Bounded: a degraded tunnel can hang a --tpu arm inside a device
+        # fetch forever (PERF_LOG round-4 outage note).
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                             env=env, timeout=3600)
+    except subprocess.TimeoutExpired:
+        raise SystemExit(f"[ab] {form} arm timed out after 3600 s")
     sys.stderr.write(out.stderr[-2000:] if out.returncode else "")
-    m = re.findall(r"Testing psnr ([0-9.]+)", out.stdout)
+    m = re.findall(r"Testing psnr ([0-9.eE+\-]+|nan|inf)", out.stdout)
     if out.returncode or not m:
         print(out.stdout[-4000:])
         raise SystemExit(f"[ab] {form} arm failed (rc={out.returncode})")
-    return float(m[-1])
+    val = float(m[-1])
+    if not np.isfinite(val):
+        print(f"[ab] {form} arm DIVERGED: test PSNR = {val}")
+    return val
 
 
 def main():
