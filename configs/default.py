@@ -95,6 +95,12 @@ coarse_model_and_render = {
     # --- TPU-specific static-capacity knobs (see models/dvgo.py) ---
     'k_density': None,              # occupied-sample capacity per ray (None=dense)
     'k_color': 0,                   # top-k-by-weight capacity before the MLP
+    # Grid dims rounded to a multiple of 8 (reference truncates exactly,
+    # lib/dvgo.py:155-165). The fine bbox jitters a few voxels run-to-run,
+    # so at quantum 1 every run's pg stages hit fresh XLA program shapes
+    # and recompile (13-22 s per stage measured); quantized dims let the
+    # persistent compile cache carry across runs. <=3% voxel-size change.
+    'world_size_quantum': 8,
 }
 
 fine_model_and_render = dict(coarse_model_and_render, **{

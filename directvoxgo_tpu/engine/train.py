@@ -792,6 +792,41 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                                         else:
                                             keep[wuv] = (rr[idx2], ulo,
                                                          vlo)
+                                # Rays too wide even for the 2D classes
+                                # still drew as FULL-GRID plain sweeps —
+                                # measured 57-68 ms at 24% of draws, 37%
+                                # of the r5 clean-run fine blend. Per-
+                                # p-BLOCK windows shrink the traversal
+                                # drift B-fold (measured 0.16x of a full
+                                # sweep, tools/analyze_blocked_windows),
+                                # so push the leftovers through the
+                                # blocked builder; only rays failing THAT
+                                # remain plain draws.
+                                lf = keep.get(rk0)
+                                if lf is not None and lf.size > 0:
+                                    lff = np.asarray(lf).reshape(-1)
+                                    bb = sweep_ops.\
+                                        build_ray_segments_blocked(
+                                            rays_o_np[lff],
+                                            rays_d_np[lff],
+                                            xyz_min, xyz_max, world_size,
+                                            ax, n_rand=cfg_train.N_rand,
+                                            n_blocks=int(cfg_train.get(
+                                                "bucket_blocks", 6)),
+                                            widths=(32, 48, 64, 96),
+                                            max_classes=4, clip_box=box6)
+                                    if bb:
+                                        keep.pop(rk0, None)
+                                        for wuv, (bi, uo, vo) in \
+                                                bb.items():
+                                            if bi.shape[0] == 0:
+                                                continue
+                                            if wuv == (0, 0):
+                                                keep[rk0] = lff[bi]\
+                                                    .reshape(-1, 512)
+                                            else:
+                                                keep[("blk", *wuv)] = (
+                                                    lff[bi], uo, vo)
                             out = keep or None
                         elif persp2d and bool(cfg_train.get(
                                 "bucket_blocked", False)):
@@ -971,12 +1006,27 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                         if (ax, 1, (bp, eu, ev)) in train_steps:
                             cands.append((kk, (bp, eu, ev)))
                             counts.append(bk[kk][0].size)
+                    elif len(kk) == 3 and kk[0] == "blk":
+                        # 2D-leftover rays re-bucketed once more through
+                        # per-p-block windows (see build_buckets)
+                        eu, ev = eff2((int(kk[1]), int(kk[2])))
+                        nb_b = bk[kk][1].shape[1]
+                        skey_b = ("blk", nb_b, eu, ev)
+                        if (ax, 1, skey_b) in train_steps:
+                            cands.append((kk, skey_b))
+                            counts.append(bk[kk][0].size)
                 if not cands or all(s is None for _, s in cands):
                     return ([group_gens[ax]() for _ in range(n_sub)], ax,
                             None, None)
                 counts = np.asarray(counts, np.float64)
                 kk, skey = cands[int(rng.choice(len(cands),
                                                 p=counts / counts.sum()))]
+                if kk[0] == "blk":    # per-p-block windowed leftover draw
+                    bidx, buo_a, bvo_a = bk[kk]
+                    r = int(rng.integers(0, bidx.shape[0]))
+                    offs_b = np.stack([buo_a[r], bvo_a[r]],
+                                      axis=1).astype(np.int32)
+                    return [bidx[r]], ax, skey, offs_b[None]
                 if kk[0] != "fblk":   # 2D composed-box remainder draw
                     eu, ev = eff2(kk)
                     idx2, ulo, vlo = bk[kk]
@@ -1553,8 +1603,14 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             if isinstance(k, tuple) and len(k) == 3 and k[0] == "blk":
                 if k[1] == 0 and k[2] == 0:
                     continue  # fallback class uses the plain program
-                eu = k[1] if 0 < k[1] < gu_f else gu_f
-                ev = k[2] if 0 < k[2] < gv_f else gv_f
+                # Inside an fblk bucket (leftover re-bucket) the draw path
+                # maps window extents against the CLIP box (eff2 w/ bu,bv);
+                # the standalone blocked path maps against the full grid.
+                in_fblk = any(isinstance(j, tuple) and j
+                              and j[0] == "fblk" for j in bk)
+                cu, cv = (bu, bv) if in_fblk else (gu_f, gv_f)
+                eu = k[1] if 0 < k[1] < cu else cu
+                ev = k[2] if 0 < k[2] < cv else cv
                 nb_b = bk[k][1].shape[1]
                 key = (ax, 1, ("blk", nb_b, eu, ev))
                 if key not in train_steps and (epoch, key) not in sub:

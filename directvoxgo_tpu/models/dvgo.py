@@ -84,6 +84,7 @@ class DirectVoxGO:
                  k_density=None, k_color=64,
                  query_mode="sweep",
                  sweep_color_topk=0,
+                 world_size_quantum=1,
                  seed=0,
                  **kwargs):
         self.xyz_min = np.asarray(xyz_min, np.float32)
@@ -103,6 +104,14 @@ class DirectVoxGO:
         # Grid-sweep interp/channel dtype (bf16 = the shipping fast path;
         # f32 enables exact-parity comparisons, tests/test_torch_parity.py).
         self.sweep_dtype = jnp.bfloat16
+
+        # Grid dims rounded to a multiple of this (1 = reference-exact
+        # truncation, lib/dvgo.py:155-165). Quantized dims make compiled
+        # program shapes REPEAT across runs: the fine bbox comes from the
+        # coarse occupancy (a few voxels of run-to-run jitter under the
+        # compile-aware draw policy), and at quantum 1 every run's pg
+        # stages recompile every step program (13-22 s each measured, r5).
+        self.world_size_quantum = max(int(world_size_quantum), 1)
 
         # Base grid resolution -> act_shift (lib/dvgo.py:55-62).
         self.num_voxels_base = num_voxels_base
@@ -195,8 +204,14 @@ class DirectVoxGO:
         self.num_voxels = num_voxels
         self.voxel_size = float(
             ((self.xyz_max - self.xyz_min).prod() / num_voxels) ** (1 / 3))
+        q = getattr(self, "world_size_quantum", 1)
+        # Quantize only production-scale dims: under 64 voxels a +-q/2
+        # rounding is a >5% geometry perturbation (it collapsed window-
+        # class formation at 32^3 test scale), while at the 128-176 pg
+        # stages it is <=3% and buys cross-run compile-cache hits.
         self.world_size = tuple(
-            int(v) for v in (self.xyz_max - self.xyz_min) / self.voxel_size)
+            q * round(int(v) / q) if q > 1 and int(v) >= 64 else int(v)
+            for v in (self.xyz_max - self.xyz_min) / self.voxel_size)
         self.voxel_size_ratio = self.voxel_size / self.voxel_size_base
         print("dvgo: world_size      ", self.world_size)
         print("dvgo: voxel_size_ratio", self.voxel_size_ratio)
@@ -267,6 +282,7 @@ class DirectVoxGO:
             "k_color": self.k_color,
             "query_mode": self.query_mode,
             "sweep_color_topk": self.sweep_color_topk,
+            "world_size_quantum": self.world_size_quantum,
             **self.rgbnet_kwargs,
         }
 
