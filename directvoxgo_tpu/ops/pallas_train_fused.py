@@ -953,9 +953,17 @@ fused_chain.defvjp(_fused_chain_fwd, _fused_chain_bwd)
 
 def fused_enabled():
     """Backend/env gate alone (the engine checks it before paying for the
-    tile sort): TPU, or DVGO_FUSED_TRAIN=force (CPU interpret mode)."""
+    tile sort): DVGO_FUSED_TRAIN=1 on TPU, or =force (CPU interpret mode).
+
+    Default OFF since the r5 full-length A/B on fixture_lego_sparse:
+    identical schedule/grid trained both ways measured fblk at test PSNR
+    26.67/SSIM 0.905 vs 28.41/0.927 for the window-sweep engine, with no
+    engine-level speed win (NNLS blends 42.4 vs 43.1 ms/iter). The fused
+    step is numerically parity-tested per draw, so the end-state gap
+    points at its tile draw distribution (spatially clustered batches),
+    not kernel math; until that is closed the fused trainer is opt-in."""
     import os
-    env = os.environ.get("DVGO_FUSED_TRAIN", "1")
+    env = os.environ.get("DVGO_FUSED_TRAIN", "0")
     if env == "0":
         return False
     return env == "force" or jax.default_backend() == "tpu"
