@@ -174,6 +174,39 @@ def bench_render(model, H=800, W=800):
         f"{pipe*1000:.1f} ms/frame (rgb-only pull, async x3 in flight; "
         f"times: {[f'{t:.0f}' for t in deltas]})")
 
+    # Display-stream variant: the same pipeline pulling planar I420
+    # (uint8 Y + 2x2-subsampled UV, packed in-kernel — 0.96 MB vs rgb8's
+    # 1.92 MB/frame). This is the format a display/video-encoder consumer
+    # actually ingests, so it is the honest "host-visible display" metric
+    # on a bandwidth-limited link; rgb8 stays reported alongside.
+    def frame_yuv(th):
+        c2w = np.asarray(pose_spherical(float(th), -30.0, 4.0))[:3, :4]
+        return render_sweep.render_frame_sweep(model, H, W, K, c2w, rk,
+                                               output="device_yuv420")
+    buf, _ = frame_yuv(frames[0])  # compile (one program per axis class)
+    int(jnp.sum(buf[::997].astype(jnp.int32)))
+    marks_y = []
+    inflight = []
+    t_start = time.time()
+    for th in frames + frames:
+        buf, _ = frame_yuv(th)
+        try:
+            buf.copy_to_host_async()
+        except Exception:
+            pass
+        inflight.append(buf)
+        if len(inflight) > 3:
+            np.asarray(inflight.pop(0))
+            marks_y.append(time.time())
+    while inflight:
+        np.asarray(inflight.pop(0))
+        marks_y.append(time.time())
+    deltas_y = np.diff([t_start] + marks_y) * 1000
+    pipe_yuv = float(np.median(deltas_y[2:])) / 1000
+    log(f"bench: render {H}x{W} pipelined I420 display stream median "
+        f"{pipe_yuv*1000:.1f} ms/frame "
+        f"(times: {[f'{t:.0f}' for t in deltas_y]})")
+
     # Tunnel-bandwidth probe: annotate a degraded fetch path instead of
     # averaging it into the display metric (the dev tunnel swings from
     # ~30 MB/s to ~2 KB/s between sessions; PERF_LOG round-4 outage note).
@@ -193,8 +226,8 @@ def bench_render(model, H=800, W=800):
         note = (f"tunnel fetch path degraded ({fetch_mb_s:.1f} MB/s): the "
                 "pipelined-fetch metric is bandwidth-bound, not compute")
         variance_note = f"{variance_note}; {note}" if variance_note else note
-    return (sec, sec_sync, pipe, list(np.round(deltas, 1)), variance_note,
-            round(fetch_mb_s, 2))
+    return (sec, sec_sync, pipe, pipe_yuv, list(np.round(deltas, 1)),
+            variance_note, round(fetch_mb_s, 2))
 
 
 def _make_training_pool(n_views=12, H=400, W=400):
@@ -457,6 +490,38 @@ def bench_train(model, n_rand=8192, iters=30, pool_kind="flatten"):
     return dt, detail
 
 
+def bench_ndc():
+    """LLFF-shaped (fern-scale) DMPIGO numbers: the reference publishes a
+    SECOND render class for forward-facing scenes (0.36 s at 756x1008,
+    README.md:7 / IMPROVING_LOG.md:119-132) and ~5.5 min/scene training.
+    Reuses tools/bench_dmpigo.py (engine-faithful 2D-windowed z-sweep)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_dmpigo",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tools", "bench_dmpigo.py"))
+    bd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bd)
+    model = bd.build_model()
+    train_dt = bd.bench_train(model, iters=15)
+    render_sec = bd.bench_render(model, iters=6, chunk=8192)
+    return train_dt, render_sec
+
+
+def _recorded_runs():
+    """Realized full-length wall-clock numbers from committed RUNS_r05.json
+    (written from actual run.py logs — see PERF_LOG.md for the run table).
+    Passed through so BENCH carries the realized numbers alongside the
+    live-measured ones; absent file -> no fields."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "RUNS_r05.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        rec = json.load(f)
+    return {k: v for k, v in rec.items() if k.startswith(("train_", "note"))}
+
+
 def check_render_consistency(model, H=800, W=800):
     """Render ONE pose through all three render implementations — the fused
     frame kernel, the per-ray station sweep, and the reference-parity gather
@@ -548,8 +613,9 @@ def main():
     # windows + fallback share, not the flatten pool's (32,32)-heavy mix.
     train_dt_filt, train_per_axis_filt = bench_train(
         model, pool_kind="filtered")
-    (render_sec, render_sync_sec, render_pipe_sec, pipe_times,
-     variance_note, fetch_mb_s) = bench_render(model)
+    (render_sec, render_sync_sec, render_pipe_sec, render_pipe_yuv_sec,
+     pipe_times, variance_note, fetch_mb_s) = bench_render(model)
+    ndc_train_dt, ndc_render_sec = bench_ndc()
     consistency = check_render_consistency(model)
     baseline = 0.07  # best published reference render latency (README.md:7)
     out = {
@@ -560,6 +626,7 @@ def main():
         # secondary metrics (same run, same model):
         "render_per_frame_sync_s": round(render_sync_sec, 5),
         "render_pipelined_fetch_median_s": round(render_pipe_sec, 5),
+        "render_pipelined_i420_median_s": round(render_pipe_yuv_sec, 5),
         "tunnel_fetch_mb_s": fetch_mb_s,
         "times": pipe_times,
         "train_step_ms": round(train_dt * 1000, 2),
@@ -569,6 +636,14 @@ def main():
         "train_step_ms_per_axis_filtered": train_per_axis_filt,
         "train_filtered_projected_fine20k_min":
             round(train_dt_filt * 20000 / 60, 2),
+        # LLFF-shaped (fern-scale, 756x1008 NDC) class — reference 0.36 s
+        # renders / ~5.5 min scenes (README.md:7, IMPROVING_LOG.md:119-132)
+        "render_ndc_756x1008_s": round(ndc_render_sec, 5),
+        "render_ndc_vs_baseline": round(0.36 / ndc_render_sec, 3),
+        "train_ndc_step_ms": round(ndc_train_dt * 1000, 2),
+        "train_ndc_fern_projected_25k_min":
+            round(ndc_train_dt * 25000 / 60, 2),
+        **_recorded_runs(),
         **consistency,
     }
     if variance_note:

@@ -359,11 +359,11 @@ def _get_render_slabs(model, axis, sign, k, s_lo, s_hi, s_pad):
 @functools.partial(jax.jit, static_argnames=(
     "hw", "hiwi", "guv", "perm", "has_mlp", "rgb_mode", "viewbase_pe",
     "f_mlp", "inverse_y", "flip_x", "flip_y", "interpret", "compact",
-    "kernel_v"))
+    "kernel_v", "pix_fmt"))
 def _render_frame_fused(d_geo, d_k0, rgbnet_params, km, c2w, sc, *, hw,
                         hiwi, guv, perm, has_mlp, rgb_mode, viewbase_pe,
                         f_mlp, inverse_y, flip_x, flip_y, interpret,
-                        compact=False, kernel_v=3):
+                        compact=False, kernel_v=3, pix_fmt="rgb8"):
     """One dispatch per frame: intermediate grids, view embeddings, the
     fused Pallas composite, and the homography warp to screen — everything
     pose-dependent is a runtime scalar/array so orbit poses share one
@@ -472,10 +472,27 @@ def _render_frame_fused(d_geo, d_k0, rgbnet_params, km, c2w, sc, *, hw,
     rgb = jnp.where(valid[..., None], out[..., :3], bg)
     depth = jnp.where(valid, out[..., 3], 0.0)
     if compact:
+        depth = depth.astype(jnp.float16)
+        if pix_fmt == "yuv420":
+            # Planar I420 display stream: full-range BT.601 luma + 2x2
+            # box-filtered chroma, packed [Y | U | V] uint8 — 1.5 B/px vs
+            # rgb8's 3, i.e. half the device->host pull for a display/
+            # encoder consumer (exactly the format video sinks ingest).
+            r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            u = -0.168736 * r - 0.331264 * g + 0.5 * b + 0.5
+            v = 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5
+            h2, w2 = h_px // 2, w_px // 2
+            u = u[:h2 * 2, :w2 * 2].reshape(h2, 2, w2, 2).mean((1, 3))
+            v = v[:h2 * 2, :w2 * 2].reshape(h2, 2, w2, 2).mean((1, 3))
+            to8 = lambda a: jnp.round(  # noqa: E731
+                jnp.clip(a, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            buf = jnp.concatenate(
+                [to8(y).reshape(-1), to8(u).reshape(-1), to8(v).reshape(-1)])
+            return buf, depth
         # Compact host-pull dtypes (the dev tunnel moves ~30 MB/s; a frame
         # of f32 rgb costs ~240 ms to fetch): to8b rgb + f16 depth.
         rgb = jnp.round(jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-        depth = depth.astype(jnp.float16)
     return rgb, depth
 
 
@@ -634,7 +651,9 @@ def render_frame_sweep(model, H, W, K, c2w, render_kwargs, plan=None,
     'device' returns the jax arrays without syncing (callers can pipeline
     pulls against the next frame's dispatch); 'device_compact' additionally
     converts rgb to uint8 and depth to f16 in-kernel to shrink the pull
-    (pallas backend only).
+    (pallas backend only); 'device_yuv420' packs a planar I420 uint8
+    display buffer [H*W*3//2] instead of rgb (half the pull bytes — what a
+    display/video-encoder consumer ingests).
 
     Returns (rgb [H,W,3], depth [H,W]), or None when the camera geometry
     rules the sweep out (caller falls back to per-ray rendering).
@@ -712,7 +731,9 @@ def render_frame_sweep(model, H, W, K, c2w, render_kwargs, plan=None,
             viewbase_pe=int(model.viewbase_pe), f_mlp=f_mlp,
             inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y,
             interpret=(backend == "pallas_interpret"),
-            compact=(output == "device_compact"), kernel_v=kernel_v)
+            compact=(output in ("device_compact", "device_yuv420")),
+            kernel_v=kernel_v,
+            pix_fmt=("yuv420" if output == "device_yuv420" else "rgb8"))
         if output.startswith("device"):
             return rgb, depth
         return np.asarray(rgb), np.asarray(depth)

@@ -126,3 +126,36 @@ def test_plan_rejects_wide_fov(scene):
     plan = render_sweep.plan_camera_sweep(model, H, W, K_wide, c2w,
                                           rk["near"], rk["far"])
     assert plan is None
+
+
+def test_device_yuv420_output(scene):
+    """output='device_yuv420' must pack a planar I420 buffer [H*W*3//2]
+    whose YUV->RGB reconstruction matches the rgb8 compact output up to
+    chroma subsampling (luma must match tightly; full roundtrip PSNR-level).
+    """
+    model, H, W, K, c2w, rk = scene
+    rgb8, dep8 = render_sweep.render_frame_sweep(
+        model, H, W, K, c2w, rk, backend="pallas_interpret",
+        output="device_compact")
+    buf, dep_y = render_sweep.render_frame_sweep(
+        model, H, W, K, c2w, rk, backend="pallas_interpret",
+        output="device_yuv420")
+    buf = np.asarray(buf)
+    assert buf.dtype == np.uint8 and buf.shape == (H * W * 3 // 2,)
+    assert np.abs(np.asarray(dep8, np.float32)
+                  - np.asarray(dep_y, np.float32)).max() < 1e-3
+    y = buf[:H * W].reshape(H, W) / 255.0
+    u = buf[H * W:H * W + H * W // 4].reshape(H // 2, W // 2) / 255.0 - 0.5
+    v = buf[H * W + H * W // 4:].reshape(H // 2, W // 2) / 255.0 - 0.5
+    u = np.repeat(np.repeat(u, 2, 0), 2, 1)
+    v = np.repeat(np.repeat(v, 2, 0), 2, 1)
+    rec = np.stack([y + 1.402 * v,
+                    y - 0.344136 * u - 0.714136 * v,
+                    y + 1.772 * u], -1)
+    ref = np.asarray(rgb8, np.float32) / 255.0
+    # luma check (exact transform, no subsampling loss)
+    y_ref = (0.299 * ref[..., 0] + 0.587 * ref[..., 1]
+             + 0.114 * ref[..., 2])
+    assert np.abs(y - y_ref).max() < 2.5 / 255.0
+    mse = float(np.mean((np.clip(rec, 0, 1) - ref) ** 2))
+    assert -10 * np.log10(mse + 1e-12) > 30, "I420 roundtrip diverged"
