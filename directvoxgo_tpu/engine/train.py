@@ -655,7 +655,21 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                 return
             bucket_builds["epoch"] += 1
             epoch = bucket_builds["epoch"]
+            # Speculative stage-start precompile: the window-class mix is
+            # geometry-driven and stable across pg stages, so resubmit the
+            # previous stage's plain-2D classes for the NEW grid shapes
+            # while the fresh Morton sort runs in this thread — draws stop
+            # paying the full-sweep fallback as soon as the sort lands
+            # instead of (sort + serialized compiles) later.
+            prev2d = {ax: [k for k in bk if isinstance(k, tuple)
+                           and len(k) == 2 and k != (0, 0)]
+                      for ax, bk in buckets.items() if bk}
             buckets.clear()
+            hook_k = bucket_compile_hook.get("submit_keys")
+            if hook_k is not None:
+                for ax, ks in prev2d.items():
+                    if ks:
+                        hook_k(ax, ks)
             xyz_min, xyz_max = model.xyz_min, model.xyz_max
             world_size = tuple(int(x) for x in model.world_size)
 
@@ -664,9 +678,14 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                 g = group_idx[ax]
                 if len(g) < cfg_train.N_rand:
                     return
+                # widths: 48 carries ~44% of the fern-scale NDC pool
+                # (tools/analyze_ndc_windows.py) and 128 is the cp*wv=2048
+                # XLA lane-tiling cliff (PERF_LOG r3) — use the same list
+                # as the perspective path, not the builder default.
                 b = sweep_ops.build_ray_segments_2d(
                     rays_o_np[g], rays_d_np[g], xyz_min, xyz_max,
-                    world_size, ax, n_rand=cfg_train.N_rand)
+                    world_size, ax, n_rand=cfg_train.N_rand,
+                    widths=(32, 48, 64, 96))
                 out = {wuv: (g[idx], ulo, vlo)
                        for wuv, (idx, ulo, vlo) in b.items()
                        if idx.shape[0] > 0} or None
@@ -1107,6 +1126,20 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                     bu = int(model.world_size[perm[1]])
                     bv = int(model.world_size[perm[2]])
                     bpo = buo = bvo = 0
+                if forced is not None:
+                    # Pin windowed forced-axis (MPI) programs to the FULL
+                    # station extent: mask renewals shrink the p clip
+                    # mid-stage (128 -> 96 on the fern fixture), which
+                    # changes this key and orphans every landed window
+                    # program — draws then fell back to the clipped full
+                    # sweep (142 ms vs 5-9 ms windowed, r5 fern run) until
+                    # recompiles landed. gp is renewal- AND pg-invariant
+                    # for MPI grids (mpi_depth never rescales), so pinned
+                    # keys survive; sweeping the clipped-out planes is
+                    # exact (mask-channel zeros) and costs ~wu*wv extra
+                    # per plane vs the ~20x fallback penalty.
+                    bp = int(model.world_size[perm[0]])
+                    bpo = 0
                 def eff(k):
                     # a 0 slot (and any window >= the box extent) means
                     # full extent for that dim
@@ -1555,6 +1588,47 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             for _ax in list(buckets):
                 hook(_ax)
 
+    def _submit_window_keys(ax, keys2d):
+        """Background-compile plain 2D window-class programs for ``ax``.
+
+        Called with the classes a finished segment sort produced, AND
+        speculatively at stage starts with the PREVIOUS stage's classes:
+        the class mix is geometry-driven and stable across pg stages, so
+        compiling the likely programs while the new 13M-ray Morton sort
+        runs (~30 s host work) removes the window where every draw pays
+        the full-sweep fallback (~20x a windowed step on MPI grids)."""
+        from ..ops import sweep as sweep_ops
+        perm = sweep_ops._PERMS[ax]
+        csz = clip_plan.get(ax, (None, None))[0]
+        if csz is not None:
+            bp, bu, bv = (int(x) for x in csz)
+        else:
+            bp = int(model.world_size[perm[0]])
+            bu = int(model.world_size[perm[1]])
+            bv = int(model.world_size[perm[2]])
+        epoch = compile_state["epoch"]
+        avals = (_tree_avals(model.params), _tree_avals(opt_state),
+                 _Aval(model.mask) if hasattr(model.mask, "shape")
+                 else model.mask)
+        sub = compile_state.setdefault("submitted", set())
+        for k in keys2d:
+            eu = k[0] if 0 < k[0] < bu else bu
+            ev = k[1] if 0 < k[1] < bv else bv
+            if (eu, ev) == (bu, bv):
+                continue  # wouldn't shrink anything
+            bp_k = bp
+            if forced is not None:
+                # renewal-proof key: see the pin in next_chunk's
+                # forced-axis windowed draw (bp = full gp for MPI).
+                bp_k = int(model.world_size[perm[0]])
+            key = (ax, 1, (bp_k, eu, ev))
+            if key not in train_steps and (epoch, key) not in sub:
+                sub.add((epoch, key))
+                fut = compile_state["bg"].submit(
+                    _build_and_warm, key, tv_state, epoch, avals)
+                fut.add_done_callback(_bg_done(key, time.time()))
+                compile_state["futs"].append(fut)
+
     def _submit_bucket_classes(ax):
         """Background-compile the window classes a finished segment sort
         actually produced (called from the sort thread — 2D classes aren't
@@ -1621,19 +1695,10 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
                     compile_state["futs"].append(fut)
                 continue
             if isinstance(k, tuple) and k != (0, 0):
-                eu = k[0] if 0 < k[0] < bu else bu
-                ev = k[1] if 0 < k[1] < bv else bv
-                if (eu, ev) == (bu, bv):
-                    continue  # wouldn't shrink anything
-                key = (ax, 1, (bp, eu, ev))
-                if key not in train_steps and (epoch, key) not in sub:
-                    sub.add((epoch, key))
-                    fut = compile_state["bg"].submit(
-                        _build_and_warm, key, tv_state, epoch, avals)
-                    fut.add_done_callback(_bg_done(key, time.time()))
-                    compile_state["futs"].append(fut)
+                _submit_window_keys(ax, [k])
 
     bucket_compile_hook["submit"] = _submit_bucket_classes
+    bucket_compile_hook["submit_keys"] = _submit_window_keys
 
     # Seed tv_state with the first iteration's value BEFORE precompiling:
     # the loop clears train_steps on any tv-state change, and a None seed

@@ -161,18 +161,26 @@ class DirectMPIGO:
 
     def scale_volume_grid(self, num_voxels, mpi_depth):
         """Progressive scaling (lib/dmpigo.py:124-145)."""
+        from .dvgo import _pg_rescale_jit
         print("dmpigo: scale_volume_grid start")
         ori = self.world_size
         self._set_grid_resolution(num_voxels, mpi_depth)
         print("dmpigo: scale from", ori, "to", self.world_size)
-        self.params["density"] = grid_ops.resize_trilinear(
-            self.params["density"], self.world_size)
-        self.params["k0"] = grid_ops.resize_trilinear(
-            self.params["k0"], self.world_size)
-        self_alpha = grid_ops.max_pool3d_same(
-            self.activate_density(self.params["density"]))
-        self.mask = self_alpha > self.fast_color_thres
-        print("dmpigo: scale_volume_grid finish")
+        # ONE jitted program per pg event (dvgo._pg_rescale_jit, no coarse
+        # mask for MPI): the eager composition dispatched several
+        # shape-fresh sub-second programs per event that the persistent
+        # cache never keeps — 17.8-22.6 s per pg event over the remote
+        # tunnel on the fern-scale NDC run (r5).
+        d, k, mask = _pg_rescale_jit(
+            self.params["density"], self.params["k0"], None, None, None,
+            None, new_size=tuple(self.world_size),
+            act_shift=float(self.act_shift),
+            interval=float(self.voxel_size_ratio),
+            thres=float(self.fast_color_thres), c_bounds=None)
+        self.params["density"] = d
+        self.params["k0"] = k
+        self.mask = mask
+        print("dmpigo: scale_volume_grid finish (fused)")
 
     def update_occupancy_cache(self):
         self_alpha = grid_ops.max_pool3d_same(
