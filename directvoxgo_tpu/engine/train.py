@@ -1327,16 +1327,76 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             plan[ax] = new
         return plan
 
+    pending_clip = {}  # ax -> staged (sizes, offsets) awaiting programs
+
+    def _clip_need_keys(ax, csz):
+        """Step-program keys the draw path needs under clip sizes ``csz``:
+        both fallback dispatch widths plus the current bucket window
+        classes re-keyed (mirrors next_chunk's gating, incl. the
+        forced-axis bp pin)."""
+        from ..ops import sweep as sweep_ops
+        csz_t = tuple(int(x) for x in csz) if csz is not None else None
+        keys = [(ax, ns, csz_t) for ns in sorted({1, n_dispatch})]
+        bk = buckets.get(ax)
+        if bk and csz_t is not None:
+            bp, bu, bv = csz_t
+            perm = sweep_ops._PERMS[ax]
+            bp_k = int(model.world_size[perm[0]]) \
+                if forced is not None else bp
+            for k in bk:
+                if isinstance(k, tuple) and len(k) == 2 and k != (0, 0):
+                    eu = k[0] if 0 < k[0] < bu else bu
+                    ev = k[1] if 0 < k[1] < bv else bv
+                    if (eu, ev) != (bu, bv):
+                        keys.append((ax, 1, (bp_k, eu, ev)))
+                elif isinstance(k, (int, np.integer)) and 0 < int(k) < bv:
+                    keys.append((ax, 1, (bp, bu, int(k))))
+        return keys
+
     def apply_clip_plan(plan):
         for ax, new in plan.items():
             old = clip_plan.get(ax)
-            if old is not None and old[0] != new[0]:
-                for key in [k for k in train_steps if k[0] == ax]:
+            if old is None or old[0] == new[0]:
+                clip_plan[ax] = new
+                pending_clip.pop(ax, None)
+                continue
+            # Sizes change mid-stage. The old box stays exact (renewals
+            # only shrink the mask within a stage), so STAGE the swap
+            # behind background compiles of the new-size programs — an
+            # immediate swap orphans every landed program for this axis
+            # and draws fall back 10-20x slower until serialized
+            # recompiles land (the r5 fern run lost whole pg stages to
+            # exactly this).
+            need = _clip_need_keys(ax, new[0])
+            if all(k in train_steps for k in need):
+                for key in [k for k in train_steps
+                            if k[0] == ax and k not in need]:
                     train_steps.pop(key)
-            clip_plan[ax] = new
+                clip_plan[ax] = new
+                pending_clip.pop(ax, None)
+                continue
+            pending_clip[ax] = new
+            epoch = compile_state["epoch"]
+            avals = (_tree_avals(model.params), _tree_avals(opt_state),
+                     _Aval(model.mask) if hasattr(model.mask, "shape")
+                     else model.mask)
+            sub = compile_state.setdefault("submitted", set())
+            for key in need:
+                if key not in train_steps and (epoch, key) not in sub:
+                    sub.add((epoch, key))
+                    fut = compile_state["bg"].submit(
+                        _build_and_warm, key, tv_state, epoch, avals)
+                    fut.add_done_callback(_bg_done(key, time.time()))
+                    compile_state["futs"].append(fut)
 
     def refresh_clip():
-        apply_clip_plan(compute_clip_plan())
+        plan = compute_clip_plan()
+        # fold staged swaps from earlier renewals back in (their programs
+        # may have landed since; compute_clip_plan's hysteresis works off
+        # the APPLIED plan, so staged sizes re-propose identically)
+        for ax, new in list(pending_clip.items()):
+            plan.setdefault(ax, new)
+        apply_clip_plan(plan)
 
     if bbox0_dev is not None:
         bb0 = np.asarray(jax.device_get(bbox0_dev))
@@ -1754,6 +1814,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             draw_base.clear()
             draw_base.update(draw_counts)
             clip_plan.clear()
+            pending_clip.clear()  # staged swaps are stale at new shapes
             refresh_clip()
             _t_pg2 = time.time()
             n_dispatch = dispatch_width()  # grid may have crossed the
@@ -1777,14 +1838,29 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             _bump_compile_epoch()
             train_steps = {}
             tv_state = (apply_tv, tv_dense)
+            # re-land fallbacks + the current window classes under the new
+            # tv state (programs bake apply_tv/tv_dense statically); without
+            # this, draws fall back to full sweeps until the next pg event
+            precompile_steps(global_step)
+            hook = bucket_compile_hook.get("submit")
+            if hook is not None:
+                for _ax in list(buckets):
+                    hook(_ax)
 
         n_sub = chunk_len(global_step)
         # Windows only in single-step dispatch mode (big grids): at small
         # grids the full sweep is cheap and dispatch-bound (that's why
         # n_dispatch > 1 there), while windows would multiply the compiled-
-        # program count by the number of width classes.
+        # program count by the number of width classes. TV steps window
+        # too — make_train_step runs them with region mode OFF (full-size
+        # grads via the slice VJP) so dense/sparse TV + full-grid Adam see
+        # reference-exact gradients while the SWEEP fwd/bwd stays windowed
+        # (the fern-scale NDC schedule applies TV every step, llff_default
+        # tv_before=1e9 — the unwindowed full sweep there is 139 ms vs
+        # 5-9 ms windowed). Fused-tile draws keep requiring region mode.
         chunk_sels, axis, wsizes, woffs = next_chunk(
-            n_sub, no_window=apply_tv or n_sub > 1 or n_dispatch > 1)
+            n_sub, no_window=(n_sub > 1 or n_dispatch > 1
+                              or (apply_tv and fused_tiles)))
         sels = np.stack([np.asarray(s) for s in chunk_sels]) if n_sub > 1 \
             else chunk_sels[0]
         if wsizes is not None:

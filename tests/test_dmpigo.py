@@ -194,3 +194,82 @@ def test_sweep_topk_compaction_parity():
                         jax.tree_util.tree_leaves(g_c[name])):
             scale = float(jnp.max(jnp.abs(a))) + 1e-12
             assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-3, name
+
+
+def test_tv_step_windows_match_full(tmp_path):
+    """A TV-applying train step drawn as a 2D (wu, wv) composed window must
+    match the unwindowed step bit-for-tolerance: TV steps run with region
+    mode OFF (full-size grads via the slice VJP), so dense AND sparse TV +
+    full-grid Adam see identical gradients while the sweep stays windowed
+    (engine/train.py next_chunk now windows TV steps — the LLFF schedule
+    applies TV every step, reference run.py:389-395 / llff_default
+    tv_before=1e9)."""
+    from directvoxgo_tpu.engine import train as train_lib
+    from directvoxgo_tpu.config import ConfigDict
+    from directvoxgo_tpu.ops import sweep as sweep_ops
+
+    model = make_model(num_voxels=48 * 48 * 32, mpi_depth=32, rgbnet_dim=6,
+                       rgbnet_width=16)
+    rng = np.random.default_rng(3)
+    model.params["density"] = jnp.asarray(
+        rng.normal(0, 1, model.params["density"].shape).astype(np.float32))
+    model.update_occupancy_cache()
+    n = 256
+    # clustered tile -> a real (wu, wv) window forms
+    o = np.zeros((n, 3), np.float32)
+    o[:, 0] = rng.uniform(0.1, 0.4, n)
+    o[:, 1] = rng.uniform(-0.4, -0.1, n)
+    d = np.zeros((n, 3), np.float32)
+    d[:, 0] = rng.uniform(-0.05, 0.05, n)
+    d[:, 1] = rng.uniform(-0.05, 0.05, n)
+    d[:, 2] = 1.0
+    vd = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    pool = {"rgb": jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+            "rays_o": jnp.asarray(o), "rays_d": jnp.asarray(d),
+            "viewdirs": jnp.asarray(vd)}
+    cfg = ConfigDict(N_rand=n, weight_main=1.0, weight_entropy_last=0.001,
+                     weight_rgbper=0.01, weight_tv_density=1e-5,
+                     weight_tv_k0=1e-5, lrate_decay=20, lrate_density=1e-1,
+                     lrate_k0=1e-1, lrate_rgbnet=1e-3,
+                     skip_zero_grad_fields=["density", "k0"])
+    optimizer = train_lib.create_optimizer_or_freeze_model(model, cfg)
+    opt0 = optimizer.init(model.params)
+    ax = 2
+    bk = sweep_ops.build_ray_segments_2d(
+        o, d, model.xyz_min, model.xyz_max, model.world_size, ax,
+        n_rand=n, widths=(16, 24, 32), max_classes=4)
+    wuv = next(k for k in bk if k != (0, 0))
+    idx, ulo, vlo = bk[wuv]
+    perm = sweep_ops._PERMS[ax]
+    gp, gu, gv = (int(model.world_size[a]) for a in perm)
+    wu = wuv[0] if 0 < wuv[0] < gu else gu
+    wv_ = wuv[1] if 0 < wuv[1] < gv else gv
+    sel = jnp.asarray(idx[0].astype(np.int32))
+    off = jnp.asarray([0, min(int(ulo[0]), gu - wu),
+                       min(int(vlo[0]), gv - wv_)], jnp.int32)
+    for tv_dense in (True, False):
+        step_w = train_lib.make_train_step(
+            model, optimizer, cfg, RK, apply_tv=True, tv_dense=tv_dense,
+            axis=ax, clip_sizes=(gp, wu, wv_))
+        step_f = train_lib.make_train_step(
+            model, optimizer, cfg, RK, apply_tv=True, tv_dense=tv_dense,
+            axis=ax, clip_sizes=None)
+        pw, ow, lw, _ = step_w(model.params, model.mask, opt0, pool, sel,
+                               off)
+        pf, of_, lf, _ = step_f(model.params, model.mask, opt0, pool, sel,
+                                jnp.zeros(3, jnp.int32))
+        assert abs(float(lw) - float(lf)) < 1e-6 * max(1.0, abs(float(lf)))
+        # Raw gradients agree to f32 reduction noise (probed 4.7e-10 max;
+        # the MSE term alone is bit-identical), but first-step Adam
+        # normalizes by sqrt(g^2), which amplifies that noise to ~lr scale
+        # at near-zero-grad voxels — same bound family as
+        # tests/test_parallel.py's one-step atol.
+        for k in pw:
+            dmax = float(jnp.max(jnp.abs(
+                jnp.asarray(pw[k], jnp.float32)
+                - jnp.asarray(pf[k], jnp.float32)))) \
+                if not isinstance(pw[k], dict) else max(
+                    float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+                        jax.tree_util.tree_leaves(pw[k]),
+                        jax.tree_util.tree_leaves(pf[k])))
+            assert dmax < 5e-4, f"tv_dense={tv_dense} param {k}: {dmax}"
