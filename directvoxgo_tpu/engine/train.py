@@ -394,6 +394,50 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
                    **donate_kw)
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w", "ndc", "inverse_y",
+                                              "flip_x", "flip_y"))
+def _rays_of_view_device(K, c2w, *, h, w, ndc, inverse_y, flip_x, flip_y):
+    """jnp mirror of rays.get_rays_of_a_view (center mode): regenerate a
+    view's flat ray pool ON DEVICE from its 3x3+3 camera — the flatten
+    pool's host->device upload (620 MB at fern scale) otherwise drains at
+    tunnel mercy (measured 20 s healthy, 7-10 min degraded — every r5 fern
+    run stalled at 'initial refresh_clip' behind it). Same f32 formulas as
+    the numpy version; XLA fusion/FMA may differ in the last ulp, which
+    the segment builders absorb with a guard band (ops/sweep.SEG_GUARD)."""
+    j, i = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                        jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    i, j = i + 0.5, j + 0.5
+    if flip_x:
+        i = i[:, ::-1]
+    if flip_y:
+        j = j[::-1, :]
+    if inverse_y:
+        dirs = jnp.stack([(i - K[0, 2]) / K[0, 0],
+                          (j - K[1, 2]) / K[1, 1], jnp.ones_like(i)], -1)
+    else:
+        dirs = jnp.stack([(i - K[0, 2]) / K[0, 0],
+                          -(j - K[1, 2]) / K[1, 1], -jnp.ones_like(i)], -1)
+    rays_d = dirs @ c2w[:3, :3].T
+    rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    if ndc:
+        focal, near_n = K[0, 0], 1.0
+        t = -(near_n + rays_o[..., 2]) / rays_d[..., 2]
+        ro = rays_o + t[..., None] * rays_d
+        o0 = -1.0 / (w / (2.0 * focal)) * ro[..., 0] / ro[..., 2]
+        o1 = -1.0 / (h / (2.0 * focal)) * ro[..., 1] / ro[..., 2]
+        o2 = 1.0 + 2.0 * near_n / ro[..., 2]
+        d0 = -1.0 / (w / (2.0 * focal)) * (
+            rays_d[..., 0] / rays_d[..., 2] - ro[..., 0] / ro[..., 2])
+        d1 = -1.0 / (h / (2.0 * focal)) * (
+            rays_d[..., 1] / rays_d[..., 2] - ro[..., 1] / ro[..., 2])
+        d2 = -2.0 * near_n / ro[..., 2]
+        rays_o = jnp.stack([o0, o1, o2], -1)
+        rays_d = jnp.stack([d0, d1, d2], -1)
+    return (rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
+            viewdirs.reshape(-1, 3))
+
+
 def gather_training_rays(model, cfg, cfg_train, data_dict, render_kwargs):
     """Assemble the training ray pool per the configured sampler
     (run.py:278-308)."""
@@ -537,12 +581,38 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     # load2gpu_on_the_fly choice, configs/default.py:19.)
     rays_o_np = np.asarray(rays_o_tr).reshape(-1, 3)
     rays_d_np = np.asarray(rays_d_tr).reshape(-1, 3)
-    pool = {
-        "rgb": jnp.asarray(np.asarray(rgb_tr, np.float32).reshape(-1, 3)),
-        "rays_o": jnp.asarray(rays_o_np),
-        "rays_d": jnp.asarray(rays_d_np),
-        "viewdirs": jnp.asarray(np.asarray(viewdirs_tr).reshape(-1, 3)),
-    }
+    pool = {"rgb": jnp.asarray(
+        np.asarray(rgb_tr, np.float32).reshape(-1, 3))}
+    # Flatten pools regenerate rays ON DEVICE from the cameras (21
+    # dynamic_update_slice dispatches) instead of uploading ~3x the rgb
+    # bytes through the tunnel; the host copies above still drive the
+    # segment sorts. Guarded by SEG_GUARD in the builders against
+    # last-ulp host/device float skew. Mesh runs keep the upload (pool
+    # must replicate via device_put; mesh = local CPU devices, no tunnel).
+    if cfg_train.ray_sampler == "flatten" \
+            and not data_dict["irregular_shape"] and mesh is None:
+        i_train = data_dict["i_train"]
+        n_pool = rays_o_np.shape[0]
+        bufs = [jnp.zeros((n_pool, 3), jnp.float32) for _ in range(3)]
+        off = 0
+        for vi in i_train:
+            H, W = (int(x) for x in data_dict["HW"][vi])
+            ro, rd, vd = _rays_of_view_device(
+                jnp.asarray(data_dict["Ks"][vi], jnp.float32),
+                jnp.asarray(data_dict["poses"][vi], jnp.float32),
+                h=H, w=W, ndc=bool(cfg.data.ndc),
+                inverse_y=bool(cfg.data.inverse_y),
+                flip_x=bool(cfg.data.flip_x), flip_y=bool(cfg.data.flip_y))
+            for b, part in zip(range(3), (ro, rd, vd)):
+                bufs[b] = jax.lax.dynamic_update_slice(
+                    bufs[b], part, (off, 0))
+            off += H * W
+        assert off == n_pool
+        pool.update(rays_o=bufs[0], rays_d=bufs[1], viewdirs=bufs[2])
+    else:
+        pool.update(
+            rays_o=jnp.asarray(rays_o_np), rays_d=jnp.asarray(rays_d_np),
+            viewdirs=jnp.asarray(np.asarray(viewdirs_tr).reshape(-1, 3)))
     if mesh is not None:
         from ..parallel import replicate
         pool = jax.device_put(pool, replicate(mesh))
@@ -1478,7 +1548,9 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     # Throwaway warm-up calls run each program once on copies, so jit's
     # internal cache (not the AOT path) holds the executable the loop hits.
     import concurrent.futures as cf
+    import threading as _threading
     compile_state = {"epoch": 0, "futs": [],
+                     "warm_lock": _threading.Lock(),
                      "bg": cf.ThreadPoolExecutor(
                          max_workers=2, thread_name_prefix="step-compile")}
 
@@ -1541,7 +1613,21 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             sel = jax.device_put(sel, NamedSharding(
                 mesh, P(None, "data") if ns > 1 else P("data")))
             co = jax.device_put(co, replicate(mesh))
-        fn(p, m, o, pool, sel, co)
+        # ONE warm at a time: each zeros-warm transiently holds ~2x
+        # (params + opt state) + full-size grads of HBM (TV-windowed
+        # programs keep full grads), and two concurrent warms at the
+        # fern-scale grid exhausted the 16 GB chip mid-run
+        # (RESOURCE_EXHAUSTED at iter ~9k, r5 fern run 3). The remote
+        # compile service serializes compiles anyway, so this costs no
+        # compile throughput.
+        with compile_state["warm_lock"]:
+            if compile_state["epoch"] != epoch:
+                return False
+            out = fn(p, m, o, pool, sel, co)
+            # real sync: block_until_ready is a no-op over the axon tunnel
+            # (PERF_LOG r3) — a 4-byte loss pull is the actual barrier
+            float(np.asarray(jnp.sum(out[2])))
+            del out
         # outputs (and the donated copies) drop on return; HBM frees once
         # the throwaway step completes
         if compile_state["epoch"] == epoch:  # stale after pg_scale/tv flip

@@ -42,6 +42,15 @@ import jax.numpy as jnp
 # Axis permutations: sweep axis first, remaining axes keep original order.
 _PERMS = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}
 
+# Guard band (voxels) added to host-computed segment supports before the
+# floor: the engine's flatten pools regenerate rays ON DEVICE (engine/
+# train._rays_of_view_device) and XLA FMA/fusion can differ from numpy in
+# the last ulp, so a support sitting exactly on an integer boundary could
+# otherwise floor one voxel tighter than the device rays' true support.
+# Costs at most +1 voxel of window occasionally; keeps window-as-clip
+# exact for device-generated rays.
+SEG_GUARD = 1e-3
+
 
 def _round_up(x, m):
     return (int(x) + m - 1) // m * m
@@ -721,8 +730,8 @@ def build_tile_buckets(rays_o, rays_d, xyz_min, xyz_max, world_size, axis,
 
     vmin = np.minimum(v_ends[0], v_ends[1])[idx].min(1)
     vmax = np.maximum(v_ends[0], v_ends[1])[idx].max(1)
-    r0 = np.maximum(0, np.floor(vmin)).astype(np.int64)
-    r1 = np.minimum(gv - 1, np.floor(vmax) + 1).astype(np.int64)
+    r0 = np.maximum(0, np.floor(vmin - SEG_GUARD)).astype(np.int64)
+    r1 = np.minimum(gv - 1, np.floor(vmax + SEG_GUARD) + 1).astype(np.int64)
     needed = (r1 - r0 + 1) + 7
     gv_p8 = _round_up(gv, 8)
     out = {}
@@ -816,9 +825,9 @@ def build_ray_segments(rays_o, rays_d, xyz_min, xyz_max, world_size, axis,
 
     vmin = np.minimum(v_ends[0], v_ends[1])
     vmax = np.maximum(v_ends[0], v_ends[1])
-    r0_t = np.maximum(0, np.floor(vmin))[
+    r0_t = np.maximum(0, np.floor(vmin - SEG_GUARD))[
         idx.reshape(n_seg, n_tile, tile_n)].min(2)
-    r1_t = np.minimum(gv - 1, np.floor(vmax) + 1)[
+    r1_t = np.minimum(gv - 1, np.floor(vmax + SEG_GUARD) + 1)[
         idx.reshape(n_seg, n_tile, tile_n)].max(2)
     r0_s, r1_s = r0_t.min(1), r1_t.max(1)
     needed = (r1_s - r0_s + 1) + 7  # +7: fwd window starts are 8-aligned
@@ -925,8 +934,10 @@ def build_ray_segments_2d(rays_o, rays_d, xyz_min, xyz_max, world_size,
     idx = order[: n_seg * n_rand].reshape(n_seg, n_rand)
 
     def seg_range(ends, g):
-        lo = np.maximum(0, np.floor(np.minimum(ends[0], ends[1])))
-        hi = np.minimum(g - 1, np.floor(np.maximum(ends[0], ends[1])) + 1)
+        lo = np.maximum(0, np.floor(np.minimum(ends[0], ends[1])
+                                    - SEG_GUARD))
+        hi = np.minimum(g - 1, np.floor(np.maximum(ends[0], ends[1])
+                                        + SEG_GUARD) + 1)
         r0 = lo[idx].min(1)
         r1 = hi[idx].max(1)
         return r0.astype(np.int64), r1.astype(np.int64)
@@ -1075,9 +1086,11 @@ def build_ray_segments_blocked(rays_o, rays_d, xyz_min, xyz_max, world_size,
         vb = np.stack([v_at(float(r0)), v_at(float(r1))])
 
         def rng_of(ends, g):
-            lo = np.maximum(0, np.floor(np.minimum(ends[0], ends[1])))
+            lo = np.maximum(0, np.floor(np.minimum(ends[0], ends[1])
+                                        - SEG_GUARD))
             hi = np.minimum(g - 1.0,
-                            np.floor(np.maximum(ends[0], ends[1])) + 1)
+                            np.floor(np.maximum(ends[0], ends[1])
+                                     + SEG_GUARD) + 1)
             return (lo[idx].min(1).astype(np.int64),
                     hi[idx].max(1).astype(np.int64))
 

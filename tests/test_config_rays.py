@@ -115,3 +115,34 @@ class TestRays:
             assert all(0 <= int(b) < 10 for b in batch)
             seen.update(int(b) for b in batch)
         assert seen == set(range(10))
+
+
+def test_device_ray_gen_matches_host():
+    """engine/train._rays_of_view_device (on-device flatten-pool regen)
+    must match rays.get_rays_of_a_view to float noise, both pinhole and
+    NDC, both intrinsic conventions — the host copies drive the segment
+    sorts while the device copies feed the sweep, and the builders'
+    SEG_GUARD only absorbs last-ulp skew."""
+    import jax.numpy as jnp
+    from directvoxgo_tpu.engine.train import _rays_of_view_device
+    from directvoxgo_tpu import rays as ray_lib
+
+    H, W = 60, 80
+    focal = 0.8 * W
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    rng = np.random.default_rng(5)
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    c2w[:, 3] = [0.2, -0.1, 0.05]
+    for ndc in (False, True):
+        for inverse_y in (False, True):
+            ro_h, rd_h, vd_h = ray_lib.get_rays_of_a_view(
+                H, W, K, c2w, ndc=ndc, inverse_y=inverse_y,
+                flip_x=False, flip_y=False)
+            ro_d, rd_d, vd_d = _rays_of_view_device(
+                jnp.asarray(K), jnp.asarray(c2w), h=H, w=W, ndc=ndc,
+                inverse_y=inverse_y, flip_x=False, flip_y=False)
+            for hst, dev in ((ro_h, ro_d), (rd_h, rd_d), (vd_h, vd_d)):
+                d = np.abs(np.asarray(hst).reshape(-1, 3)
+                           - np.asarray(dev)).max()
+                assert d < 1e-4, f"ndc={ndc} inverse_y={inverse_y}: {d}"
