@@ -1379,6 +1379,12 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             return {}
         plan = {}
         for ax in range(3):
+            if forced is not None and ax != forced:
+                # forced-axis (MPI) models sweep one axis only; planning the
+                # others submits background compiles that assert inside
+                # make_train_step (observed: 2 doomed ~50 s compile-queue
+                # slots per pg event on the fern schedule)
+                continue
             new = model.sweep_clip_for_axis(ax, bbox=bbox)
             old = clip_plan.get(ax)
             if old is not None and old[0] is not None \
@@ -1577,11 +1583,14 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             lambda x: _Aval(x) if hasattr(x, "shape") else x, tree)
 
     def _build_and_warm(key, tv_pair, epoch, avals):
-        # Warm inputs are ZEROS materialized from shape/dtype metadata —
-        # never copies of the live params/opt_state: the training loop
-        # donates those buffers concurrently, and jnp.copy of a donated
-        # array raises (which silently killed every background warm in the
-        # first composed-window run — steps stayed unwindowed at 54 ms).
+        # AOT: lower + compile against ShapeDtypeStructs and store the
+        # COMPILED executable — zero device allocations. The previous
+        # zeros-warm execution transiently held ~2x(params+opt)+full grads
+        # of HBM per warm; at the fern-scale final grid that exhausted the
+        # chip grant even with warms serialized (RESOURCE_EXHAUSTED in the
+        # MAIN loop, r5 fern runs 3-6). The engine loop calls
+        # train_steps[key] positionally, which a jax Compiled accepts
+        # exactly like the jitted fn (donation preserved).
         if compile_state["epoch"] != epoch:
             return False  # stale before it even started — skip the build
         ax, ns, csizes = key
@@ -1591,47 +1600,34 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             n_steps=ns, donate=True)
         n_rand = int(cfg_train.N_rand)
         p_avals, o_avals, m_aval = avals
-        mk = lambda t: jax.tree_util.tree_map(  # noqa: E731
-            lambda a: jnp.zeros(a.shape, a.dtype)
+        sds = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
             if isinstance(a, _Aval) else a, t)
-        p = mk(p_avals)
-        o = mk(o_avals)
+        p = sds(p_avals)
+        o = sds(o_avals)
         # mask from the SAME snapshot as the params: the live model.mask
         # may already be upscaled by a pg event that queued behind this
         # warm, and mismatched grid/mask shapes crash the trace (observed:
         # zeros-params (105,102,95) vs live mask (167,162,151))
-        m = (jnp.zeros(m_aval.shape, m_aval.dtype)
+        m = (jax.ShapeDtypeStruct(m_aval.shape, m_aval.dtype)
              if isinstance(m_aval, _Aval) else m_aval)
-        sel = jnp.zeros((ns, n_rand) if ns > 1 else (n_rand,), jnp.int32)
+        pool_sds = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(tuple(x.shape), x.dtype), pool)
+        sel = jax.ShapeDtypeStruct(
+            (ns, n_rand) if ns > 1 else (n_rand,), jnp.int32)
         if csizes is not None and csizes[0] == "blk":
-            co = jnp.zeros((int(csizes[1]), 2), jnp.int32)
+            co = jax.ShapeDtypeStruct((int(csizes[1]), 2), jnp.int32)
         else:
-            co = jnp.zeros((ns, 3) if ns > 1 else (3,), jnp.int32)
-        if mesh is not None:
-            from ..parallel import replicate
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            sel = jax.device_put(sel, NamedSharding(
-                mesh, P(None, "data") if ns > 1 else P("data")))
-            co = jax.device_put(co, replicate(mesh))
-        # ONE warm at a time: each zeros-warm transiently holds ~2x
-        # (params + opt state) + full-size grads of HBM (TV-windowed
-        # programs keep full grads), and two concurrent warms at the
-        # fern-scale grid exhausted the 16 GB chip mid-run
-        # (RESOURCE_EXHAUSTED at iter ~9k, r5 fern run 3). The remote
-        # compile service serializes compiles anyway, so this costs no
-        # compile throughput.
+            co = jax.ShapeDtypeStruct((ns, 3) if ns > 1 else (3,),
+                                      jnp.int32)
+        # warm_lock kept: the remote XLA service serializes compiles, and
+        # one-at-a-time keeps the stale-epoch early-exit prompt.
         with compile_state["warm_lock"]:
             if compile_state["epoch"] != epoch:
                 return False
-            out = fn(p, m, o, pool, sel, co)
-            # real sync: block_until_ready is a no-op over the axon tunnel
-            # (PERF_LOG r3) — a 4-byte loss pull is the actual barrier
-            float(np.asarray(jnp.sum(out[2])))
-            del out
-        # outputs (and the donated copies) drop on return; HBM frees once
-        # the throwaway step completes
+            compiled = fn.lower(p, m, o, pool_sds, sel, co).compile()
         if compile_state["epoch"] == epoch:  # stale after pg_scale/tv flip
-            train_steps[key] = fn
+            train_steps[key] = compiled
             return True
         return False
 
