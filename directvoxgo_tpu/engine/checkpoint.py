@@ -70,7 +70,10 @@ def _to_numpy(tree):
     is_dev = lambda x: isinstance(x, jnp.ndarray) \
         and not isinstance(x, np.ndarray)
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    pulled = jax.device_get([x for x in leaves if is_dev(x)])
+    from .fetchguard import guarded_get, timeout_default
+    # checkpoint pulls move 100s of MB; give them 4x the per-scalar budget
+    pulled = guarded_get([x for x in leaves if is_dev(x)],
+                         "checkpoint tree", timeout=4 * timeout_default())
     it = iter(pulled)
     return jax.tree_util.tree_unflatten(
         treedef, [next(it) if is_dev(x) else x for x in leaves])

@@ -46,26 +46,32 @@ def render_viewpoints(model, render_poses, HW, Ks, ndc, render_kwargs,
     if use_frame_sweep:
         from . import render_sweep as render_sweep_lib
 
+    from .fetchguard import guarded, timeout_default
     rgbs, depths, psnrs, ssims, lp_alex, lp_vgg = [], [], [], [], [], []
     for i, c2w in enumerate(render_poses):
         H, W = HW[i]
         K = Ks[i]
         out = None
-        if use_frame_sweep:
-            # Whole-frame separable sweep (MXU path); returns None when the
-            # camera geometry rules it out -> per-ray fallback below.
-            out = render_sweep_lib.render_frame_sweep(
-                model, int(H), int(W), np.asarray(K), np.asarray(c2w),
-                render_kwargs)
-        if out is not None:
-            rgb, depth = out
-        else:
-            rays_o, rays_d, viewdirs = ray_lib.get_rays_of_a_view(
-                H, W, K, c2w, ndc, inverse_y=render_kwargs["inverse_y"],
-                flip_x=flip_x, flip_y=flip_y)
-            rgb, depth = render_rays_chunked(
-                render_fn, model, rays_o.reshape(-1, 3),
-                rays_d.reshape(-1, 3), viewdirs.reshape(-1, 3), chunk)
+        # per-view watchdog guard (4x budget: covers first-view compiles
+        # and the frame pull) — a wedged transport aborts for resume
+        # instead of hanging the whole eval
+        with guarded(f"eval view {i}", timeout=4 * timeout_default()):
+            if use_frame_sweep:
+                # Whole-frame separable sweep (MXU path); returns None when
+                # the camera geometry rules it out -> per-ray fallback.
+                out = render_sweep_lib.render_frame_sweep(
+                    model, int(H), int(W), np.asarray(K), np.asarray(c2w),
+                    render_kwargs)
+            if out is not None:
+                rgb, depth = out
+            else:
+                rays_o, rays_d, viewdirs = ray_lib.get_rays_of_a_view(
+                    H, W, K, c2w, ndc,
+                    inverse_y=render_kwargs["inverse_y"],
+                    flip_x=flip_x, flip_y=flip_y)
+                rgb, depth = render_rays_chunked(
+                    render_fn, model, rays_o.reshape(-1, 3),
+                    rays_d.reshape(-1, 3), viewdirs.reshape(-1, 3), chunk)
         rgb = rgb.reshape(H, W, 3)
         depth = depth.reshape(H, W, 1)
         rgbs.append(rgb)
@@ -282,7 +288,9 @@ def _render_rays_windowed_2d(render_fn, model, rays_o, rays_d, viewdirs,
                           jnp.asarray(rd[sel]), jnp.asarray(vd[sel]),
                           axis, sizes, off_j)
             pend.append((sel, o))
-    for sel, (rgb, dep) in pend:  # one late sync: device pulls amortize
-        rgb_out[sel] = np.asarray(rgb)
-        dep_out[sel] = np.asarray(dep)
+    from .fetchguard import guarded, timeout_default
+    with guarded("eval frame chunks", timeout=4 * timeout_default()):
+        for sel, (rgb, dep) in pend:  # one late sync: device pulls amortize
+            rgb_out[sel] = np.asarray(rgb)
+            dep_out[sel] = np.asarray(dep)
     return rgb_out[:n], dep_out[:n]

@@ -516,7 +516,15 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
     elif ckpt_lib.checkpoint_exists(last_ckpt_path):
         reload_ckpt_path = last_ckpt_path
     else:
-        reload_ckpt_path = None
+        # Interrupted-run resume: i_weights checkpoints land as
+        # {stage}_{step:06d}.tar (atomic tmp+rename, so any file found is
+        # complete). A run aborted mid-stage — e.g. by the fetchguard
+        # watchdog on a wedged transport (tools/resilient_run.py) — resumes
+        # from the newest one instead of restarting the stage.
+        import glob as _glob
+        numbered = sorted(_glob.glob(os.path.join(
+            cfg.basedir, cfg.expname, f"{stage}_[0-9]*.tar")))
+        reload_ckpt_path = numbered[-1] if numbered else None
 
     model_class = _model_class_for(cfg)
     if reload_ckpt_path is None:
@@ -1475,7 +1483,8 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
         apply_clip_plan(plan)
 
     if bbox0_dev is not None:
-        bb0 = np.asarray(jax.device_get(bbox0_dev))
+        from . import fetchguard
+        bb0 = np.asarray(fetchguard.guarded_get(bbox0_dev, "initial bbox"))
         apply_clip_plan(compute_clip_plan(
             bbox=(bb0[0].astype(np.float64), bb0[1].astype(np.float64))))
     else:
@@ -2021,9 +2030,11 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min,
             # paid a tunnel round trip each (500 x RTT — run D lost ~16 min
             # to one i_print during a bandwidth trough).
             bbox_dev = refresh_state.pop("bbox_dev", None)
-            pulled = jax.device_get(
+            from . import fetchguard
+            pulled = fetchguard.guarded_get(
                 [*psnr_lst, loss] + ([bbox_dev] if bbox_dev is not None
-                                     else []))
+                                     else []),
+                f"i_print@{global_step}")
             win_state["dirty"] = True  # queue drained by the pull
             if bbox_dev is not None:
                 bb = pulled[-1]
