@@ -604,51 +604,91 @@ def check_render_consistency(model, H=800, W=800):
 
 
 def main():
+    # Outage-proofing: the dev transport can wedge a device->host fetch
+    # forever (PERF_LOG round-4/5 outage notes). Arm the engine fetch
+    # watchdog with a per-SECTION budget and accumulate results into
+    # ``partial`` as sections complete — a wedge (or a crash in a later
+    # section) still prints one JSON line with everything measured so
+    # far plus a marker, instead of hanging the round-end bench into
+    # producing nothing.
+    os.environ.setdefault("DVGO_FETCH_WATCHDOG", "120")
+    from directvoxgo_tpu.engine import fetchguard
+
+    partial = {"metric": "render_800x800_fine160_secs_per_frame",
+               "value": None, "unit": "s/frame", "vs_baseline": None}
+
+    def _abort_dump(label):
+        partial["aborted_at"] = label
+        print(json.dumps(partial), flush=True)
+
+    fetchguard.set_abort_callback(_abort_dump)
+
+    def section(name, budget_s, fn):
+        """Run one bench section under a whole-section watchdog deadline
+        (covers its compiles and every internal fetch); on a Python
+        error record it and keep going."""
+        try:
+            with fetchguard.guarded(f"bench:{name}", timeout=budget_s):
+                return fn()
+        except Exception as e:
+            log(f"bench: section {name} FAILED: {e!r}")
+            partial[f"error_{name}"] = repr(e)[:300]
+            return None
+
     import jax
     log(f"bench: devices {jax.devices()}")
     model = build_fine_model()
-    train_dt, train_per_axis = bench_train(model)
+    baseline = 0.07  # best published reference render latency (README.md:7)
+
+    r = section("train", 1800, lambda: bench_train(model))
+    if r:
+        train_dt, train_per_axis = r
+        partial.update({
+            "train_step_ms": round(train_dt * 1000, 2),
+            "train_step_ms_per_axis": train_per_axis,
+            "train_projected_fine20k_min": round(train_dt * 20000 / 60, 2)})
     # The same engine bench on the maskcache-FILTERED pool — the class
     # mix a run.py fine stage actually draws (VERDICT r3 #1): wide
     # windows + fallback share, not the flatten pool's (32,32)-heavy mix.
-    train_dt_filt, train_per_axis_filt = bench_train(
-        model, pool_kind="filtered")
-    (render_sec, render_sync_sec, render_pipe_sec, render_pipe_yuv_sec,
-     pipe_times, variance_note, fetch_mb_s) = bench_render(model)
-    ndc_train_dt, ndc_render_sec = bench_ndc()
-    consistency = check_render_consistency(model)
-    baseline = 0.07  # best published reference render latency (README.md:7)
-    out = {
-        "metric": "render_800x800_fine160_secs_per_frame",
-        "value": round(render_sec, 5),
-        "unit": "s/frame",
-        "vs_baseline": round(baseline / render_sec, 3),
-        # secondary metrics (same run, same model):
-        "render_per_frame_sync_s": round(render_sync_sec, 5),
-        "render_pipelined_fetch_median_s": round(render_pipe_sec, 5),
-        "render_pipelined_i420_median_s": round(render_pipe_yuv_sec, 5),
-        "tunnel_fetch_mb_s": fetch_mb_s,
-        "times": pipe_times,
-        "train_step_ms": round(train_dt * 1000, 2),
-        "train_step_ms_per_axis": train_per_axis,
-        "train_projected_fine20k_min": round(train_dt * 20000 / 60, 2),
-        "train_step_ms_filtered_pool": round(train_dt_filt * 1000, 2),
-        "train_step_ms_per_axis_filtered": train_per_axis_filt,
-        "train_filtered_projected_fine20k_min":
-            round(train_dt_filt * 20000 / 60, 2),
-        # LLFF-shaped (fern-scale, 756x1008 NDC) class — reference 0.36 s
-        # renders / ~5.5 min scenes (README.md:7, IMPROVING_LOG.md:119-132)
-        "render_ndc_756x1008_s": round(ndc_render_sec, 5),
-        "render_ndc_vs_baseline": round(0.36 / ndc_render_sec, 3),
-        "train_ndc_step_ms": round(ndc_train_dt * 1000, 2),
-        "train_ndc_fern_projected_25k_min":
-            round(ndc_train_dt * 25000 / 60, 2),
-        **_recorded_runs(),
-        **consistency,
-    }
-    if variance_note:
-        out["variance_note"] = variance_note
-    print(json.dumps(out), flush=True)
+    r = section("train_filtered", 1800,
+                lambda: bench_train(model, pool_kind="filtered"))
+    if r:
+        train_dt_filt, train_per_axis_filt = r
+        partial.update({
+            "train_step_ms_filtered_pool": round(train_dt_filt * 1000, 2),
+            "train_step_ms_per_axis_filtered": train_per_axis_filt,
+            "train_filtered_projected_fine20k_min":
+                round(train_dt_filt * 20000 / 60, 2)})
+    r = section("render", 1500, lambda: bench_render(model))
+    if r:
+        (render_sec, render_sync_sec, render_pipe_sec, render_pipe_yuv_sec,
+         pipe_times, variance_note, fetch_mb_s) = r
+        partial.update({
+            "value": round(render_sec, 5),
+            "vs_baseline": round(baseline / render_sec, 3),
+            "render_per_frame_sync_s": round(render_sync_sec, 5),
+            "render_pipelined_fetch_median_s": round(render_pipe_sec, 5),
+            "render_pipelined_i420_median_s": round(render_pipe_yuv_sec, 5),
+            "tunnel_fetch_mb_s": fetch_mb_s,
+            "times": pipe_times})
+        if variance_note:
+            partial["variance_note"] = variance_note
+    # LLFF-shaped (fern-scale, 756x1008 NDC) class — reference 0.36 s
+    # renders / ~5.5 min scenes (README.md:7, IMPROVING_LOG.md:119-132)
+    r = section("ndc", 1800, bench_ndc)
+    if r:
+        ndc_train_dt, ndc_render_sec = r
+        partial.update({
+            "render_ndc_756x1008_s": round(ndc_render_sec, 5),
+            "render_ndc_vs_baseline": round(0.36 / ndc_render_sec, 3),
+            "train_ndc_step_ms": round(ndc_train_dt * 1000, 2),
+            "train_ndc_fern_projected_25k_min":
+                round(ndc_train_dt * 25000 / 60, 2)})
+    r = section("consistency", 1200, lambda: check_render_consistency(model))
+    if r:
+        partial.update(r)
+    partial.update(_recorded_runs())
+    print(json.dumps(partial), flush=True)
 
 
 if __name__ == "__main__":

@@ -34,7 +34,16 @@ _state = {
     "active": {},      # key -> (t_start, timeout_s, label)
     "thread": None,
     "n": 0,
+    "on_abort": None,  # callback run (bounded, host-side only) before exit
 }
+
+
+def set_abort_callback(fn):
+    """Register a host-side-only callback the watchdog runs right before
+    ``os._exit`` — e.g. bench.py prints its partially-accumulated JSON so
+    a wedge mid-bench still yields an artifact. The callback MUST NOT
+    touch the device (any device call would queue behind the wedge)."""
+    _state["on_abort"] = fn
 
 
 def timeout_default():
@@ -58,6 +67,13 @@ def _watch():
                     f"{now - t0:.0f} s (> {tmo:.0f} s): transport fetch "
                     f"path wedged; aborting for resume (exit {EXIT_WEDGED})",
                     file=sys.stderr, flush=True)
+                cb = _state["on_abort"]
+                if cb is not None:
+                    try:
+                        cb(label)
+                    except Exception as e:  # never let the callback wedge us
+                        print(f"fetchguard: abort callback failed: {e!r}",
+                              file=sys.stderr, flush=True)
                 try:
                     sys.stdout.flush()
                 except Exception:
