@@ -188,8 +188,19 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
         fused = True
     else:
         fused = False
+    # Sparse TV keeps region mode: ``where(grad != 0)`` gates the TV term,
+    # and batch grid gradients are nonzero only inside the drawn box, so
+    # the term is computed on a 1-voxel-haloed slice of the box (below)
+    # instead of forcing full-size grads + full-grid Adam. Full-grid sparse
+    # TV cost ~24 ms/iter at the fern-scale k0 alone (tools/
+    # tv_step_profile.py) — the entire reason the realized fern pace was
+    # 72.8 ms/iter vs the 9 ms TV-free bench. Dense TV really does inject
+    # out-of-box gradients and stays on the legacy full path.
+    tv_boxed = (apply_tv and not tv_dense
+                and hasattr(model, "tv_axis_scales"))
     region_mode = (axis is not None and clip_sizes is not None
-                   and not apply_tv and all_skip and grid_names != [])
+                   and (not apply_tv or tv_boxed)
+                   and all_skip and grid_names != [])
     assert not fused or region_mode, \
         "fused step keys require region mode (pre-clipped box grids)"
     if region_mode:
@@ -317,7 +328,38 @@ def make_train_step(model, optimizer, cfg_train, render_kwargs,
             (loss, mse), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(trainable)
 
-        if apply_tv:
+        if apply_tv and region_mode:
+            # Boxed sparse TV: evaluate the term on a 1-voxel-haloed slice
+            # of the clip box read from the FULL params (the box's edge
+            # voxels need true out-of-box neighbors), then slice the box
+            # back out. _axis_term edge-replicates at the halo slice's
+            # borders; those border rows are only KEPT when the box itself
+            # touches the grid border (the halo start clamps exactly then),
+            # so the semantics match the full-grid op everywhere. Gating by
+            # the MSE grad (before the add) preserves the reference's
+            # sparse rule (total_variation_kernel.cu:21).
+            from ..ops import tv as tv_ops
+            sx, sy, sz = model.tv_axis_scales()
+            for name, wn in (("density", w_tv_density), ("k0", w_tv_k0)):
+                if wn <= 0 or name not in grads:
+                    continue
+                full = params[name]
+                g3 = tuple(int(d) for d in full.shape[:3])
+                hs = tuple(min(s + 2, g) for s, g in zip(sizes_xyz, g3))
+                start = tuple(
+                    jnp.clip(o - 1, 0, g - h)
+                    for o, g, h in zip(offs_xyz, g3, hs))
+                tail = [jnp.int32(0)] * (full.ndim - 3)
+                halo = jax.lax.dynamic_slice(
+                    full, (*start, *tail), (*hs, *full.shape[3:]))
+                tv_h = tv_ops.tv_term(halo, wn / n_rand * sx,
+                                      wn / n_rand * sy, wn / n_rand * sz)
+                j = tuple(o - s for o, s in zip(offs_xyz, start))
+                tv_box = jax.lax.dynamic_slice(
+                    tv_h, (*j, *tail), (*sizes_xyz, *full.shape[3:]))
+                grads[name] = grads[name] + jnp.where(
+                    grads[name] != 0, tv_box, 0.0)
+        elif apply_tv:
             if w_tv_density > 0 and "density" in grads:
                 grads["density"] = model.density_total_variation_grad(
                     trainable["density"], grads["density"],

@@ -187,6 +187,13 @@ class DirectMPIGO:
             self.activate_density(self.params["density"]))
         self.mask = self.mask & (self_alpha > self.fast_color_thres)
 
+    def tv_axis_scales(self):
+        """Per-axis TV weight scale factors (weight=1), for the engine's
+        boxed sparse-TV path (engine/train.py make_train_step)."""
+        sxy = max(self.world_size[:2]) / 128.0
+        sz = self.mpi_depth / 128.0
+        return (sxy, sxy, sz)
+
     def density_total_variation_grad(self, param, grad, weight, dense_mode):
         """Anisotropic TV (lib/dmpigo.py:147-151)."""
         wxy = weight * max(self.world_size[:2]) / 128.0

@@ -396,6 +396,12 @@ class DirectVoxGO:
             return None, np.zeros(3, np.int32)
         return tuple(sizes), np.asarray(offs, np.int32)
 
+    def tv_axis_scales(self):
+        """Per-axis TV weight scale factors (weight=1), for the engine's
+        boxed sparse-TV path (engine/train.py make_train_step)."""
+        s = max(self.world_size) / 128.0
+        return (s, s, s)
+
     def density_total_variation_grad(self, param, grad, weight, dense_mode):
         """TV gradient with the reference's resolution scaling
         (lib/dvgo.py:297-300)."""
