@@ -23,6 +23,195 @@ def _round_up(x, m):
 WINDOWED_RENDER_MIN_PLANE = 128 * 128
 
 
+def render_frame_ndc_tiles(render_fn, model, H, W, K, c2w, rk,
+                           chunk=8192, tile_hw=(64, 128),
+                           widths=(32, 48, 64, 96, 128)):
+    """Whole-frame NDC (forced-axis MPI) render as device-resident pixel
+    tiles.
+
+    The generic chunked path (``render_rays_chunked``) is transport-bound
+    for NDC frames on a remote device: ~95 chunks each pay a host->device
+    ray upload and a device->host pull round trip, measured 7.7 s/frame at
+    756x1008 while the per-chunk compute is ~5 ms (bench_dmpigo r5). This
+    path removes every per-chunk transfer:
+
+    * rays are generated ON DEVICE from the 3x3+3 camera
+      (engine/train._rays_of_view_device, NDC branch) and tiled by device
+      reshape — the host uploads only K and c2w;
+    * each fixed-size pixel tile renders through the already-jitted
+      ``render_fn`` as a composed (bp, eu, ev) clip window, exactly like
+      the 2D-windowed chunk path. Per-tile windows come from the tile's
+      extreme pixel-center rays: along a tile edge the station-plane
+      coordinate is a Moebius function of the pixel index (NDC rays are
+      projective in (i, j)) so edge extremes sit at the corner pixels, and
+      per ray u(t) = o_u + t d_u is linear in t so traversal extremes sit
+      at the clip-box p faces — 4 corners x 2 faces bound every interp row
+      (same +-SEG_GUARD +-1 margins as ops/sweep.build_ray_segments_2d);
+    * window extents snap UP to the ``widths`` lattice so tiles share
+      compiled programs (and reuse the eval programs render_test already
+      compiled);
+    * all tile outputs are pulled in ONE batched ``jax.device_get``.
+
+    Returns flat ``(rgb [H*W, 3], depth [H*W])`` like the chunked path, or
+    None when the model has no forced sweep axis / the plane is tiny.
+    """
+    from ..ops import sweep as sweep_ops
+    from .train import _rays_of_view_device
+
+    axis = getattr(model, "forced_sweep_axis", None)
+    if axis is None:
+        return None
+    perm = sweep_ops._PERMS[axis]
+    gp = int(model.world_size[perm[0]])
+    gu = int(model.world_size[perm[1]])
+    gv = int(model.world_size[perm[2]])
+    if gu * gv < WINDOWED_RENDER_MIN_PLANE:
+        return None
+    th, tw = tile_hw
+    assert th * tw == chunk
+    nth, ntw = -(-H // th), -(-W // tw)
+    hp, wp = nth * th, ntw * tw
+
+    if hasattr(model, "sweep_clip_for_axis"):
+        csz, coff = model.sweep_clip_for_axis(axis)
+    else:
+        csz, coff = None, np.zeros(3, np.int32)
+    if csz is not None:
+        bp, bu, bv = (int(x) for x in csz)
+        bpo, buo, bvo = (int(x) for x in np.asarray(coff))
+    else:
+        bp, bu, bv = gp, gu, gv
+        bpo = buo = bvo = 0
+
+    # --- host: per-tile windows from the corner pixel-center rays ---
+    # (numpy raygen over the 4 corner pixels of every tile; padded tiles
+    # use edge-clamped pixel indices, matching the device-side edge pad)
+    r0 = np.arange(nth) * th
+    r1 = np.minimum(r0 + th - 1, H - 1)
+    c0 = np.arange(ntw) * tw
+    c1 = np.minimum(c0 + tw - 1, W - 1)
+    # [nth, ntw, 2, 2]: per tile, the 4 corner pixel centers
+    jj = np.broadcast_to(
+        np.stack([r0, r1], 1)[:, None, :, None].astype(np.float64),
+        (nth, ntw, 2, 2)) + 0.5  # pixel row (j in raygen)
+    ii = np.broadcast_to(
+        np.stack([c0, c1], 1)[None, :, None, :].astype(np.float64),
+        (nth, ntw, 2, 2)) + 0.5  # pixel col
+    inverse_y = bool(rk.get("inverse_y", False))
+    flip_x = bool(rk.get("flip_x", False))
+    flip_y = bool(rk.get("flip_y", False))
+    if flip_x:
+        ii = W - ii
+    if flip_y:
+        jj = H - jj
+    Kh = np.asarray(K, np.float64)
+    c2wh = np.asarray(c2w, np.float64)
+    if inverse_y:
+        dirs = np.stack([(ii - Kh[0, 2]) / Kh[0, 0],
+                         (jj - Kh[1, 2]) / Kh[1, 1],
+                         np.ones_like(ii)], -1)
+    else:
+        dirs = np.stack([(ii - Kh[0, 2]) / Kh[0, 0],
+                         -(jj - Kh[1, 2]) / Kh[1, 1],
+                         -np.ones_like(ii)], -1)
+    rd = dirs @ c2wh[:3, :3].T
+    ro = np.broadcast_to(c2wh[:3, 3], rd.shape)
+    focal, near_n = Kh[0, 0], 1.0
+    t_sh = -(near_n + ro[..., 2]) / rd[..., 2]
+    ros = ro + t_sh[..., None] * rd
+    o0 = -1.0 / (W / (2.0 * focal)) * ros[..., 0] / ros[..., 2]
+    o1 = -1.0 / (H / (2.0 * focal)) * ros[..., 1] / ros[..., 2]
+    o2 = 1.0 + 2.0 * near_n / ros[..., 2]
+    d0 = -1.0 / (W / (2.0 * focal)) * (rd[..., 0] / rd[..., 2]
+                                       - ros[..., 0] / ros[..., 2])
+    d1 = -1.0 / (H / (2.0 * focal)) * (rd[..., 1] / rd[..., 2]
+                                       - ros[..., 1] / ros[..., 2])
+    d2 = -2.0 * near_n / ros[..., 2]
+    ondc = np.stack([o0, o1, o2], -1)
+    dndc = np.stack([d0, d1, d2], -1)
+
+    xyz_min = np.asarray(model.xyz_min, np.float64)
+    xyz_max = np.asarray(model.xyz_max, np.float64)
+    ws = np.asarray(model.world_size, np.float64)
+
+    def vox(arr, ax):
+        scale = (float(ws[ax]) - 1.0) / (xyz_max[ax] - xyz_min[ax])
+        return (arr[..., ax] - xyz_min[ax]) * scale, scale
+
+    op_, _ = vox(ondc, perm[0])
+    ou_, su = vox(ondc, perm[1])
+    ov_, sv = vox(ondc, perm[2])
+    dp_ = dndc[..., perm[0]] * ((float(ws[perm[0]]) - 1.0)
+                                / (xyz_max[perm[0]] - xyz_min[perm[0]]))
+    du_ = dndc[..., perm[1]] * su
+    dv_ = dndc[..., perm[2]] * sv
+    dp_ = np.where(np.abs(dp_) < 1e-10, 1e-10, dp_)
+    t0 = (float(bpo) - op_) / dp_
+    t1 = (float(bpo + bp - 1) - op_) / dp_
+    guard = sweep_ops.SEG_GUARD
+    u_ends = np.stack([ou_ + t0 * du_, ou_ + t1 * du_])
+    v_ends = np.stack([ov_ + t0 * dv_, ov_ + t1 * dv_])
+    u_ends = np.clip(u_ends, buo - 1.0, float(buo + bu))
+    v_ends = np.clip(v_ends, bvo - 1.0, float(bvo + bv))
+    # u_ends axes: 0 = clip-box face, (1, 2) = (nth, ntw), (3, 4) = corners
+    red = (0, 3, 4)
+    u0t = np.maximum(0, np.floor(u_ends.min(axis=red) - guard))
+    u1t = np.minimum(gu - 1, np.floor(u_ends.max(axis=red) + guard) + 1)
+    v0t = np.maximum(0, np.floor(v_ends.min(axis=red) - guard))
+    v1t = np.minimum(gv - 1, np.floor(v_ends.max(axis=red) + guard) + 1)
+    need_u = (u1t - u0t + 1).astype(np.int64)
+    need_v = (v1t - v0t + 1).astype(np.int64)
+
+    def snap(need, g, box):
+        ws_ = [w for w in sorted(widths) if w < box]
+        out = np.full(need.shape, box, np.int64)
+        for w in reversed(ws_):
+            out = np.where(need <= w, w, out)
+        return out
+
+    eu_t = snap(need_u, gu, bu)
+    ev_t = snap(need_v, gv, bv)
+
+    # --- device: raygen once, tile by reshape (edge-pad to tile grid) ---
+    ro_d, rd_d, vd_d = _rays_of_view_device(
+        jnp.asarray(np.asarray(K, np.float32)),
+        jnp.asarray(np.asarray(c2w, np.float32)), h=H, w=W, ndc=True,
+        inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y)
+
+    def tiled(a):
+        img = a.reshape(H, W, 3)
+        img = jnp.pad(img, ((0, hp - H), (0, wp - W), (0, 0)), mode="edge")
+        return img.reshape(nth, th, ntw, tw, 3).transpose(
+            0, 2, 1, 3, 4).reshape(nth * ntw, th * tw, 3)
+
+    ro_t, rd_t, vd_t = tiled(ro_d), tiled(rd_d), tiled(vd_d)
+
+    outs = []
+    for k in range(nth * ntw):
+        ti, tj = divmod(k, ntw)
+        eu = int(eu_t[ti, tj])
+        ev = int(ev_t[ti, tj])
+        if (eu, ev) == (bu, bv):
+            sizes = (bp, bu, bv) if csz is not None else None
+            off = np.asarray([bpo, buo, bvo], np.int32)
+        else:
+            sizes = (bp, eu, ev)
+            off = np.asarray(
+                [bpo,
+                 min(max(int(u0t[ti, tj]), buo), buo + bu - eu),
+                 min(max(int(v0t[ti, tj]), bvo), bvo + bv - ev)],
+                np.int32)
+        outs.append(render_fn(model.params, model.mask, ro_t[k], rd_t[k],
+                              vd_t[k], axis, sizes, jnp.asarray(off)))
+    pulled = jax.device_get(outs)  # one batched transfer for every tile
+    rgb = np.stack([p[0] for p in pulled]).reshape(
+        nth, ntw, th, tw, 3).transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
+    dep = np.stack([p[1] for p in pulled]).reshape(
+        nth, ntw, th, tw).transpose(0, 2, 1, 3).reshape(hp, wp)
+    return (np.ascontiguousarray(rgb[:H, :W]).reshape(-1, 3),
+            np.ascontiguousarray(dep[:H, :W]).reshape(-1))
+
+
 def render_viewpoints(model, render_poses, HW, Ks, ndc, render_kwargs,
                       gt_imgs=None, savedir=None, render_factor=0,
                       eval_ssim=False, eval_lpips_alex=False,
@@ -62,6 +251,13 @@ def render_viewpoints(model, render_poses, HW, Ks, ndc, render_kwargs,
                 out = render_sweep_lib.render_frame_sweep(
                     model, int(H), int(W), np.asarray(K), np.asarray(c2w),
                     render_kwargs)
+            elif ndc and getattr(render_fn, "use_sweep", False):
+                # Forced-axis MPI frames: device-resident tiled render (no
+                # per-chunk transfers); None -> chunked fallback below.
+                out = render_frame_ndc_tiles(
+                    render_fn, model, int(H), int(W), np.asarray(K),
+                    np.asarray(c2w),
+                    {**render_kwargs, "flip_x": flip_x, "flip_y": flip_y})
             if out is not None:
                 rgb, depth = out
             else:

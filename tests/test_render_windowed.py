@@ -89,3 +89,37 @@ def test_windowed_gate_respects_min_plane(scene, monkeypatch):
         render_fn, model, ro[:512], rd[:512], vd[:512], 512,
         int(model.forced_sweep_axis))
     assert out is None
+
+
+def test_frame_ndc_tiles_matches_chunked(scene, monkeypatch):
+    """render_frame_ndc_tiles (device raygen + corner-ray tile windows +
+    batched pull) must match the chunked path on the full frame: the tile
+    windows carry the same exactness guarantee (corner pixel centers bound
+    every tile ray projectively; clip-box p faces bound every t), and the
+    device NDC raygen mirrors the numpy formulas to float noise."""
+    model, render_fn, ro, rd, vd = scene
+    H = W = 48
+    K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]])
+    c2w = np.eye(4, dtype=np.float32)
+    rk = dict(near=0.0, far=1.0, bg=1.0, stepsize=1.0)
+    rgb_p, dep_p = _render(render_fn, model, ro, rd, vd, 512, monkeypatch,
+                           10 ** 9)
+    monkeypatch.setattr(render_lib, "WINDOWED_RENDER_MIN_PLANE", 0)
+    out = render_lib.render_frame_ndc_tiles(
+        render_fn, model, H, W, K, c2w, rk, chunk=512, tile_hw=(16, 32),
+        widths=(8, 16, 24, 48))
+    assert out is not None
+    rgb_f, dep_f = out
+    assert rgb_f.shape == (H * W, 3) and dep_f.shape == (H * W,)
+    np.testing.assert_allclose(rgb_f, rgb_p, atol=2e-3, rtol=0)
+    np.testing.assert_allclose(dep_f, dep_p, atol=2e-3, rtol=0)
+    err = np.abs(rgb_f - rgb_p).max()
+    print(f"frame-ndc-tiles-vs-plain max|drgb| = {err:.2e}")
+
+
+def test_frame_ndc_tiles_nonsweep_declines():
+    """Models without a forced sweep axis return None (caller falls back)."""
+    class _NoSweep:
+        forced_sweep_axis = None
+    assert render_lib.render_frame_ndc_tiles(
+        None, _NoSweep(), 48, 48, np.eye(3), np.eye(4)[:3], {}) is None
