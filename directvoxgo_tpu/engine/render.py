@@ -203,7 +203,11 @@ def render_frame_ndc_tiles(render_fn, model, H, W, K, c2w, rk,
                 np.int32)
         outs.append(render_fn(model.params, model.mask, ro_t[k], rd_t[k],
                               vd_t[k], axis, sizes, jnp.asarray(off)))
-    pulled = jax.device_get(outs)  # one batched transfer for every tile
+    # One batched transfer for every tile. (Per-tile copy_to_host_async
+    # during the dispatch loop measured SLOWER here — 1.97 s vs 1.24 s —
+    # the eager copy RPCs contend with the remaining dispatch RPCs on the
+    # tunneled transport.)
+    pulled = jax.device_get(outs)
     rgb = np.stack([p[0] for p in pulled]).reshape(
         nth, ntw, th, tw, 3).transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
     dep = np.stack([p[1] for p in pulled]).reshape(

@@ -192,6 +192,33 @@ def bench_render(model, H=756, W=1008, iters=8, chunk=8192):
               inverse_y=False, flip_x=False, flip_y=False,
               render_depth=True)
     render_fn = render_lib.make_render_fn(model, rk)
+    # Headline: the tiled frame path run.py eval actually uses (device
+    # raygen + corner-ray tile windows + one batched pull); the chunked
+    # path timed once for comparison — it pays ~95 per-chunk transfer
+    # round trips on a remote device (7.7 s/frame measured r5).
+    t0 = time.time()
+    out = render_lib.render_frame_ndc_tiles(render_fn, model, H, W, K,
+                                            c2w, rk, chunk=chunk)
+    if out is not None:
+        log(f"dmpigo bench: frame-tiles compile+first {time.time()-t0:.1f}s")
+        t0 = time.time()
+        for _ in range(iters):
+            render_lib.render_frame_ndc_tiles(render_fn, model, H, W, K,
+                                              c2w, rk, chunk=chunk)
+        sec = (time.time() - t0) / iters
+        log(f"dmpigo bench: render {H}x{W} frame-tiles {sec*1000:.1f} "
+            "ms/frame (reference 0.36 s-class)")
+        rays_o, rays_d, viewdirs = ray_lib.get_rays_of_a_view(
+            H, W, K, c2w, ndc=True, inverse_y=False, flip_x=False,
+            flip_y=False)
+        ro = np.asarray(rays_o).reshape(-1, 3)
+        rd = np.asarray(rays_d).reshape(-1, 3)
+        vd = np.asarray(viewdirs).reshape(-1, 3)
+        t0 = time.time()
+        render_lib.render_rays_chunked(render_fn, model, ro, rd, vd, chunk)
+        log(f"dmpigo bench: chunked comparison "
+            f"{time.time()-t0:.1f} s/frame (cold)")
+        return sec
     rays_o, rays_d, viewdirs = ray_lib.get_rays_of_a_view(
         H, W, K, c2w, ndc=True, inverse_y=False, flip_x=False, flip_y=False)
     ro = np.asarray(rays_o).reshape(-1, 3)
